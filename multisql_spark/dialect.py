@@ -1,0 +1,342 @@
+"""MultiSQL SQL dialect → Spark SQL rewriter.
+
+The reference parses with sqlparser-rs GenericDialect
+(``/root/reference/src/parse_sql.rs:6-17``) and implements its function
+semantics in ``src/data/value/methods/{function,utility,timestamp}.rs``.
+Spark SQL covers almost everything natively; this module maps the
+differences at the token level so the rest of the engine can just call
+``spark.sql``:
+
+- ``LEN(s)``            → ``octet_length(s)``   (reference LEN is *byte*
+  length, utility.rs:77-80)
+- ``IIF(c,t,f)``        → ``if(c,t,f)``         (function.rs:46-51)
+- ``NOW()``             → ``unix_timestamp()``  (reference NOW returns unix
+  seconds as I64, timestamp.rs:102-114)
+- ``UUID()``            → ``uuid()``            (the reference dispatch maps
+  UUID to RAND by mistake, from/method.rs:45; we implement the intent)
+- ``YEAR..SECOND(x)``   → ``year(CAST(x AS TIMESTAMP))`` … — reference
+  stores timestamps as unix-second i64; ``CAST(bigint AS TIMESTAMP)`` in
+  Spark interprets seconds, so both representations work.
+- ``DATEADD('YEAR',n,ts)``   → ``timestampadd(YEAR, n, CAST(ts AS TIMESTAMP))``
+  (timestamp.rs:146-278)
+- ``DATEFROMPARTS(y,…)``     → ``make_timestamp(y,mo,d,h,mi,s)`` with the
+  reference's 1/1/0:0:0 defaults (timestamp.rs:279-313)
+- ``CONVERT('TYPE',v[,rule])`` → cast / ``to_timestamp(v, fmt)`` /
+  ``date_format`` with the rule-code table from cast.rs:146-303.
+- session variables — bare identifiers matching a SET variable are replaced
+  with literals before submission (reference ``simplify_by_tempdb``,
+  src/data/recipe/new.rs:24-47)
+- ``db.table`` → ``db__table`` for attached databases (reference
+  multi-database names, src/data/types.rs:29-33)
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- tokenizer -------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<space>\s+)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<ident>[A-Za-z_\$@][A-Za-z0-9_\$]*)
+    | (?P<op><>|!=|>=|<=|\|\||::|[-+*/%(),.;=<>\[\]])
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize SQL at: {sql[pos:pos + 30]!r}")
+        kind = m.lastgroup or "op"
+        if kind != "space":
+            tokens.append((kind, m.group()))
+        pos = m.end()
+    return tokens
+
+
+def untokenize(tokens: list[tuple[str, str]]) -> str:
+    out: list[str] = []
+    for i, (kind, text) in enumerate(tokens):
+        if i and _needs_space(tokens[i - 1], (kind, text)):
+            out.append(" ")
+        out.append(text)
+    return "".join(out)
+
+
+def _needs_space(prev: tuple[str, str], cur: tuple[str, str]) -> bool:
+    wordy = {"ident", "number", "string", "qident"}
+    if prev[0] in wordy and cur[0] in wordy:
+        return True
+    # keep `a . b` tight but ops readable
+    if prev[1] in "(.[" or cur[1] in ".,;)]" or cur[1] == "(":
+        return False
+    return True
+
+
+# --- CONVERT rule codes (reference cast.rs:216-300, strftime → Java) -------
+
+_RULE_DATETIME_FMT = {
+    0: None,  # from unix seconds
+    20: "yyyy-MM-dd HH:mm:ss",
+    21: "yyyy-MM-dd HH:mm",
+    22: "yyyy-MM-dd",
+    30: "yyyy-MM-dd hh:mm:ss a",
+    31: "hh:mm a",
+    32: "dd-MMM-yyyy",
+    33: "d-MMM-yy",
+    40: "yyyyMMdd",
+    60: "dd/MM/yyyy HH:mm",
+    61: "dd/MM/yyyy",
+    62: "dd/MM/yyyy HH:mm:ss",
+    63: "ddMMyyyy HH:mm:ss",
+    64: "ddMMyyyy",
+    100: "HH:mm:ss",
+    101: "HH:mm",
+}
+
+_STRFTIME_TO_JAVA = [
+    ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+    ("%R", "HH:mm"),
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%e", "d"),
+    ("%b", "MMM"),
+    ("%v", "dd-MMM-yyyy"),
+    ("%H", "HH"),
+    ("%I", "hh"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%p", "a"),
+    ("%r", "hh:mm:ss a"),
+    ("%y", "yy"),
+]
+
+
+def strftime_to_java(fmt: str) -> str:
+    for src, dst in _STRFTIME_TO_JAVA:
+        fmt = fmt.replace(src, dst)
+    return fmt
+
+
+# --- call transforms -------------------------------------------------------
+
+
+def _split_args(tokens: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Split a paren-free-depth token list on top-level commas."""
+    args: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    for tok in tokens:
+        if tok[1] == "(":
+            depth += 1
+        elif tok[1] == ")":
+            depth -= 1
+        if tok[1] == "," and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(tok)
+    return [a for a in args if a or len(args) == 1]
+
+
+def _fmt_args(args: list[list[tuple[str, str]]]) -> list[str]:
+    return [untokenize(a) for a in args]
+
+
+def _xform_dateadd(args: list[str]) -> str:
+    unit = args[0].strip().strip("'\"").upper()
+    return (
+        f"timestampadd({unit}, {args[1]}, CAST(({args[2]}) AS TIMESTAMP))"
+    )
+
+
+def _xform_datefromparts(args: list[str]) -> str:
+    defaults = ["1970", "1", "1", "0", "0", "0"]
+    full = list(args) + defaults[len(args):]
+    y, mo, d, h, mi, s = full[:6]
+    return f"make_timestamp({y}, {mo}, {d}, {h}, {mi}, {s})"
+
+
+def _xform_ts_extract(fn: str):
+    def xf(args: list[str]) -> str:
+        return f"{fn}(CAST(({args[0]}) AS TIMESTAMP))"
+
+    return xf
+
+
+def _convert_expr(args: list[str], try_: bool) -> str:
+    """CONVERT('TYPE', v[, rule]) — reference function.rs:122-149 +
+    cast.rs:146-303."""
+    target = args[0].strip().strip("'\"").upper()
+    val = args[1]
+    rule = args[2].strip() if len(args) > 2 else None
+    cast_fn = "try_cast" if try_ else "cast"
+
+    if target in ("BOOLEAN", "INT", "INTEGER", "UNSIGNED INT", "FLOAT"):
+        spark_t = {
+            "BOOLEAN": "BOOLEAN",
+            "INT": "BIGINT",
+            "INTEGER": "BIGINT",
+            "UNSIGNED INT": "BIGINT",
+            "FLOAT": "DOUBLE",
+        }[target]
+        return f"{cast_fn}(({val}) AS {spark_t})"
+    if target == "TEXT":
+        if rule is None or rule == "000":
+            return f"{cast_fn}(({val}) AS STRING)"
+        r = rule.strip("'\"")
+        if r == "DATETIME":
+            return (
+                f"date_format(CAST(({val}) AS TIMESTAMP),"
+                " 'yyyy-MM-dd HH:mm:ss')"
+            )
+        if r == "MONEY":
+            return f"concat('$', format_number(CAST(({val}) AS DOUBLE), 2))"
+        if r == "SEPARATED":
+            return f"format_number(CAST(({val}) AS DOUBLE), 2)"
+        java = strftime_to_java(r)
+        return f"date_format(CAST(({val}) AS TIMESTAMP), '{java}')"
+    if target in ("TIMESTAMP", "DATETIME", "DATE", "TIME"):
+        ts_fn = "try_to_timestamp" if try_ else "to_timestamp"
+        if rule is None or rule in ("000", "0"):
+            return f"{cast_fn}(({val}) AS TIMESTAMP)"
+        code = rule.strip("'\"")
+        if code.isdigit() and int(code) in _RULE_DATETIME_FMT:
+            fmt = _RULE_DATETIME_FMT[int(code)]
+            if fmt is None:
+                return f"{cast_fn}(({val}) AS TIMESTAMP)"
+            return f"{ts_fn}(({val}), '{fmt}')"
+        java = strftime_to_java(code)
+        return f"{ts_fn}(({val}), '{java}')"
+    # unknown target: plain cast and let Spark complain
+    return f"{cast_fn}(({val}) AS {target})"
+
+
+_CALL_TRANSFORMS = {
+    "DATEADD": _xform_dateadd,
+    "DATEFROMPARTS": _xform_datefromparts,
+    "CONVERT": lambda a: _convert_expr(a, try_=False),
+    "TRY_CONVERT": lambda a: _convert_expr(a, try_=True),
+    "YEAR": _xform_ts_extract("year"),
+    "MONTH": _xform_ts_extract("month"),
+    "DAY": _xform_ts_extract("day"),
+    "HOUR": _xform_ts_extract("hour"),
+    "MINUTE": _xform_ts_extract("minute"),
+    "SECOND": _xform_ts_extract("second"),
+}
+
+_SIMPLE_RENAMES = {
+    "LEN": "octet_length",
+    "IIF": "if",
+    "UUID": "uuid",
+    "NOW": "unix_timestamp",
+}
+
+
+def _transform(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        upper = text.upper() if kind == "ident" else ""
+        is_call = (
+            kind == "ident"
+            and i + 1 < len(tokens)
+            and tokens[i + 1][1] == "("
+            and (upper in _CALL_TRANSFORMS or upper in _SIMPLE_RENAMES)
+        )
+        if is_call:
+            depth = 0
+            j = i + 1
+            while j < len(tokens):
+                if tokens[j][1] == "(":
+                    depth += 1
+                elif tokens[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = _transform(tokens[i + 2:j])
+            if upper in _CALL_TRANSFORMS:
+                args = _fmt_args(_split_args(inner))
+                replacement = _CALL_TRANSFORMS[upper](args)
+                out.extend(tokenize(replacement))
+            else:
+                out.append(("ident", _SIMPLE_RENAMES[upper]))
+                out.append(("op", "("))
+                out.extend(inner)
+                out.append(("op", ")"))
+            i = j + 1
+            continue
+        out.append((kind, text))
+        i += 1
+    return out
+
+
+def _substitute_variables(
+    tokens: list[tuple[str, str]], variables: dict[str, str]
+) -> list[tuple[str, str]]:
+    """Replace bare identifiers (or $name) bound by SET with their literal
+    (reference simplify_by_tempdb, src/data/recipe/new.rs:24-47)."""
+    if not variables:
+        return tokens
+    lookup = {k.lower(): v for k, v in variables.items()}
+    out: list[tuple[str, str]] = []
+    for idx, (kind, text) in enumerate(tokens):
+        if kind == "ident":
+            name = text.lstrip("$@").lower()
+            prev = tokens[idx - 1][1] if idx else ""
+            nxt = tokens[idx + 1][1] if idx + 1 < len(tokens) else ""
+            if name in lookup and prev != "." and nxt not in (".", "("):
+                out.extend(tokenize(lookup[name]))
+                continue
+        out.append((kind, text))
+    return out
+
+
+def _rewrite_db_names(
+    tokens: list[tuple[str, str]], db_names: set[str]
+) -> list[tuple[str, str]]:
+    """``db.table`` → ``db__table`` view names for attached databases."""
+    if not db_names:
+        return tokens
+    lowered = {d.lower() for d in db_names}
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if (
+            kind == "ident"
+            and text.lower() in lowered
+            and i + 2 < len(tokens)
+            and tokens[i + 1][1] == "."
+            and tokens[i + 2][0] == "ident"
+        ):
+            out.append(("ident", f"{text}__{tokens[i + 2][1]}"))
+            i += 3
+            continue
+        out.append((kind, text))
+        i += 1
+    return out
+
+
+def rewrite(
+    sql: str,
+    variables: dict[str, str] | None = None,
+    db_names: set[str] | None = None,
+) -> str:
+    """Rewrite a MultiSQL-dialect query into Spark SQL."""
+    tokens = tokenize(sql)
+    tokens = _substitute_variables(tokens, variables or {})
+    tokens = _rewrite_db_names(tokens, db_names or set())
+    tokens = _transform(tokens)
+    return untokenize(tokens)

@@ -1,0 +1,64 @@
+"""Typed statement results — the reference's ``Payload`` enum
+(``src/executor/execute.rs:37-52``) re-expressed as a Python dataclass.
+
+Variants: Success, Create, Insert(n), Select{labels, rows}, Delete(n),
+Update(n), DropTable, AlterTable, TruncateTable (+ our extensions:
+CreateView, CreateIndex, CreateDatabase, SetVariable, Explain).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Payload:
+    kind: str  # Select | Insert | Update | Delete | Create | ...
+    labels: list[str] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+    count: int = 0  # affected-row count for DML
+    dataframe: Any = None  # lazily-evaluated DataFrame for Select
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def select(cls, df) -> "Payload":
+        collected = df.collect()
+        return cls(
+            kind="Select",
+            labels=list(df.columns),
+            rows=[tuple(r) for r in collected],
+            count=len(collected),
+            dataframe=df,
+        )
+
+    @classmethod
+    def affected(cls, kind: str, n: int) -> "Payload":
+        return cls(kind=kind, count=n)
+
+    @classmethod
+    def success(cls, kind: str = "Success") -> "Payload":
+        return cls(kind=kind)
+
+    # -- converters (reference src/glue/select.rs:14-82) -------------------
+    def as_json(self) -> str:
+        return json.dumps(
+            [dict(zip(self.labels, row)) for row in self.rows],
+            default=str,
+        )
+
+    def as_csv(self) -> str:
+        import csv
+        import io
+
+        buf = io.StringIO()
+        writer = csv.writer(buf)
+        writer.writerow(self.labels)
+        writer.writerows(self.rows)
+        return buf.getvalue()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.kind == "Select":
+            return f"Payload.Select({self.labels}, {len(self.rows)} rows)"
+        return f"Payload.{self.kind}({self.count})"

@@ -1,0 +1,686 @@
+"""The ``Glue``-equivalent session (reference ``src/glue/mod.rs:33-187``).
+
+``MultiSQLSession`` owns a SparkSession, a named-database registry, session
+variables and managed in-memory tables, and routes SQL statements the way
+the reference's ``execute_parsed`` does (``src/executor/execute.rs:55-177``):
+
+- queries (SELECT / VALUES / WITH / set-ops) → dialect rewrite → ``spark.sql``
+- DDL (CREATE/DROP/ALTER TABLE, CREATE VIEW, CREATE INDEX, CREATE DATABASE)
+- DML (INSERT / UPDATE / DELETE / TRUNCATE) over managed tables, with the
+  reference's write-path validation: declared types, NOT NULL, DEFAULT,
+  AUTO_INCREMENT, UNIQUE (``src/executor/alter_row/validate.rs:46-99``,
+  ``validate_unique.rs:24-100``)
+- ``SET @var = literal`` session variables (``src/executor/set_variable.rs``)
+- ``EXPLAIN`` metadata introspection (``src/executor/other/explain.rs``)
+- ``EXECUTE FILE('x.sql')`` scripts (``src/executor/procedure.rs``)
+
+Managed tables are DataFrames re-pointed on each write (INSERT = union,
+UPDATE = when/otherwise projection, DELETE = filter) — the Spark-idiomatic
+equivalent of the reference's storage mutation; persistent databases attach
+parquet/CSV directories through :mod:`multisql_spark.sources`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from multisql_spark import dialect
+from multisql_spark.payload import Payload
+
+
+class EngineError(Exception):
+    pass
+
+
+# --- schema model (reference src/data/column.rs:13-20) ----------------------
+
+_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "INT": "bigint",
+    "INTEGER": "bigint",
+    "BIGINT": "bigint",
+    "UNSIGNED INT": "bigint",
+    "UINT": "bigint",
+    "FLOAT": "double",
+    "DOUBLE": "double",
+    "TEXT": "string",
+    "STRING": "string",
+    "VARCHAR": "string",
+    "TIMESTAMP": "timestamp",
+    "ANY": "string",
+}
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    type_str: str = "string"
+    not_null: bool = False
+    unique: bool = False
+    default: str | None = None
+    auto_increment: bool = False
+
+
+@dataclass
+class TableState:
+    name: str
+    columns: list[ColumnDef]
+    df: DataFrame
+    auto_counter: dict[str, int] = field(default_factory=dict)
+    indexes: dict[str, dict] = field(default_factory=dict)
+
+    def column(self, name: str) -> ColumnDef | None:
+        for c in self.columns:
+            if c.name.lower() == name.lower():
+                return c
+        return None
+
+
+def _spark_type(t: str) -> T.DataType:
+    return {
+        "boolean": T.BooleanType(),
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "timestamp": T.TimestampType(),
+    }[t]
+
+
+# --- statement splitting ----------------------------------------------------
+
+
+def split_statements(sql: str) -> list[str]:
+    out, cur, in_str = [], [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == ";":
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+class MultiSQLSession:
+    """Session over a SparkSession + named storages (the reference's
+    ``Glue``)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            spark = (
+                SparkSession.builder.master("local[*]")
+                .appName("multisql_spark")
+                .config("spark.sql.shuffle.partitions", "32")
+                .config("spark.sql.adaptive.enabled", "true")
+                .config("spark.sql.session.timeZone", "UTC")
+                .getOrCreate()
+            )
+        self.spark = spark
+        self.variables: dict[str, str] = {}
+        self.tables: dict[str, TableState] = {}
+        self.views: dict[str, str] = {}
+        self.databases: dict[str, object] = {}
+
+    # -- public API (reference src/glue/mod.rs:161-187) ---------------------
+
+    def execute(self, sql: str) -> Payload:
+        payloads = self.execute_many(sql)
+        return payloads[-1] if payloads else Payload.success()
+
+    def execute_many(self, sql: str) -> list[Payload]:
+        return [self._execute_one(stmt) for stmt in split_statements(sql)]
+
+    def sql(self, sql: str) -> DataFrame:
+        """Query path only — returns the lazy DataFrame."""
+        return self.spark.sql(self._rewrite(sql))
+
+    def insert_vec(
+        self, table: str, columns: list[str], rows: list[tuple]
+    ) -> Payload:
+        """Programmatic bulk insert (reference src/glue/mod.rs:190-248)."""
+        state = self._table(table)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    c,
+                    _spark_type(state.column(c).type_str)
+                    if state.column(c)
+                    else T.StringType(),
+                )
+                for c in columns
+            ]
+        )
+        df = self.spark.createDataFrame(rows, schema)
+        return self._insert_df(state, df, columns)
+
+    # -- internals ----------------------------------------------------------
+
+    def _rewrite(self, sql: str) -> str:
+        return dialect.rewrite(
+            sql, variables=self.variables, db_names=set(self.databases)
+        )
+
+    def _table(self, name: str) -> TableState:
+        key = name.lower()
+        if key not in self.tables:
+            raise EngineError(f"table not found: {name}")
+        return self.tables[key]
+
+    def _register(self, state: TableState) -> None:
+        self.tables[state.name.lower()] = state
+        state.df.createOrReplaceTempView(state.name)
+
+    def _execute_one(self, stmt: str) -> Payload:
+        head = re.match(r"\s*([A-Za-z_]+)", stmt)
+        kw = head.group(1).upper() if head else ""
+        if kw in ("SELECT", "WITH", "VALUES") or stmt.strip().startswith("("):
+            return Payload.select(self.sql(stmt))
+        if kw == "CREATE":
+            return self._create(stmt)
+        if kw == "INSERT":
+            return self._insert(stmt)
+        if kw == "UPDATE":
+            return self._update(stmt)
+        if kw == "DELETE":
+            return self._delete(stmt)
+        if kw == "TRUNCATE":
+            return self._truncate(stmt)
+        if kw == "DROP":
+            return self._drop(stmt)
+        if kw == "ALTER":
+            return self._alter(stmt)
+        if kw == "SET":
+            return self._set_variable(stmt)
+        if kw == "EXPLAIN":
+            return self._explain(stmt)
+        if kw == "EXECUTE":
+            return self._execute_file(stmt)
+        raise EngineError(f"unsupported statement: {stmt[:60]}")
+
+    # -- CREATE -------------------------------------------------------------
+
+    _CREATE_TABLE_RE = re.compile(
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+        r"(?:\((.*)\)\s*|AS\s+(.*))$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _create(self, stmt: str) -> Payload:
+        upper = stmt.upper()
+        if re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW", upper):
+            return self._create_view(stmt)
+        if re.match(r"\s*CREATE\s+(UNIQUE\s+)?INDEX", upper):
+            return self._create_index(stmt)
+        if re.match(r"\s*CREATE\s+DATABASE", upper):
+            return self._create_database(stmt)
+        m = self._CREATE_TABLE_RE.match(stmt)
+        if not m:
+            raise EngineError(f"cannot parse CREATE: {stmt[:80]}")
+        if_not_exists, name, cols_src, as_select = m.groups()
+        if name.lower() in self.tables:
+            if if_not_exists:
+                return Payload.success("Create")
+            raise EngineError(f"table exists: {name}")
+        if as_select:  # CREATE TABLE .. AS SELECT
+            df = self.sql(as_select)
+            columns = [
+                ColumnDef(f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+            ]
+            self._register(TableState(name, columns, df))
+            return Payload.success("Create")
+        columns = self._parse_columns(cols_src)
+        schema = T.StructType(
+            [
+                T.StructField(c.name, _spark_type(c.type_str), not c.not_null)
+                for c in columns
+            ]
+        )
+        df = self.spark.createDataFrame([], schema)
+        self._register(TableState(name, columns, df))
+        return Payload.success("Create")
+
+    def _parse_columns(self, src: str) -> list[ColumnDef]:
+        """Parse `name TYPE [options]` column defs (reference
+        src/data/column.rs:27-79)."""
+        parts, depth, cur = [], 0, []
+        for ch in src:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur))
+        out = []
+        for part in parts:
+            tokens = part.strip().split()
+            if not tokens:
+                continue
+            col = ColumnDef(name=tokens[0].strip('`"'))
+            rest = " ".join(tokens[1:]).upper()
+            rest_orig = " ".join(tokens[1:])
+            type_m = re.match(r"(UNSIGNED\s+INT|[A-Z]+)", rest)
+            if type_m and type_m.group(1) in _TYPE_MAP:
+                col.type_str = _TYPE_MAP[type_m.group(1)]
+            col.not_null = "NOT NULL" in rest or "PRIMARY KEY" in rest
+            col.unique = "UNIQUE" in rest or "PRIMARY KEY" in rest
+            col.auto_increment = "AUTO_INCREMENT" in rest or "AUTOINCREMENT" in rest
+            dm = re.search(r"DEFAULT\s+(.+?)(?:\s+(?:NOT\s+NULL|UNIQUE|PRIMARY|AUTO_INCREMENT)|$)",
+                           rest_orig, re.IGNORECASE)
+            if dm:
+                col.default = dm.group(1).strip()
+            out.append(col)
+        return out
+
+    def _create_view(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE VIEW: {stmt[:80]}")
+        name, query = m.groups()
+        df = self.sql(query)
+        df.createOrReplaceTempView(name)
+        self.views[name.lower()] = query
+        return Payload.success("CreateView")
+
+    def _create_index(self, stmt: str) -> Payload:
+        """CREATE [UNIQUE] INDEX — metadata no-op: parquet min/max pushdown
+        and partition pruning replace the reference's IndexFilter machinery
+        (SURVEY §4)."""
+        m = re.match(
+            r"\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\((\w+)\)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE INDEX: {stmt[:80]}")
+        unique, iname, tname, col = m.groups()
+        state = self._table(tname)
+        state.indexes[iname] = {"column": col, "unique": bool(unique)}
+        if unique:
+            cdef = state.column(col)
+            if cdef:
+                cdef.unique = True
+        return Payload.success("CreateIndex")
+
+    def _create_database(self, stmt: str) -> Payload:
+        from multisql_spark.sources import attach_database
+
+        m = re.match(
+            r"\s*CREATE\s+DATABASE\s+(\w+)\s+LOCATION\s+'([^']+)'",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE DATABASE: {stmt[:80]}")
+        name, path = m.groups()
+        self.databases[name] = attach_database(self.spark, name, path)
+        return Payload.success("CreateDatabase")
+
+    # -- INSERT (reference src/executor/alter_row/insert.rs) ----------------
+
+    _INSERT_RE = re.compile(
+        r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _insert(self, stmt: str) -> Payload:
+        m = self._INSERT_RE.match(stmt)
+        if not m:
+            raise EngineError(f"cannot parse INSERT: {stmt[:80]}")
+        name, cols_src, source = m.groups()
+        state = self._table(name)
+        stated = (
+            [c.strip().strip('`"') for c in cols_src.split(",")]
+            if cols_src
+            else [c.name for c in state.columns]
+        )
+        src = source.strip()
+        if src.upper().startswith("VALUES"):
+            body = src[len("VALUES"):].strip()
+            alias_cols = ", ".join(stated)
+            df = self.spark.sql(
+                f"SELECT * FROM VALUES {self._rewrite_fragment(body)} "
+                f"AS __v({alias_cols})"
+            )
+        else:
+            df = self.sql(src)
+            df = df.toDF(*stated)
+        return self._insert_df(state, df, stated)
+
+    def _rewrite_fragment(self, fragment: str) -> str:
+        return dialect.rewrite(
+            fragment, variables=self.variables, db_names=set(self.databases)
+        )
+
+    def _insert_df(
+        self, state: TableState, incoming: DataFrame, stated: list[str]
+    ) -> Payload:
+        """Validation pipeline per reference validate.rs:46-99: position
+        mapping → defaults → AUTO_INCREMENT → type coercion → NOT NULL →
+        UNIQUE → append."""
+        n_in = incoming.count()
+        cols = []
+        stated_lower = [s.lower() for s in stated]
+        for cdef in state.columns:
+            if cdef.name.lower() in stated_lower:
+                src = F.col(stated[stated_lower.index(cdef.name.lower())])
+            elif cdef.auto_increment:
+                src = F.lit(None)
+            elif cdef.default is not None:
+                src = F.expr(self._rewrite_fragment(cdef.default))
+            else:
+                src = F.lit(None)
+            cols.append(src.cast(state.df.schema[cdef.name].dataType).alias(cdef.name))
+        aligned = incoming.select(*cols)
+
+        for cdef in state.columns:
+            if cdef.not_null and not cdef.auto_increment:
+                bad = aligned.filter(F.col(cdef.name).isNull()).count()
+                if bad:
+                    raise EngineError(
+                        f"NOT NULL violated for {state.name}.{cdef.name}"
+                    )
+        for cdef in state.columns:
+            if cdef.unique:
+                dup_new = (
+                    aligned.groupBy(cdef.name)
+                    .count()
+                    .filter("count > 1")
+                    .count()
+                )
+                # anti-join style check against existing rows
+                # (reference validate_unique.rs scan-sort-merge)
+                dup_old = (
+                    aligned.join(
+                        state.df.select(cdef.name),
+                        on=cdef.name,
+                        how="left_semi",
+                    ).count()
+                )
+                if dup_new or dup_old:
+                    raise EngineError(
+                        f"UNIQUE violated for {state.name}.{cdef.name}"
+                    )
+
+        # assign AUTO_INCREMENT ids only after validation passed, so a
+        # rejected insert doesn't burn counter values
+        for cdef in state.columns:
+            if cdef.auto_increment:
+                from pyspark.sql import Window as W
+
+                start = state.auto_counter.get(cdef.name, 0)
+                # dense sequential ids need a global row_number — fine at
+                # DML scale; documented tradeoff for 100 TB (SURVEY §7.2)
+                w = W.orderBy(F.monotonically_increasing_id())
+                aligned = aligned.withColumn(
+                    cdef.name,
+                    F.coalesce(
+                        F.col(cdef.name),
+                        (F.row_number().over(w) + start).cast("long"),
+                    ),
+                )
+                state.auto_counter[cdef.name] = start + n_in
+
+        state.df = state.df.unionByName(aligned)
+        self._register(state)
+        return Payload.affected("Insert", n_in)
+
+    # -- UPDATE / DELETE / TRUNCATE ----------------------------------------
+
+    def _update(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse UPDATE: {stmt[:80]}")
+        name, sets_src, where = m.groups()
+        state = self._table(name)
+        cond = (
+            F.expr(self._rewrite_fragment(where)) if where else F.lit(True)
+        )
+        assignments = {}
+        for part in self._split_top_level(sets_src):
+            col, expr = part.split("=", 1)
+            assignments[col.strip().strip('`"').lower()] = F.expr(
+                self._rewrite_fragment(expr.strip())
+            )
+        n = state.df.filter(cond).count()
+        new_cols = []
+        for cdef in state.columns:
+            old = F.col(cdef.name)
+            if cdef.name.lower() in assignments:
+                new = (
+                    F.when(cond, assignments[cdef.name.lower()])
+                    .otherwise(old)
+                    .cast(state.df.schema[cdef.name].dataType)
+                )
+                new_cols.append(new.alias(cdef.name))
+            else:
+                new_cols.append(old)
+        state.df = state.df.select(*new_cols)
+        for cdef in state.columns:
+            if cdef.unique and cdef.name.lower() in assignments:
+                dups = (
+                    state.df.groupBy(cdef.name)
+                    .count()
+                    .filter("count > 1")
+                    .count()
+                )
+                if dups:
+                    raise EngineError(
+                        f"UNIQUE violated for {state.name}.{cdef.name}"
+                    )
+        self._register(state)
+        return Payload.affected("Update", n)
+
+    @staticmethod
+    def _split_top_level(src: str) -> list[str]:
+        parts, depth, cur, in_str = [], 0, [], False
+        for ch in src:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                    continue
+            cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return parts
+
+    def _delete(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse DELETE: {stmt[:80]}")
+        name, where = m.groups()
+        state = self._table(name)
+        if where:
+            cond = F.expr(self._rewrite_fragment(where))
+            n = state.df.filter(cond).count()
+            state.df = state.df.filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            n = state.df.count()
+            state.df = state.df.limit(0)
+        self._register(state)
+        return Payload.affected("Delete", n)
+
+    def _truncate(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)", stmt, re.IGNORECASE
+        )
+        state = self._table(m.group(1))
+        state.df = state.df.limit(0)
+        state.auto_counter = {}
+        self._register(state)
+        return Payload.success("TruncateTable")
+
+    def _drop(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*DROP\s+(TABLE|VIEW|INDEX|SCHEMA|DATABASE)\s+"
+            r"(IF\s+EXISTS\s+)?([\w.]+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse DROP: {stmt[:80]}")
+        kind, if_exists, name = m.groups()
+        kind = kind.upper()
+        key = name.lower()
+        if kind == "TABLE":
+            if key not in self.tables and not if_exists:
+                raise EngineError(f"table not found: {name}")
+            self.tables.pop(key, None)
+            self.spark.catalog.dropTempView(name)
+            return Payload.success("DropTable")
+        if kind == "VIEW":
+            self.views.pop(key, None)
+            self.spark.catalog.dropTempView(name)
+            return Payload.success("DropView")
+        if kind in ("SCHEMA", "DATABASE"):
+            self.databases.pop(name, None)
+            return Payload.success("DropDatabase")
+        return Payload.success("DropIndex")
+
+    # -- ALTER TABLE (reference src/executor/alter_table/) ------------------
+
+    def _alter(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+([\w.]+)\s+(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse ALTER: {stmt[:80]}")
+        name, action = m.groups()
+        state = self._table(name)
+        au = action.strip()
+        m2 = re.match(r"RENAME\s+TO\s+([\w.]+)", au, re.IGNORECASE)
+        if m2:
+            new_name = m2.group(1)
+            self.tables.pop(state.name.lower())
+            self.spark.catalog.dropTempView(state.name)
+            state.name = new_name
+            self._register(state)
+            return Payload.success("AlterTable")
+        m2 = re.match(
+            r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", au, re.IGNORECASE
+        )
+        if m2:
+            old, new = m2.groups()
+            cdef = state.column(old)
+            if not cdef:
+                raise EngineError(f"column not found: {old}")
+            cdef.name = new
+            state.df = state.df.withColumnRenamed(old, new)
+            self._register(state)
+            return Payload.success("AlterTable")
+        m2 = re.match(r"ADD\s+(?:COLUMN\s+)?(.*)$", au, re.IGNORECASE | re.DOTALL)
+        if m2 and not au.upper().startswith("ADD CONSTRAINT"):
+            cdef = self._parse_columns(m2.group(1))[0]
+            default = (
+                F.expr(self._rewrite_fragment(cdef.default))
+                if cdef.default is not None
+                else F.lit(None)
+            )
+            state.columns.append(cdef)
+            state.df = state.df.withColumn(
+                cdef.name, default.cast(_spark_type(cdef.type_str))
+            )
+            self._register(state)
+            return Payload.success("AlterTable")
+        m2 = re.match(r"DROP\s+(?:COLUMN\s+)?(\w+)", au, re.IGNORECASE)
+        if m2:
+            col = m2.group(1)
+            state.columns = [
+                c for c in state.columns if c.name.lower() != col.lower()
+            ]
+            state.df = state.df.drop(col)
+            self._register(state)
+            return Payload.success("AlterTable")
+        raise EngineError(f"unsupported ALTER action: {au[:60]}")
+
+    # -- SET / EXPLAIN / EXECUTE FILE ---------------------------------------
+
+    def _set_variable(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*SET\s+([@$]?\w+)\s*=\s*(.+)$", stmt, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise EngineError(f"cannot parse SET: {stmt[:80]}")
+        name, literal = m.groups()
+        self.variables[name.lstrip("@$").lower()] = literal.strip()
+        return Payload.success("SetVariable")
+
+    def _explain(self, stmt: str) -> Payload:
+        """Metadata introspection, not query plans (reference
+        src/executor/other/explain.rs:6-89)."""
+        m = re.match(r"\s*EXPLAIN\s+(\S+)", stmt, re.IGNORECASE)
+        target = m.group(1) if m else "ALL"
+        tl = target.lower()
+        if target.upper() == "ALL":
+            rows = [(d,) for d in sorted(self.databases)] or [("default",)]
+            return Payload(kind="Select", labels=["database"], rows=rows)
+        if target.upper() == "ALL_TABLE":
+            rows = [(t,) for t in sorted(self.tables)]
+            return Payload(kind="Select", labels=["table"], rows=rows)
+        if tl in self.tables:
+            state = self.tables[tl]
+            rows = [(c.name, c.type_str) for c in state.columns]
+            return Payload(kind="Select", labels=["column", "type"], rows=rows)
+        if target in self.databases:
+            adapter = self.databases[target]
+            rows = [(t,) for t in sorted(adapter.table_names())]
+            return Payload(kind="Select", labels=["table"], rows=rows)
+        raise EngineError(f"EXPLAIN target not found: {target}")
+
+    def _execute_file(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*EXECUTE\s+FILE\s*\(\s*'([^']+)'\s*\)", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise EngineError(f"cannot parse EXECUTE FILE: {stmt[:80]}")
+        with open(m.group(1)) as fh:
+            payloads = self.execute_many(fh.read())
+        return payloads[-1] if payloads else Payload.success()

@@ -1,0 +1,101 @@
+"""Named-database source adapters (reference storage backends,
+``src/database/mod.rs:26-38`` and ``src/databases/*``).
+
+``CREATE DATABASE name LOCATION 'path'`` guesses the backend from the path
+just like the reference (``src/glue/mod.rs:110-129``):
+
+- directory           → parquet database (the sled-equivalent native store):
+  every ``<table>.parquet`` inside becomes ``name__<table>``
+- ``*.csv``           → single-table CSV database (schema inference parity
+  with ``src/databases/csv/discern.rs`` via Spark's inferSchema)
+- ``*.xlsx``          → spreadsheet backend; needs an excel reader on the
+  classpath — stubbed behind an import-try (not in this image)
+- ``jdbc:...`` URL    → JDBC passthrough (the ODBC-equivalent) via
+  ``spark.read.jdbc`` — no 1000-row cap, predicate pushdown for free
+
+Tables register as temp views ``{db}__{table}``; the dialect layer rewrites
+``db.table`` references to those names.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class SourceDatabase:
+    name: str
+    path: str
+    kind: str  # parquet | csv | xlsx | jdbc
+    tables: dict[str, object] = field(default_factory=dict)
+
+    def table_names(self) -> list[str]:
+        return sorted(self.tables)
+
+
+def attach_database(
+    spark: SparkSession, name: str, path: str
+) -> SourceDatabase:
+    if path.startswith("jdbc:"):
+        return _attach_jdbc(spark, name, path)
+    if path.endswith(".csv"):
+        return _attach_csv(spark, name, path)
+    if path.endswith((".xlsx", ".xls")):
+        raise NotImplementedError(
+            "XLSX backend needs spark-excel / openpyxl, not present in this "
+            "image; reference parity: src/databases/sheet/"
+        )
+    if os.path.isdir(path) or path.endswith("/"):
+        return _attach_parquet_dir(spark, name, path)
+    raise ValueError(f"cannot guess database backend for path: {path}")
+
+
+def _read_parquet(spark: SparkSession, fpath: str):
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns (stored as
+    long, converted to microsecond timestamps)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(fpath)
+    arrow_schema = pq.read_schema(fpath)
+    for fld in arrow_schema:
+        if str(fld.type) == "timestamp[ns]":
+            df = df.withColumn(
+                fld.name, F.expr(f"timestamp_micros({fld.name} div 1000)")
+            )
+    return df
+
+
+def _attach_parquet_dir(
+    spark: SparkSession, name: str, path: str
+) -> SourceDatabase:
+    db = SourceDatabase(name=name, path=path, kind="parquet")
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".parquet"):
+            tname = fname[: -len(".parquet")]
+            df = _read_parquet(spark, os.path.join(path, fname))
+            df.createOrReplaceTempView(f"{name}__{tname}")
+            db.tables[tname] = df
+    return db
+
+
+def _attach_csv(spark: SparkSession, name: str, path: str) -> SourceDatabase:
+    db = SourceDatabase(name=name, path=path, kind="csv")
+    tname = os.path.splitext(os.path.basename(path))[0]
+    # reference infers header + types from a 100-row sample
+    # (src/databases/csv/discern.rs:16-100); Spark's inferSchema is the
+    # built-in equivalent
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    df.createOrReplaceTempView(f"{name}__{tname}")
+    db.tables[tname] = df
+    return db
+
+
+def _attach_jdbc(spark: SparkSession, name: str, url: str) -> SourceDatabase:
+    # reflection of remote schemas (reference src/databases/odbc/base.rs)
+    # happens lazily per-table: `db.table` resolves through spark.read.jdbc
+    return SourceDatabase(name=name, path=url, kind="jdbc")

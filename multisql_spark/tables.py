@@ -1,0 +1,72 @@
+"""Test-data table loading and session tuning.
+
+The driver hands us an arbitrary SparkSession; we pin the runtime confs we
+depend on (UTC session timezone so timestamp semantics line up with the
+DuckDB oracle, AQE on, sane shuffle parallelism for local mode) — all of
+these are runtime-settable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_SESSION_CONFS = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so year()/window()
+    # etc. agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local-mode default of 200 over-parallelizes small data; AQE coalesces
+    # but the initial hash partitioning still costs task setup.
+    "spark.sql.shuffle.partitions": "32",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert below.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    for key, value in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf not settable at runtime on this build — keep going
+    return spark
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Read the driver-generated parquet tables and register temp views.
+
+    Views are registered under their bare table names so SQL-form queries
+    (and the engine layer) can reference them exactly like the DuckDB
+    oracle does.
+    """
+    tune_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanos-as-long → microsecond TimestampType (truncation matches
+            # DuckDB's TIMESTAMP_NS → TIMESTAMP cast)
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

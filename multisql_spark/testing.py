@@ -1,0 +1,92 @@
+"""Local duckdb-oracle comparison harness.
+
+Mirrors the driver's t2 check: run the Spark query and the oracle SQL on
+the same parquet tables, then compare row count, column names and the
+order-insensitive multiset of values. Exact equality here is strictly
+stronger than any value-hash the driver applies.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+
+from multisql_spark.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, datetime.datetime):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (like the driver), then sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(canon_cell(row[i]) for i in order) for row in rows
+    )
+
+
+def compare(spark_df, con, oracle_sql: str) -> dict:
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    rel = con.execute(oracle_sql)
+    oracle_cols = [d[0] for d in rel.description]
+    oracle_rows = rel.fetchall()
+
+    result = {
+        "rows_match": len(spark_rows) == len(oracle_rows),
+        "schema_match": sorted(c.lower() for c in spark_cols)
+        == sorted(c.lower() for c in oracle_cols),
+        "spark_rows": len(spark_rows),
+        "oracle_rows": len(oracle_rows),
+        "spark_cols": spark_cols,
+        "oracle_cols": oracle_cols,
+    }
+    if result["rows_match"] and result["schema_match"]:
+        sc = canon_rows([c.lower() for c in spark_cols], spark_rows)
+        oc = canon_rows([c.lower() for c in oracle_cols], oracle_rows)
+        result["values_match"] = sc == oc
+        if not result["values_match"]:
+            diffs = [
+                (a, b) for a, b in zip(sc, oc) if a != b
+            ]
+            result["first_diffs"] = diffs[:3]
+    else:
+        result["values_match"] = False
+    result["ok"] = (
+        result["rows_match"]
+        and result["schema_match"]
+        and result["values_match"]
+    )
+    return result

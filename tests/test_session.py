@@ -1,0 +1,180 @@
+"""Engine-layer tests modeled on the reference test corpus
+(tests/ability/base/basic.rs, column_option/*, functionality/statement/*)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multisql_spark.session import EngineError, MultiSQLSession
+
+
+@pytest.fixture(scope="module")
+def glue(spark):
+    return MultiSQLSession(spark)
+
+
+def _fresh(glue, name):
+    glue.execute(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_basic_select(glue):
+    """Reference smoke test tests/ability/base/basic.rs:5-60."""
+    _fresh(glue, "basic_0")
+    glue.execute("CREATE TABLE basic_0 (id INTEGER, num INTEGER, name TEXT)")
+    glue.execute(
+        "INSERT INTO basic_0 (id, num, name) VALUES (1, 2, 'Hello')"
+    )
+    glue.execute(
+        "INSERT INTO basic_0 (id, num, name) VALUES (1, 9, 'World')"
+    )
+    glue.execute(
+        "INSERT INTO basic_0 (id, num, name) VALUES (3, 4, 'Great'), (4, 7, 'Job')"
+    )
+    out = glue.execute("SELECT id, num, name FROM basic_0 WHERE id > 1")
+    assert out.labels == ["id", "num", "name"]
+    assert sorted(out.rows) == [(3, 4, "Great"), (4, 7, "Job")]
+
+
+def test_insert_select_and_update(glue):
+    _fresh(glue, "basic_1")
+    glue.execute("CREATE TABLE basic_1 (id INTEGER, num INTEGER, name TEXT)")
+    p = glue.execute("INSERT INTO basic_1 SELECT id, num, name FROM basic_0")
+    assert p.kind == "Insert" and p.count == 4
+    p = glue.execute("UPDATE basic_1 SET id = 2")
+    assert p.kind == "Update" and p.count == 4
+    out = glue.execute("SELECT id FROM basic_1")
+    assert [r[0] for r in out.rows] == [2, 2, 2, 2]
+    p = glue.execute("UPDATE basic_1 SET num = num * 10 WHERE name = 'Job'")
+    assert p.count == 1
+    out = glue.execute("SELECT num FROM basic_1 WHERE name = 'Job'")
+    assert out.rows == [(70,)]
+
+
+def test_delete_truncate(glue):
+    _fresh(glue, "d0")
+    glue.execute("CREATE TABLE d0 (a INTEGER)")
+    glue.execute("INSERT INTO d0 (a) VALUES (1),(2),(3),(4)")
+    p = glue.execute("DELETE FROM d0 WHERE a >= 3")
+    assert p.count == 2
+    assert glue.execute("SELECT a FROM d0").count == 2
+    glue.execute("TRUNCATE TABLE d0")
+    assert glue.execute("SELECT a FROM d0").count == 0
+
+
+def test_column_options(glue):
+    _fresh(glue, "opts")
+    glue.execute(
+        "CREATE TABLE opts ("
+        " id INTEGER AUTO_INCREMENT,"
+        " name TEXT NOT NULL,"
+        " code INTEGER UNIQUE,"
+        " score FLOAT DEFAULT 1.5)"
+    )
+    glue.execute("INSERT INTO opts (name, code) VALUES ('a', 10), ('b', 20)")
+    out = glue.execute("SELECT id, name, code, score FROM opts")
+    assert sorted(out.rows) == [(1, "a", 10, 1.5), (2, "b", 20, 1.5)]
+    # NOT NULL enforcement (reference validate.rs:276-282)
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO opts (code) VALUES (30)")
+    # UNIQUE enforcement (reference validate_unique.rs)
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO opts (name, code) VALUES ('c', 10)")
+    # auto-increment continues
+    glue.execute("INSERT INTO opts (name, code) VALUES ('d', 40)")
+    out = glue.execute("SELECT id FROM opts WHERE name = 'd'")
+    assert out.rows == [(3,)]
+
+
+def test_set_variable(glue):
+    """Reference tests/functionality/statement/set.rs."""
+    glue.execute("SET @variable = 1")
+    out = glue.execute("SELECT 2 + @variable AS v")
+    assert out.rows == [(3,)]
+    _fresh(glue, "basic")
+    glue.execute("CREATE TABLE basic (a INTEGER)")
+    glue.execute("INSERT INTO basic (a) VALUES (1)")
+    assert glue.execute("SELECT a FROM basic WHERE @variable = 1").count == 1
+    assert glue.execute("SELECT a FROM basic WHERE @variable = 0").count == 0
+
+
+def test_dialect_functions(glue):
+    out = glue.execute(
+        "SELECT IIF(TRUE, 'y', 'n') AS a, IFNULL(NULL, 5) AS b,"
+        " NULLIF(3, 3) AS c, LEN('héllo') AS d,"
+        " LEFT('spark', 2) AS e, ROUND(2.567, 2) AS f"
+    )
+    assert [tuple(float(v) if i == 5 else v for i, v in enumerate(r)) for r in out.rows] == [
+        ("y", 5, None, 6, "sp", 2.57)
+    ]
+
+
+def test_timestamp_functions(glue):
+    out = glue.execute(
+        "SELECT YEAR(DATEFROMPARTS(2024, 3, 5)) AS y,"
+        " MONTH(DATEADD('MONTH', 2, DATEFROMPARTS(2024, 3, 5))) AS m,"
+        " DAY(CONVERT('TIMESTAMP', '2024-03-05', 022)) AS d,"
+        " CONVERT('TEXT', 86400, 'DATETIME') AS s"
+    )
+    assert out.rows == [(2024, 5, 5, "1970-01-02 00:00:00")]
+
+
+def test_views_and_explain(glue):
+    _fresh(glue, "vt")
+    glue.execute("CREATE TABLE vt (a INTEGER)")
+    glue.execute("INSERT INTO vt (a) VALUES (1),(2),(3)")
+    glue.execute("CREATE VIEW v_big AS SELECT a FROM vt WHERE a > 1")
+    assert glue.execute("SELECT * FROM v_big").count == 2
+    tables = glue.execute("EXPLAIN ALL_TABLE")
+    assert ("vt",) in tables.rows
+    cols = glue.execute("EXPLAIN vt")
+    assert ("a", "bigint") in cols.rows
+
+
+def test_alter_table(glue):
+    _fresh(glue, "alt")
+    _fresh(glue, "alt2")
+    glue.execute("CREATE TABLE alt (a INTEGER)")
+    glue.execute("INSERT INTO alt (a) VALUES (1)")
+    glue.execute("ALTER TABLE alt ADD COLUMN b TEXT DEFAULT 'x'")
+    assert glue.execute("SELECT a, b FROM alt").rows == [(1, "x")]
+    glue.execute("ALTER TABLE alt RENAME COLUMN b TO c")
+    assert glue.execute("SELECT c FROM alt").rows == [("x",)]
+    glue.execute("ALTER TABLE alt DROP COLUMN c")
+    assert glue.execute("SELECT * FROM alt").labels == ["a"]
+    glue.execute("ALTER TABLE alt RENAME TO alt2")
+    assert glue.execute("SELECT a FROM alt2").count == 1
+
+
+def test_create_table_as_and_database(glue, sf_dir):
+    _fresh(glue, "nat_copy")
+    glue.execute(f"CREATE DATABASE tpch LOCATION '{sf_dir}/'")
+    out = glue.execute("SELECT count(*) AS n FROM tpch.nation")
+    assert out.rows == [(25,)]
+    glue.execute(
+        "CREATE TABLE nat_copy AS SELECT * FROM tpch.nation WHERE n_regionkey = 0"
+    )
+    assert glue.execute("SELECT count(*) AS n FROM nat_copy").rows[0][0] == 5
+    dbs = glue.execute("EXPLAIN ALL")
+    assert ("tpch",) in dbs.rows
+
+
+def test_insert_vec_and_payload_convert(glue):
+    _fresh(glue, "pv")
+    glue.execute("CREATE TABLE pv (a INTEGER, b TEXT)")
+    p = glue.insert_vec("pv", ["a", "b"], [(1, "x"), (2, "y")])
+    assert p.count == 2
+    out = glue.execute("SELECT a, b FROM pv")
+    assert '"a": 1' in out.as_json()
+    assert out.as_csv().startswith("a,b")
+
+
+def test_execute_file(glue, tmp_path):
+    _fresh(glue, "ef")
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "CREATE TABLE ef (a INTEGER);"
+        "INSERT INTO ef (a) VALUES (1),(2);"
+        "SELECT SUM(a) AS s FROM ef;"
+    )
+    out = glue.execute(f"EXECUTE FILE('{script}')")
+    assert out.rows == [(3,)]
