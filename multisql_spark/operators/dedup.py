@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference engine has no dedup surface (SELECT DISTINCT is even ignored,
+``src/executor/query/select/manual/mod.rs:47``); these are the
+beyond-reference operators required by BASELINE.json, built Spark-first:
+
+- **exact_dedup** — hash-groupBy on a content fingerprint. One shuffle on
+  md5(text); at 100 TB this is the canonical map-side-combine plan (the
+  fingerprint is tiny vs the document payload, and only (hash, min_id)
+  travels).
+- **minhash_signatures / lsh_candidate_pairs** — MinHash + banded LSH.
+  Signature = k lexicographic-min md5 digests over the token set (a valid
+  minhash family: md5 is a uniform permutation of the token universe per
+  seed suffix). Banding: b bands of r rows; docs sharing any band key are
+  candidates. Scale shape: one shuffle to build signatures (groupBy doc),
+  one shuffle per-band self-join keyed on (band, band_key) — bucket sizes
+  are bounded by collision probability, and AQE's skew-join splits hot
+  buckets. No driver-side state.
+- **simhash** — n-bit fingerprint from per-token md5 bit votes; Hamming-
+  near pairs found by banding the fingerprint bytes (pigeonhole: two
+  fingerprints within d bits share at least one of d+1 byte-bands).
+- **ngram_jaccard_pairs** — exact token-set Jaccard within cheap blocking
+  buckets (prefix fingerprint), the verification stage after LSH.
+
+All hashing is md5-based so results are engine-independent (the DuckDB
+oracle computes the identical signatures — md5 yields the same lowercase
+hex in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    """Distinct word tokens of a document (order-insensitive set)."""
+    return F.array_distinct(F.split(F.col(text_col), " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the smallest id as
+    canonical. Returns (h, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+) -> DataFrame:
+    """(id, sig_1..sig_k) — sig_i = min over tokens of md5(token ⊕ i).
+
+    One explode + one groupBy(doc) with k min-aggregates: a single
+    shuffle whose payload is k×32-byte strings per doc regardless of
+    document size.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(1, k + 1)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH over a minhash signature table → candidate pairs with
+    estimated Jaccard (fraction of agreeing signature components).
+
+    Returns (doc_a, doc_b, est_sim) with doc_a < doc_b.
+    """
+    rows_per_band = k // bands
+    band_keys = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{b * rows_per_band + j + 1}")
+            for j in range(rows_per_band)
+        ]
+        band_keys.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    exploded = sig_df.select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(1, k + 1)],
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(1, k + 1)],
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, k + 1)],
+        "band_id",
+        "band_key",
+    )
+    right = exploded.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, k + 1)],
+        "band_id",
+        "band_key",
+    )
+    matches = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            *[F.col(f"la_{i}") for i in range(1, k + 1)],
+            *[F.col(f"lb_{i}") for i in range(1, k + 1)],
+        )
+        .distinct()  # a pair may share several bands
+    )
+    agree = sum(
+        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
+        for i in range(1, k + 1)
+    )
+    return matches.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round(agree / F.lit(float(k)), 4).alias("est_sim"),
+    )
+
+
+def simhash_bit_sql(ncols: int = 32) -> str:
+    """Shared SQL fragment (valid in both Spark SQL and DuckDB) computing
+    an ``ncols``-bit simhash over rows (doc_id, h) where h = md5(token):
+    bit j = sign of Σ_tokens (high-bit of hex nibble j ? +1 : -1)."""
+    terms = []
+    for j in range(1, ncols + 1):
+        vote = (
+            f"SUM(CASE WHEN substr(h, {j}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN {2 ** (j - 1)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash BIGINT): 32-bit fingerprint. Near-dup pairs are then
+    found by banding the 4 fingerprint bytes (exact-match join per byte,
+    Hamming filter) — same join shape as LSH, no all-pairs pass."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    toks.createOrReplaceTempView("__simhash_toks")
+    return toks.sparkSession.sql(
+        f"SELECT {id_col}, CAST({simhash_bit_sql()} AS BIGINT) AS simhash "
+        f"FROM __simhash_toks GROUP BY {id_col}"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard within blocking buckets.
+
+    Blocking key = md5 of the first ``block_tokens`` tokens: cheap, high
+    recall for near-identical prefixes, and keeps the self-join keyed
+    (no cartesian). Returns (doc_a, doc_b, jaccard)."""
+    base = df.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("toks"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), 1, block_tokens))
+        ).alias("blk"),
+    )
+    a = base.select(
+        F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"), "blk"
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"), "blk"
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (beyond-reference,
+BASELINE.json): brute-force cosine top-k as the correctness baseline, and
+two scale paths — random-hyperplane LSH bucketing and IVF-style inverted
+lists.
+
+Embeddings are ``array<float>`` columns; all math is done JVM-side with
+``zip_with``/``aggregate`` lambda expressions (codegen'd, no Python).
+Dot products accumulate left-to-right in float64 — the same order DuckDB's
+``list_dot_product`` uses, so oracle comparisons are exact (rounded to 6
+decimals for belt-and-braces).
+
+Scale design (100 TB / billions of vectors):
+- brute force is O(Q·N·d) and only for small Q (broadcast the queries,
+  never shuffle the corpus);
+- LSH: bucket key is computed per-row in one pass (8 hyperplanes → 256
+  buckets); candidate search shuffles only same-bucket pairs;
+- IVF: the coarse assignment is a partition key — per-list scans are
+  partition-pruned scans. Here the ``label`` column stands in for the
+  k-means coarse quantizer (at scale: Spark ML KMeans fit on a sample,
+  broadcast centroids, argmin-assign in one pass).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Sequential left-to-right float64 dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def hyperplane(m: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane m: component j is the md5 high-bit of
+    'plane:{m}:{j}' — reproducible in any engine (and in this Python)."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{m}:{j}".encode()).hexdigest()
+        out.append(1.0 if h[0] in "89abcdef" else -1.0)
+    return out
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Bucket id = bitmap of dot-product signs over the hyperplanes."""
+    bucket = F.lit(0)
+    for m, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, lit_plane) >= 0, F.lit(1 << m)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus; per-query top-k via window. Returns (q_id, cand_id, cos_sim,
+    rn)."""
+    from pyspark.sql import Window as W
+
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    )
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_filter,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: search only within the query's LSH bucket. Recall trades off
+    against bucket count (2^n_planes); multi-probe = union over adjacent
+    buckets (not needed at this corpus size)."""
+    from pyspark.sql import Window as W
+
+    planes = [hyperplane(m, dim) for m in range(n_planes)]
+    base = emb.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = (
+        base.join(
+            F.broadcast(q), base["bucket"] == q["q_bucket"], "inner"
+        )
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_filter,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF probe: search only the query's inverted list (coarse cluster).
+    ``list_col`` is the coarse assignment — here the dataset's ``label``;
+    at scale, a KMeans-assigned partition key giving partition-pruned
+    scans per probe."""
+    from pyspark.sql import Window as W
+
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v"), F.col(list_col)
+    )
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col(list_col).alias("q_list"),
+    )
+    pairs = (
+        base.join(F.broadcast(q), base[list_col] == q["q_list"], "inner")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
+    self-join is keyed (work ∝ bucket collisions, never all-pairs)."""
+    planes = [hyperplane(m, dim) for m in range(n_planes)]
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+BASELINE.json): language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Everything here is pure JVM-side column algebra (split / array ops / md5 /
+length arithmetic) — no Python UDFs in the hot path, so whole-stage codegen
+applies and the operators scale linearly with input bytes. Where a
+counting trick is needed (e.g. substring occurrences), both engines use
+the identical length-difference formulation so the DuckDB oracle
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic per-language marker sets for the n-gram/stopword heuristic
+# (on natural-language corpora these would be real stopwords; the synthetic
+# corpus shares one vocabulary, so the heuristic stays deterministic)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("der", "die", "und", "vector"),
+    "es": ("el", "la", "los", "scan"),
+    "fr": ("le", "la", "les", "window"),
+    "zh": ("de", "shi", "bu", "join"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token counts + a BPE-ish subword estimate (≈ chars/4,
+    the usual byte-pair heuristic)."""
+    toks = F.split(F.col("text"), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_text"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1)
+            / F.size(toks).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score from length, lexical diversity and
+    stopword ratio — the standard cheap pre-filter before expensive
+    dedup/embedding stages."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = stop_hits / n
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 4).alias("len_score"),
+        F.round(diversity, 4).alias("diversity"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(
+            (len_score + diversity + F.least(stop_ratio * 5, F.lit(1.0)))
+            / 3.0,
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Marker-token scoring per language; prediction = argmax with
+    alphabetical tie-break. Returns per-doc scores + prediction."""
+    toks = F.split(F.col("text"), " ")
+
+    def marker_score(markers: tuple[str, ...]):
+        # NB: the lambda must be unary — F.filter treats binary lambdas
+        # as (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {
+        lang: marker_score(markers) for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax with (score desc, lang asc) tie-break: first lang in
+    # ascending order that reaches the max score
+    mx = F.greatest(*scores.values())
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        if best is None:
+            best = F.when(scores[lang] == mx, F.lit(lang))
+        else:
+            best = best.when(scores[lang] == mx, F.lit(lang))
+    out = df.select(
+        F.col(id_col),
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        best.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: exact (md5 of text), set (md5 of sorted
+    distinct tokens — catches token reorderings), and min-shingle
+    (lexicographic-min md5 over 3-token shingles — a 1-row winnowing
+    sketch)."""
+    toks = F.split(F.col("text"), " ")
+    shingle_idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))
+    )
+    shingle_hashes = F.transform(
+        shingle_idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fp_set"
+        ),
+        F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )

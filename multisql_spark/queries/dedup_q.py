@@ -1,1 +1,141 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication queries over the ``documents`` table (beyond-reference
+operators from BASELINE.json, implemented in
+:mod:`multisql_spark.operators.dedup`).
+
+All fingerprints are md5-based, so the DuckDB oracle computes *identical*
+signatures — these are full hash-match checks, not rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from multisql_spark.operators import dedup
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+K = 12
+BANDS = 4
+ROWS_PER_BAND = K // BANDS
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy; only 32-byte digests
+    shuffle at 100 TB, not documents)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.exact_dedup(t["documents"])
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
+    )
+    band_cases = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
+        )
+        band_cases.append(f"WHEN {b} THEN md5({parts})")
+    band_case = "CASE band_id " + " ".join(band_cases) + " END"
+    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
+    a_sigs = ", ".join(f"a.sig_{i} AS la_{i}" for i in range(1, K + 1))
+    b_sigs = ", ".join(f"b.sig_{i} AS lb_{i}" for i in range(1, K + 1))
+    agree = " + ".join(
+        f"(CASE WHEN la_{i} = lb_{i} THEN 1 ELSE 0 END)"
+        for i in range(1, K + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    bandk AS (
+      SELECT doc_id, {sig_list}, band_id, {band_case} AS band_key
+      FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {a_sigs}, {b_sigs}
+      FROM bandk a
+      JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           round(({agree}) / {K}.0, 4) AS est_sim
+    FROM pairs
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + 4-band LSH candidate pairs with estimated Jaccard.
+    Scale shape: signature build is one groupBy(doc); the band self-join
+    keys on (band_id, band_key), so work is proportional to real
+    collisions — never all-pairs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    return dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, md5(tok) AS h FROM toks0)
+    SELECT doc_id, CAST({dedup.simhash_bit_sql()} AS BIGINT) AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit votes over token md5s). The SQL
+    bit logic is literally shared with the oracle
+    (operators.dedup.simhash_bit_sql)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.simhash(t["documents"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS toks,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                 ' ')) AS blk
+      FROM documents
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+    FROM base a JOIN base b ON a.blk = b.blk
+    WHERE a.doc_id < b.doc_id
+      AND round(len(list_intersect(a.toks, b.toks)) * 1.0
+                / len(list_distinct(a.toks || b.toks)), 4) >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard within prefix-fingerprint blocks — the
+    verify stage after LSH candidate generation."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], block_tokens=8, threshold=0.5
+    )

@@ -1,1 +1,183 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over ``embeddings`` (operators in
+:mod:`multisql_spark.operators.similarity`).
+
+The LSH hyperplanes are deterministic md5-derived ±1 vectors, inlined as
+literals into BOTH the Spark plan and the DuckDB oracle, so even the ANN
+variants are full hash-match checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multisql_spark.operators import similarity as sim
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+DIM = 64
+N_PLANES = 8
+_PLANES = [sim.hyperplane(m, DIM) for m in range(N_PLANES)]
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_literal(p)}) >= 0 "
+        f"THEN {1 << m} ELSE 0 END)"
+        for m, p in enumerate(_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q, emb c WHERE c.vec_id <> q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """,
+    tags=("similarity", "knn"),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id < 5): the correctness
+    baseline every ANN variant is measured against."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.brute_force_topk(
+        t["embeddings"], F.col("vec_id") < 5, k=10
+    )
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+    FROM embeddings
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets):
+    the one-pass partitioning key for ANN at scale."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    base = t["embeddings"].select(
+        F.col("vec_id").cast("long"),
+        sim.as_double("embedding").alias("v"),
+    )
+    return base.select(
+        "vec_id", sim.lsh_bucket_col(F.col("v"), _PLANES).alias("bucket")
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM emb WHERE vec_id < 5),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q JOIN emb c ON c.bucket = q.q_bucket
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within the query's LSH bucket — the scale path: the
+    self-join keys on bucket, so compared pairs ∝ collisions."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.lsh_bucketed_topk(
+        t["embeddings"], F.col("vec_id") < 5, n_planes=N_PLANES, dim=DIM, k=5
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, label AS q_list
+          FROM emb WHERE vec_id < 5),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q JOIN emb c ON c.label = q.q_list
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: search only the query's inverted list (coarse cluster =
+    ``label``; at scale a KMeans partition key → partition-pruned probe
+    scans)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.ivf_topk(t["embeddings"], F.col("vec_id") < 5, k=5)
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           {_COS.format(a="a.v", b="b.v")} AS cos_sim
+    FROM emb a JOIN emb b ON a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a="a.v", b="b.v")} >= 0.9
+    """,
+    tags=("similarity", "dedup"),
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.9), LSH-blocked — completes the
+    dedup family from BASELINE.json."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.embedding_neardup_pairs(
+        t["embeddings"], threshold=0.9, n_planes=N_PLANES, dim=DIM
+    )

@@ -1,1 +1,147 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over ``documents`` (operators in
+:mod:`multisql_spark.operators.textan`), each hash-matched against a
+DuckDB oracle computing the identical arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multisql_spark.operators import textan
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      CAST(length(text) AS INT) AS n_chars_text,
+      round((length(text) - len(string_split(text, ' ')) + 1)
+            * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.token_stats(t["documents"])
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) * 1.0 AS n,
+        len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'and'))) * 1.0 AS stop_hits,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+      round(least(n_chars / 500.0, 1.0), 4) AS len_score,
+      round(n_distinct / n, 4) AS diversity,
+      round(stop_hits / n, 4) AS stop_ratio,
+      round((least(n_chars / 500.0, 1.0) + n_distinct / n
+             + least(stop_hits / n * 5, 1.0)) / 3.0, 4) AS quality
+    FROM q
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/stopword quality pre-filter."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.quality_score(t["documents"])
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n      ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) "
+        "AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in sorted(textan.LANG_MARKERS.items())
+    )
+    # argmax with (score desc, lang asc) tie-break, mirroring the Spark
+    # array_max over (score, lang) structs with reverse-sorted lang order
+    pairs = ", ".join(
+        f"(score_{lang}, '{lang}')" for lang in sorted(textan.LANG_MARKERS)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+      {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           score_de, score_en, score_es, score_fr, score_zh,
+           (SELECT p[2] FROM (
+              SELECT unnest(ARRAY[{pairs}]) AS p
+            ) ORDER BY CAST(p[1] AS INT) DESC, p[2] ASC LIMIT 1)
+             AS predicted_lang
+    FROM scored
+    """
+
+
+@register("text_langid", oracle=_langid_oracle(), tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic with deterministic argmax."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.lang_id(t["documents"])
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      md5(text) AS fp_exact,
+      md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_set,
+      (SELECT min(md5(array_to_string(list_slice(toks, i, i + 2), ' ')))
+       FROM unnest(range(1, greatest(len(toks) - 1, 2))) AS r(i))
+        AS fp_min_shingle
+    FROM base
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact / set / min-shingle document fingerprints."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.fingerprints(t["documents"])
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 20
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary histogram (explode + count + topK) — the shape
+    of every corpus-statistics job; map-side combine keeps the shuffle at
+    vocabulary size, not corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
