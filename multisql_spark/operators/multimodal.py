@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (beyond-reference, BASELINE.json).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The actual codec step is STUBBED
+(this image has no PIL/av/librosa): ``decode_image`` raises
+``NotImplementedError`` unless a deterministic fake is requested — but the
+Spark-side plumbing (schema, batch iteration, partitioning) is real and
+tested.
+
+Scale notes: binary payloads dominate row size, so every plan here keeps
+them out of shuffles — features are extracted in the scan stage
+(mapInPandas before any exchange), and only fixed-width feature vectors /
+metadata structs move. At 100 TB the blob column additionally lives in its
+own parquet column chunk, so metadata-only queries never read bytes
+(column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+
+MM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary column + typed metadata from documents
+    (deterministic: bytes = md5 digest chain of the text)."""
+    blob = F.unhex(
+        F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        blob.alias("blob"),
+        F.struct(
+            F.lit("fake_img").alias("format"),
+            F.lit(8).alias("width"),
+            ((F.col("n_chars") % 8) + 1).cast("int").alias("height"),
+            F.octet_length(blob).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(blob: bytes, fake: bool = False) -> list[float]:
+    """Decode an image blob to pixels. REAL decode needs PIL — not in this
+    container; the deterministic fake derives FEATURE_DIM floats from the
+    byte content (stable across engines/runs)."""
+    if not fake:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires PIL, not present in this image; "
+                "pass fake=True for the deterministic stub"
+            ) from exc
+    chunk = max(1, len(blob) // FEATURE_DIM)
+    return [
+        float(sum(blob[i * chunk:(i + 1) * chunk]) % 256)
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the blob column
+    (mapInPandas: pandas DataFrames in, pandas DataFrames out — the
+    batch shape a real decoder would use)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["blob"].map(lambda b: decode_image(bytes(b), fake=True))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len).astype("int32"),
+                    "features": feats,
+                    "feat_mean": feats.map(
+                        lambda xs: round(sum(xs) / len(xs), 4)
+                    ),
+                }
+            )
+
+    schema = (
+        "doc_id long, n_bytes int, features array<float>, feat_mean double"
+    )
+    return mm.select("doc_id", "blob").mapInPandas(run, schema)
+
+
+def frame_sample(mm: DataFrame, every: int = 4) -> DataFrame:
+    """'Frame sampling' over the blob (every N-th byte) — the video-frame
+    subsampling shape: pure column algebra, no Python."""
+    hexed = F.hex(F.col("blob"))
+    idx = F.sequence(
+        F.lit(1), (F.octet_length("blob") / every).cast("int")
+    )
+    frames = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(hexed, (i - 1) * every * 2 + 1, 2), 16, 10
+        ).cast("int"),
+    )
+    return mm.select(
+        "doc_id",
+        frames.alias("sampled_bytes"),
+        F.size(frames).alias("n_frames"),
+    )

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_q,
         engine_q,
         functions_q,
+        mm_q,
         similarity_q,
         streaming_q,
         text_q,

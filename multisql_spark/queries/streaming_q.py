@@ -1,1 +1,170 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming / temporal queries over ``events`` (operators in
+:mod:`multisql_spark.streaming`): tumbling / sliding / session windows and
+an as-of join.
+
+``stream_tumbling`` runs through a REAL Structured Streaming query
+(readStream → watermark → window agg → memory sink, driven to completion)
+and still hash-matches the DuckDB oracle — batch/stream unification made
+concrete. The others use the identical operators in batch mode to keep the
+correctness sweep fast."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multisql_spark import streaming
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+# DuckDB-side helpers: epoch seconds of ns-timestamps, aligned to window
+_EPOCH = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT
+      ({_EPOCH} // 300) * 300 AS win_start,
+      event_type,
+      COUNT(*) AS n,
+      SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "tumbling"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type — executed as a real
+    Structured Streaming query with a 10-minute watermark."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.run_stream_to_memory(
+        spark, sf_dir, lambda s: streaming.tumbling_counts(s, minutes=5)
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT event_type, ({_EPOCH} // 300) * 300 AS s0 FROM events
+    ),
+    expanded AS (
+      SELECT event_type, unnest([s0, s0 - 300]) AS win_start FROM starts
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("streaming", "sliding"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 — each event lands in exactly 2
+    windows (window start is a pure function of ts: map-side, no state)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return streaming.sliding_counts(t["events"], length_min=10, slide_min=5)
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM ordered
+    )
+    SELECT CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (native session_window operator;
+    oracle = classic lag/gap-islands SQL — same semantics)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        streaming.session_windows(t["events"], gap_min=30)
+        .select("sess_start", "user_id", "n_events", "total_value")
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle=f"""
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS purchase_ts,
+           CAST(c.event_id AS BIGINT) AS last_click_id,
+           CAST(floor(date_part('epoch', c.ts)) AS BIGINT) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof", "join"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (reference lacks it; DuckDB has native ASOF JOIN):
+    for each purchase, the user's most recent prior-or-equal click.
+
+    Spark-first implementation: union the two streams tagged, one window
+    pass per user ordered by (ts, tag) carrying the last click forward
+    with last_value(ignoreNulls) — a single shuffle on user_id, no
+    nested-loop, scales to arbitrarily many rows per user (vs. the
+    naive join + filter + argmax which re-shuffles pairs)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # clicks sort before purchases at equal ts (tag 0 < 1) so "prior or
+    # equal" matches ASOF's >= semantics
+    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
+        purchases.withColumn("tag", F.lit(1))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("click_id").isNotNull(), F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_ts"),
+    )
+    return carried.filter(F.col("purchase_id").isNotNull()).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long"),
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        F.col("last_click_id").cast("long"),
+        F.unix_timestamp("click_ts").alias("click_ts"),
+    )
