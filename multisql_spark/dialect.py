@@ -329,14 +329,128 @@ def _rewrite_db_names(
     return out
 
 
+_INT_TYPES = "('tinyint','smallint','int','bigint')"
+
+
+def _div_case(left: str, right: str) -> str:
+    """Reference `/` semantics (src/data/value/methods/binary.rs:66-92):
+    int ÷ int is integer division, anything else float division. Spark's
+    `/` is always double, so dispatch on runtime operand types."""
+    return (
+        f"(CASE WHEN typeof({left}) IN {_INT_TYPES} "
+        f"AND typeof({right}) IN {_INT_TYPES} "
+        f"THEN CAST(CAST(({left}) AS BIGINT) div CAST(({right}) AS BIGINT) "
+        f"AS DOUBLE) "
+        f"ELSE CAST(({left}) AS DOUBLE) / CAST(({right}) AS DOUBLE) END)"
+    )
+
+
+def _take_operand_back(out: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Pop the primary expression preceding a binary operator: a paren
+    group (with optional callee), a literal, or a dotted identifier."""
+    if not out:
+        return []
+    operand: list[tuple[str, str]] = []
+    if out[-1][1] == ")":
+        depth = 0
+        while out:
+            tok = out.pop()
+            operand.insert(0, tok)
+            if tok[1] == ")":
+                depth += 1
+            elif tok[1] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if out and out[-1][0] == "ident":
+            operand.insert(0, out.pop())
+    elif out[-1][0] in ("ident", "number", "string", "qident"):
+        operand.insert(0, out.pop())
+        while len(out) >= 2 and out[-1][1] == "." and out[-2][0] == "ident":
+            operand.insert(0, out.pop())
+            operand.insert(0, out.pop())
+    return operand
+
+
+def _take_operand_forward(
+    tokens: list[tuple[str, str]], i: int
+) -> tuple[list[tuple[str, str]], int]:
+    """Read the primary expression starting at ``i``."""
+    operand: list[tuple[str, str]] = []
+    if i < len(tokens) and tokens[i][1] in ("+", "-"):
+        operand.append(tokens[i])
+        i += 1
+    if i < len(tokens) and tokens[i][1] == "(":
+        depth = 0
+        while i < len(tokens):
+            tok = tokens[i]
+            operand.append(tok)
+            i += 1
+            if tok[1] == "(":
+                depth += 1
+            elif tok[1] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        return operand, i
+    if i < len(tokens) and tokens[i][0] in ("ident", "number", "string"):
+        operand.append(tokens[i])
+        i += 1
+        # dotted name and/or call
+        while i + 1 < len(tokens) and tokens[i][1] == "." and tokens[i + 1][0] == "ident":
+            operand.append(tokens[i])
+            operand.append(tokens[i + 1])
+            i += 2
+        if i < len(tokens) and tokens[i][1] == "(":
+            depth = 0
+            while i < len(tokens):
+                tok = tokens[i]
+                operand.append(tok)
+                i += 1
+                if tok[1] == "(":
+                    depth += 1
+                elif tok[1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+    return operand, i
+
+
+def _rewrite_division(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Rewrite ``a / b`` into the type-dispatching division CASE.
+
+    Operands are primaries (literal / column / call / paren group) — for
+    mixed `*`//` chains the reference's left-assoc grouping may differ;
+    parenthesize explicitly in such queries."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i][1] == "/":
+            left = _take_operand_back(out)
+            right, j = _take_operand_forward(tokens, i + 1)
+            if left and right:
+                out.extend(
+                    tokenize(_div_case(untokenize(left), untokenize(right)))
+                )
+                i = j
+                continue
+            out.extend(left)  # degenerate; restore
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
 def rewrite(
     sql: str,
     variables: dict[str, str] | None = None,
     db_names: set[str] | None = None,
+    int_division: bool = False,
 ) -> str:
     """Rewrite a MultiSQL-dialect query into Spark SQL."""
     tokens = tokenize(sql)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _transform(tokens)
+    if int_division:
+        tokens = _rewrite_division(tokens)
     return untokenize(tokens)

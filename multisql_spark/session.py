@@ -150,7 +150,17 @@ class MultiSQLSession:
         return payloads[-1] if payloads else Payload.success()
 
     def execute_many(self, sql: str) -> list[Payload]:
-        return [self._execute_one(stmt) for stmt in split_statements(sql)]
+        from pyspark.errors import AnalysisException, ParseException
+
+        out = []
+        for stmt in split_statements(sql):
+            try:
+                out.append(self._execute_one(stmt))
+            except (AnalysisException, ParseException) as exc:
+                # surface Spark analysis/parse failures as engine errors
+                # (the reference returns its own Error enum, not panics)
+                raise EngineError(str(exc)) from exc
+        return out
 
     def sql(self, sql: str) -> DataFrame:
         """Query path only — returns the lazy DataFrame."""
@@ -179,7 +189,10 @@ class MultiSQLSession:
 
     def _rewrite(self, sql: str) -> str:
         return dialect.rewrite(
-            sql, variables=self.variables, db_names=set(self.databases)
+            sql,
+            variables=self.variables,
+            db_names=set(self.databases),
+            int_division=True,
         )
 
     def _table(self, name: str) -> TableState:
@@ -380,7 +393,10 @@ class MultiSQLSession:
 
     def _rewrite_fragment(self, fragment: str) -> str:
         return dialect.rewrite(
-            fragment, variables=self.variables, db_names=set(self.databases)
+            fragment,
+            variables=self.variables,
+            db_names=set(self.databases),
+            int_division=True,
         )
 
     def _insert_df(

@@ -1,0 +1,72 @@
+"""Source-adapter matrix (reference tests/databases/*: same content across
+backends — SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multisql_spark.session import MultiSQLSession
+
+
+@pytest.fixture(scope="module")
+def glue(spark):
+    return MultiSQLSession(spark)
+
+
+def test_csv_database(glue, spark, sf_dir, tmp_path_factory):
+    # materialize nation as CSV, then attach it by path extension
+    # (reference: CREATE DATABASE guesses backend, glue/mod.rs:110-129)
+    import duckdb
+
+    csv_path = str(tmp_path_factory.mktemp("csvdb") / "nation_csv.csv")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{sf_dir}/nation.parquet')"
+        f" TO '{csv_path}' (HEADER, DELIMITER ',')"
+    )
+    glue.execute(f"CREATE DATABASE csvdb LOCATION '{csv_path}'")
+    out = glue.execute(
+        "SELECT COUNT(*) AS n, SUM(n_regionkey) AS s FROM csvdb.nation_csv"
+    )
+    assert out.rows == [(25, 50)]
+    # schema inference typed the int columns (reference discern.rs parity)
+    typed = glue.execute(
+        "SELECT n_nationkey + 1 AS k FROM csvdb.nation_csv WHERE"
+        " n_nationkey = 0"
+    )
+    assert typed.rows == [(1,)]
+
+
+def test_parquet_database_matrix(glue, sf_dir):
+    glue.execute(f"CREATE DATABASE pq LOCATION '{sf_dir}/'")
+    # same smoke content as the memory-backend tests, on the parquet backend
+    out = glue.execute(
+        "SELECT r_regionkey, r_name FROM pq.region WHERE r_regionkey < 2"
+    )
+    assert len(out.rows) == 2
+    out = glue.execute("EXPLAIN pq")
+    assert ("region",) in out.rows and ("lineitem",) in out.rows
+
+
+def test_xlsx_stub(glue):
+    with pytest.raises(Exception, match="(?i)xlsx|excel|NotImplemented"):
+        glue.execute("CREATE DATABASE xl LOCATION '/tmp/book.xlsx'")
+
+
+def test_memory_vs_parquet_same_results(glue, spark, sf_dir):
+    """Storage-conformance: identical query over memory table vs parquet
+    source (reference tests/databases matrix discipline)."""
+    glue.execute("DROP TABLE IF EXISTS mem_nation")
+    glue.execute("CREATE TABLE mem_nation AS SELECT * FROM pq.nation")
+    a = sorted(
+        glue.execute(
+            "SELECT n_regionkey, COUNT(*) AS n FROM mem_nation"
+            " GROUP BY n_regionkey"
+        ).rows
+    )
+    b = sorted(
+        glue.execute(
+            "SELECT n_regionkey, COUNT(*) AS n FROM pq.nation"
+            " GROUP BY n_regionkey"
+        ).rows
+    )
+    assert a == b
