@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         engine_q,
         functions_q,
         mm_q,
+        pipeline_q,
         similarity_q,
         streaming_q,
         text_q,

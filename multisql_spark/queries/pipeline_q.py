@@ -1,0 +1,315 @@
+"""Scale-pipeline queries: the operations a large-scale training-data /
+telemetry pipeline needs beyond the reference's relational core
+(reference has no temporal, sampling, or sketch operators at all —
+`src/executor/query/select/mod.rs` is plain filter/join/group).
+
+Every query here is written the way it would have to run on 100 TB:
+
+- time-bucket rollups aggregate map-side into a bounded number of groups;
+- the range join is bucketized into an *equi* join (shuffle on
+  ``(user_id, hour_bucket)``), never a broadcast-nested-loop θ-join;
+- sampling/splitting is a pure hash of the row key — deterministic,
+  shuffle-free, and identical on any engine (md5 is the cross-engine
+  contract with the DuckDB oracle);
+- the salted aggregation demonstrates the two-phase skew pattern with
+  bit-identical results to the naive groupBy;
+- sketches (HLL / KLL) bound memory where exact answers would need a
+  full shuffle of the key universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+_EPOCH = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
+
+@register(
+    "events_rollup_hourly",
+    oracle=f"""
+    SELECT ({_EPOCH} // 3600) * 3600 AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "rollup"),
+)
+def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup (continuous-aggregate shape).
+
+    Group count is bounded (hours x event_types), so partial aggregation
+    collapses nearly all rows map-side; the shuffle carries only
+    per-partition partials regardless of input size. At 100 TB this is the
+    canonical downsampling step: output is ~O(wall-clock hours), not
+    O(events).
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        t["events"]
+        .groupBy(
+            bucket.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS purchase_ts,
+           COUNT(c.event_id) AS n_clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("temporal", "range-join"),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks in the hour before each purchase.
+
+    The reference cannot express this at all; a naive Spark translation is
+    a θ-join (BroadcastNestedLoop — quadratic, undriveable at scale).
+    Instead we bucketize time into join-key granules: each click lands in
+    one hour bucket, each purchase probes its own and the previous bucket,
+    so the join is a plain *equi* join on ``(user_id, bucket)`` — one hash
+    shuffle, linear, AQE-skew-splittable — with the exact interval
+    predicate applied as a residual filter. Bucket width = interval width
+    guarantees the two probed buckets cover the window exactly.
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.floor(F.unix_timestamp("ts") / 3600).alias("pb"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    )
+    joined = purchases.join(clicks, ["user_id", "bucket"], "left")
+    in_window = (
+        F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")
+    ) & (F.col("c_ts") <= F.col("p_ts"))
+    return (
+        joined.groupBy(
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_timestamp("p_ts").alias("purchase_ts"),
+        )
+        .agg(
+            F.sum(F.when(in_window, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks_1h")
+        )
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash (~80/10/10).
+
+    The split is a pure narrow map over the key — no shuffle, no RNG
+    state, reproducible across engines and re-runs, and stable under
+    re-partitioning (unlike ``df.randomSplit``, whose assignment depends
+    on partition layout). This is the only split discipline that survives
+    incremental 100 TB ingestion: a document's split never changes when
+    new data arrives.
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return t["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || lang), 1, 2)
+                           < '1a' THEN 1 END) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ~10% sample per language stratum, counted in one scan.
+
+    Selection is again hash-deterministic (keyed on doc_id + stratum so
+    strata sample independently). Total and sampled counts come from one
+    conditional aggregation — a single pass, no per-stratum jobs, which is
+    what makes per-stratum quotas feasible over thousands of strata at
+    scale.
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    sel = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.col("lang"))),
+            1,
+            2,
+        )
+        < "1a"
+    )
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(sel, 1)).alias("n_sampled"),
+        )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically low-cardinality
+    key (5 event types) — bit-identical to the naive groupBy.
+
+    Phase 1 groups by ``(key, salt)`` so each hot key fans out over
+    SALT_BUCKETS reducers; phase 2 re-aggregates the per-salt partials
+    (count → sum, sum → sum; decimal sums are exact so re-association is
+    lossless). At 100 TB a single hot key otherwise pins one reducer with
+    the whole key's traffic; salting caps any reducer at ~1/SALT of a hot
+    key. (Spark's own partial aggregation covers the *map* side; salting
+    additionally splits the *reduce* side, which matters when per-key
+    state is large — e.g. collect-style or distinct aggregates.)
+    """
+    SALT_BUCKETS = 8
+    t = load_tables(spark, sf_dir, ["events"])
+    partial = (
+        t["events"]
+        .withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.sum("pv").cast("decimal(28,2)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "embedding_component_stats",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n,
+           SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)))
+             AS c0_sum,
+           SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9)))
+             AS c1_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("embeddings", "vector"),
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label component sums over the vector column (centroid
+    numerators). Element access + decimal sums keep the aggregation exact
+    and order-independent; on a cluster this is one partial-aggregated
+    shuffle of (label, 2 decimals) — the 100 TB-safe way to build
+    centroids (never collect vectors to the driver).
+    """
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return (
+        t["embeddings"]
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("embedding")[0].cast("decimal(18,9)")).alias(
+                "c0_sum"
+            ),
+            F.sum(F.col("embedding")[1].cast("decimal(18,9)")).alias(
+                "c1_sum"
+            ),
+        )
+    )
+
+
+@register(
+    "approx_sketches",
+    oracle=None,  # sketch outputs are estimator-specific by design;
+    # tests/test_pipeline_ops.py bounds them against exact answers
+    tags=("sketch", "approx"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch summary of events: HyperLogLog++ distinct users and
+    approximate value quantiles.
+
+    Exact COUNT(DISTINCT) shuffles the full key universe; exact
+    percentiles sort it. Both sketches are fixed-size mergeable state
+    (KB per partition), so at 100 TB this runs as one map-side pass plus
+    a constant-size merge — the only viable shape for interactive
+    data-quality dashboards over the full corpus.
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    return t["events"].agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx(
+            "value", [0.5, 0.95, 0.99], 10_000
+        ).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

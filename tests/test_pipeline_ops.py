@@ -1,0 +1,93 @@
+"""Scale-pipeline operator checks beyond the oracle sweep: sketch error
+bounds vs exact answers, split proportions, and the physical-plan shape of
+the bucketized range join (equi hash/SMJ, never a nested loop)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multisql_spark import plans
+from multisql_spark.queries import load_all
+from multisql_spark.tables import load_tables
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_sketches_bounds(spark):
+    row = REGISTRY["approx_sketches"].fn(spark, SF).collect()[0]
+    t = load_tables(spark, SF, ["events"])
+    exact = t["events"].agg(
+        F.countDistinct("user_id").alias("users"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
+    ).collect()[0]
+    # HLL++ at rsd=0.02: allow 5x the nominal error for small inputs
+    assert abs(row.approx_users - exact.users) <= max(3, 0.10 * exact.users)
+    for approx_q, exact_q in zip(row.value_quantiles, exact.qs):
+        assert abs(approx_q - exact_q) <= 0.05 * max(1.0, abs(exact_q))
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    df = REGISTRY["sample_hash_split"].fn(spark, SF)
+    counts = {r.split: r.n for r in
+              df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.6
+    assert 0.02 < counts.get("val", 0) / total < 0.25
+    # determinism: same assignment on re-run and after repartitioning
+    again = (
+        REGISTRY["sample_hash_split"].fn(spark, SF).repartition(7).collect()
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, df.collect()))
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    df = REGISTRY["range_join_events"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucketized equi keys must drive a hash or sort-merge join
+    assert any(
+        kind in plan
+        for kind in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_salted_agg_matches_naive(spark):
+    salted = REGISTRY["agg_salted_skew"].fn(spark, SF)
+    t = load_tables(spark, SF, ["events"])
+    naive = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_rollup_group_count_bounded(spark):
+    df = REGISTRY["events_rollup_hourly"].fn(spark, SF)
+    t = load_tables(spark, SF, ["events"])
+    n_types = t["events"].select("event_type").distinct().count()
+    hours = (
+        t["events"]
+        .agg(
+            (
+                F.ceil(
+                    (
+                        F.unix_timestamp(F.max("ts"))
+                        - F.unix_timestamp(F.min("ts"))
+                    )
+                    / 3600
+                )
+                + 1
+            ).alias("h")
+        )
+        .collect()[0]
+        .h
+    )
+    assert df.count() <= n_types * hours
