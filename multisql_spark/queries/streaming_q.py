@@ -101,6 +101,44 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(floor(date_part('epoch', MAX(ts))) AS BIGINT) AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS total_cents,
+           MAX(value) AS max_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user session
+    state machine with event-time timeouts, run through a REAL streaming
+    query — and still hash-matched against an exact SQL oracle (integer-
+    cents arithmetic makes the stateful path exactly reproducible)."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.stateful_sessionize(spark, sf_dir, gap_min=30)
+
+
+@register(
     "asof_join_events",
     oracle=f"""
     SELECT CAST(p.event_id AS BIGINT) AS purchase_id,

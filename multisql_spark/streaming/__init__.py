@@ -77,6 +77,171 @@ def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
+def stateful_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_min: int = 30,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` (the escape hatch for semantics the native
+    ``session_window`` can't express — arbitrary per-key state machines).
+
+    Per user we keep one open session as fixed-size state (start, last ts,
+    count, value cents, max); events extend it or roll it over when the
+    gap exceeds ``gap_min``; event-time timeout (watermark-driven) flushes
+    the final session. State is O(active users), bounded by the watermark
+    horizon — the 100 TB-stream-safe shape: nothing accumulates rows, and
+    Spark shards state by the group key across executors.
+
+    The arithmetic is integer cents (value rounded to 2 decimals exactly
+    as ``CAST(value AS DECIMAL(18,2))`` would), so the output hash-matches
+    an exact SQL oracle — unusual for a stateful streaming op.
+
+    To run a bounded file stream to completion we append a far-future
+    sentinel event that advances the watermark past every real session's
+    timeout; the sentinel user is filtered from the output.
+    """
+    import decimal
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)  # nanos-as-long + UTC; the operator owns its confs
+
+    gap_ns = gap_min * 60 * 10**9
+    wm_ns = 10 * 60 * 10**9  # keep in sync with ``watermark``
+
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+    # sentinel: one event far past max(ts) + gap + watermark so every real
+    # session times out before the stream drains
+    tbl = pq.read_table(src, columns=["ts"])
+    max_ns = pa.compute.max(tbl.column("ts")).cast(pa.int64()).as_py()
+    sentinel_ns = max_ns + gap_ns + wm_ns + 24 * 3600 * 10**9
+    arrow_schema = pq.read_schema(src)
+    sentinel = pa.Table.from_pylist(
+        [
+            {
+                "event_id": -1,
+                "ts": sentinel_ns,
+                "user_id": -1,
+                "event_type": "sentinel",
+                "value": 0.0,
+                "props": "{}",
+            }
+        ],
+        schema=arrow_schema,
+    )
+    pq.write_table(sentinel, os.path.join(stream_dir, "sentinel.parquet"))
+
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+
+    def cents(v: float) -> int:
+        # mirror Spark/DuckDB CAST(double AS DECIMAL(18,2)): shortest
+        # decimal repr, HALF_UP at scale 2
+        return int(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+            * 100
+        )
+
+    def emit(user: int, st: tuple) -> pd.DataFrame:
+        start, last, n, total_cents, vmax = st
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user,
+                    "sess_start": start // 10**9,
+                    "sess_end": last // 10**9,
+                    "n_events": n,
+                    "total_cents": total_cents,
+                    "max_value": vmax,
+                }
+            ]
+        )
+
+    def sessionize(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            st = state.get
+            state.remove()
+            if user >= 0:
+                yield emit(user, st)
+            return
+        events = pd.concat(list(pdfs))
+        events = events.sort_values("ts")
+        ts_ns = events["ts"].astype("datetime64[ns]").astype("int64")
+        st = state.get if state.exists else None
+        for t, v in zip(ts_ns, events["value"]):
+            if st is None:
+                st = (t, t, 1, cents(v), v)
+            elif t - st[1] > gap_ns:
+                if user >= 0:
+                    yield emit(user, st)
+                st = (t, t, 1, cents(v), v)
+            else:
+                st = (
+                    st[0],
+                    t,
+                    st[2] + 1,
+                    st[3] + cents(v),
+                    max(st[4], v),
+                )
+        state.update(st)
+        # flush when the watermark passes the session's gap horizon
+        state.setTimeoutTimestamp(st[1] // 10**6 + gap_min * 60 * 1000)
+
+    out_schema = (
+        "user_id BIGINT, sess_start BIGINT, sess_end BIGINT, "
+        "n_events BIGINT, total_cents BIGINT, max_value DOUBLE"
+    )
+    state_schema = (
+        "start BIGINT, last BIGINT, n BIGINT, cents BIGINT, vmax DOUBLE"
+    )
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stateful_sessions")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("stateful_sessions").filter(F.col("user_id") >= 0)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,

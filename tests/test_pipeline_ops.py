@@ -69,6 +69,21 @@ def test_salted_agg_matches_naive(spark):
     )
 
 
+def test_stateful_sessionize_survives_microbatching(spark):
+    """The applyInPandasWithState operator must produce identical sessions
+    whether the bounded stream arrives as one microbatch or several —
+    state carries across batches, and the event-time timeout (advanced by
+    the sentinel in a later batch) flushes open sessions."""
+    from multisql_spark import streaming
+
+    one_batch = streaming.stateful_sessionize(spark, SF).collect()
+    multi_batch = streaming.stateful_sessionize(
+        spark, SF, max_files_per_trigger=1
+    ).collect()
+    assert sorted(map(tuple, multi_batch)) == sorted(map(tuple, one_batch))
+    assert len(one_batch) > 0
+
+
 def test_rollup_group_count_bounded(spark):
     df = REGISTRY["events_rollup_hourly"].fn(spark, SF)
     t = load_tables(spark, SF, ["events"])
