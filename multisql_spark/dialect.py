@@ -210,6 +210,19 @@ def _convert_expr(args: list[str], try_: bool) -> str:
         if rule is None or rule in ("000", "0"):
             return f"{cast_fn}(({val}) AS TIMESTAMP)"
         code = rule.strip("'\"")
+        # named datetime-parse rules (reference cast.rs:146-215): each
+        # accepts an optional-seconds variant, so try both formats
+        named = {
+            "DATE": ["yyyy-MM-dd"],
+            "DATETIME": ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm"],
+            "TIME": ["HH:mm:ss", "HH:mm"],
+        }
+        if code.upper() in named:
+            attempts = ", ".join(
+                f"try_to_timestamp(({val}), '{f}')"
+                for f in named[code.upper()]
+            )
+            return f"coalesce({attempts})"
         if code.isdigit() and int(code) in _RULE_DATETIME_FMT:
             fmt = _RULE_DATETIME_FMT[int(code)]
             if fmt is None:
@@ -219,6 +232,60 @@ def _convert_expr(args: list[str], try_: bool) -> str:
         return f"{ts_fn}(({val}), '{java}')"
     # unknown target: plain cast and let Spark complain
     return f"{cast_fn}(({val}) AS {target})"
+
+
+_INT_LITERAL_RE = re.compile(r"^[+-]?\d+$")
+
+
+def _xform_rand(args: list[str]) -> str:
+    """Reference RAND (function.rs:95-113): RAND() → float in [0,1);
+    RAND(min,max) → integer in [min,max]; any other arity errors."""
+    if len(args) == 1 and not args[0].strip():
+        return "rand()"
+    if len(args) == 2:
+        lo, hi = args
+        return (
+            f"CAST(floor(rand() * (({hi}) - ({lo}) + 1)) + ({lo}) AS BIGINT)"
+        )
+    raise ValueError(
+        f"RAND takes 0 or 2 arguments, found {len(args)}"
+    )
+
+
+def _xform_pow(args: list[str]) -> str:
+    """Reference POW (utility.rs:104-108) is generic: int^int stays I64.
+    Static dispatch on literal operands (a column-typed dispatch would
+    force one CASE result type and lose the int-ness anyway)."""
+    if len(args) != 2:
+        raise ValueError(f"POW takes 2 arguments, found {len(args)}")
+    a, b = (x.strip() for x in args)
+    if _INT_LITERAL_RE.match(a) and _INT_LITERAL_RE.match(b):
+        return f"CAST(round(power(({a}), ({b}))) AS BIGINT)"
+    return f"power(({a}), ({b}))"
+
+
+_NUM_LITERAL_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _literal_kind(expr: str) -> str | None:
+    expr = expr.strip()
+    if expr.startswith("'"):
+        return "str"
+    if _NUM_LITERAL_RE.match(expr):
+        return "num"
+    return None
+
+
+def _xform_nullif(args: list[str]) -> str:
+    """Reference comparison of incomparable types yields false
+    (binary.rs:52-58,108-115), so NULLIF(1,'x') returns 1. Spark instead
+    coerces and fails; static-dispatch literal kind mismatches."""
+    if len(args) != 2:
+        raise ValueError(f"NULLIF takes 2 arguments, found {len(args)}")
+    ka, kb = _literal_kind(args[0]), _literal_kind(args[1])
+    if ka and kb and ka != kb:
+        return f"({args[0]})"
+    return f"nullif(({args[0]}), ({args[1]}))"
 
 
 _CALL_TRANSFORMS = {
@@ -232,6 +299,9 @@ _CALL_TRANSFORMS = {
     "HOUR": _xform_ts_extract("hour"),
     "MINUTE": _xform_ts_extract("minute"),
     "SECOND": _xform_ts_extract("second"),
+    "RAND": _xform_rand,
+    "POW": _xform_pow,
+    "NULLIF": _xform_nullif,
 }
 
 _SIMPLE_RENAMES = {
@@ -421,7 +491,9 @@ def _rewrite_division(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
     Operands are primaries (literal / column / call / paren group) — for
     mixed `*`//` chains the reference's left-assoc grouping may differ;
-    parenthesize explicitly in such queries."""
+    parenthesize explicitly in such queries. Two integer *literals*
+    dispatch statically to ``div`` so the result stays I64 like the
+    reference (runtime CASE dispatch would coerce to one column type)."""
     out: list[tuple[str, str]] = []
     i = 0
     while i < len(tokens):
@@ -429,15 +501,104 @@ def _rewrite_division(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             left = _take_operand_back(out)
             right, j = _take_operand_forward(tokens, i + 1)
             if left and right:
-                out.extend(
-                    tokenize(_div_case(untokenize(left), untokenize(right)))
-                )
+                lhs, rhs = untokenize(left), untokenize(right)
+                if _INT_LITERAL_RE.match(lhs) and _INT_LITERAL_RE.match(rhs):
+                    out.extend(tokenize(f"(({lhs}) div ({rhs}))"))
+                else:
+                    out.extend(tokenize(_div_case(lhs, rhs)))
                 i = j
                 continue
             out.extend(left)  # degenerate; restore
         out.append(tokens[i])
         i += 1
     return out
+
+
+_CAST_TYPE_MAP = {
+    "TEXT": "STRING",  # Spark has no TEXT type name
+    "FLOAT": "DOUBLE",  # reference FLOAT is F64 (value/mod.rs:69-82)
+    "INT": "BIGINT",  # reference INTEGER is I64
+    "INTEGER": "BIGINT",
+}
+
+
+def _rewrite_cast_types(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Map reference type names inside CAST(… AS T) to Spark types.
+    Only rewrites within CAST/TRY_CAST argument lists so `SELECT x AS
+    float` aliases stay untouched."""
+    out: list[tuple[str, str]] = []
+    cast_depths: list[int] = []
+    depth = 0
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if text == "(":
+            prev = out[-1] if out else None
+            if (
+                prev
+                and prev[0] == "ident"
+                and prev[1].upper() in ("CAST", "TRY_CAST")
+            ):
+                cast_depths.append(depth + 1)
+            depth += 1
+        elif text == ")":
+            if cast_depths and cast_depths[-1] == depth:
+                cast_depths.pop()
+            depth -= 1
+        elif (
+            kind == "ident"
+            and text.upper() == "AS"
+            and cast_depths
+            and depth == cast_depths[-1]
+            and i + 1 < len(tokens)
+            and tokens[i + 1][0] == "ident"
+            and tokens[i + 1][1].upper() in _CAST_TYPE_MAP
+        ):
+            out.append((kind, text))
+            out.append(("ident", _CAST_TYPE_MAP[tokens[i + 1][1].upper()]))
+            i += 2
+            continue
+        out.append((kind, text))
+        i += 1
+    return out
+
+
+def _floatify_literals(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Fractional literals → DOUBLE. The reference has no decimal type at
+    all — every fractional literal is F64 (src/data/value/mod.rs:69-82) —
+    while Spark parses ``1.7`` as DECIMAL(2,1). Rewrite keeps arithmetic
+    and function results (ROUND, AVG…) float-typed like the reference."""
+    out: list[tuple[str, str]] = []
+    for kind, text in tokens:
+        if kind == "number" and ("." in text or "e" in text or "E" in text):
+            out.extend(tokenize(f"CAST({text} AS DOUBLE)"))
+        else:
+            out.append((kind, text))
+    return out
+
+
+def _rewrite_values_statement(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Statement-level ``VALUES (…),(…)`` → UNION ALL of SELECTs with the
+    reference's ``unnamed_{i}`` labels (set_expr.rs:26-52). Also lifts
+    Spark's inline-table restriction to foldable expressions, so
+    ``VALUES (UUID())`` / ``VALUES (RAND())`` work like the reference."""
+    rows = _split_args(tokens[1:])
+    selects = []
+    for row in rows:
+        if not row or row[0][1] != "(" or row[-1][1] != ")":
+            return tokens  # not a plain row list; leave untouched
+        exprs = _split_args(row[1:-1])
+        items = ", ".join(
+            f"({untokenize(e)}) AS unnamed_{i}" for i, e in enumerate(exprs)
+        )
+        selects.append(f"SELECT {items}")
+    return tokenize(" UNION ALL ".join(selects))
 
 
 def rewrite(
@@ -450,7 +611,11 @@ def rewrite(
     tokens = tokenize(sql)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
+    tokens = _rewrite_cast_types(tokens)
     tokens = _transform(tokens)
+    tokens = _floatify_literals(tokens)
     if int_division:
         tokens = _rewrite_division(tokens)
+    if tokens and tokens[0][0] == "ident" and tokens[0][1].upper() == "VALUES":
+        tokens = _rewrite_values_statement(tokens)
     return untokenize(tokens)

@@ -156,9 +156,10 @@ class MultiSQLSession:
         for stmt in split_statements(sql):
             try:
                 out.append(self._execute_one(stmt))
-            except (AnalysisException, ParseException) as exc:
-                # surface Spark analysis/parse failures as engine errors
-                # (the reference returns its own Error enum, not panics)
+            except (AnalysisException, ParseException, ValueError) as exc:
+                # surface Spark analysis/parse failures and dialect-rewrite
+                # rejections as engine errors (the reference returns its own
+                # Error enum, not panics)
                 raise EngineError(str(exc)) from exc
         return out
 
