@@ -581,6 +581,80 @@ def _floatify_literals(
     return out
 
 
+_JOIN_TERMINATORS = {
+    "ON", "USING", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+    "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "INNER",
+    "FULL", "CROSS", "OUTER", "NATURAL", "AS",
+}
+
+
+def _bare_join_on_true(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """``a JOIN b`` without ON/USING is a cross join in the reference
+    (join/mod.rs:33-39 — constraint defaults to All); Spark's parser
+    requires a condition, so insert ``ON TRUE``."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        out.append((kind, text))
+        i += 1
+        if kind != "ident" or text.upper() != "JOIN":
+            continue
+        prev_kw = next(
+            (t[1].upper() for t in reversed(out[:-1]) if t[0] == "ident"),
+            "",
+        )
+        if prev_kw in ("CROSS", "NATURAL"):
+            continue
+        # copy the table reference: name(.name)* or (subquery), + alias
+        j = i
+        if j < len(tokens) and tokens[j][1] == "(":
+            depth = 0
+            while j < len(tokens):
+                out.append(tokens[j])
+                if tokens[j][1] == "(":
+                    depth += 1
+                elif tokens[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+        else:
+            while j < len(tokens) and tokens[j][0] == "ident":
+                if tokens[j][1].upper() in _JOIN_TERMINATORS:
+                    break
+                out.append(tokens[j])
+                j += 1
+                if j + 1 < len(tokens) and tokens[j][1] == ".":
+                    out.append(tokens[j])
+                    j += 1
+        # optional alias (AS x | bare x)
+        if (
+            j < len(tokens)
+            and tokens[j][0] == "ident"
+            and tokens[j][1].upper() == "AS"
+        ):
+            out.append(tokens[j])
+            out.append(tokens[j + 1])
+            j += 2
+        if (
+            j < len(tokens)
+            and tokens[j][0] == "ident"
+            and tokens[j][1].upper() not in _JOIN_TERMINATORS
+        ):
+            out.append(tokens[j])
+            j += 1
+        nxt = tokens[j][1].upper() if j < len(tokens) else ""
+        if nxt not in ("ON", "USING"):
+            out.append(("ident", "ON"))
+            out.append(("ident", "TRUE"))
+        i = j
+    return out
+
+
 def _rewrite_values_statement(
     tokens: list[tuple[str, str]]
 ) -> list[tuple[str, str]]:
@@ -612,6 +686,7 @@ def rewrite(
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _rewrite_cast_types(tokens)
+    tokens = _bare_join_on_true(tokens)
     tokens = _transform(tokens)
     tokens = _floatify_literals(tokens)
     if int_division:
