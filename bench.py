@@ -84,6 +84,9 @@ def bench_queries(spark: SparkSession):
         "dedup_exact": "dedup_exact",
         "text_token_stats": "text_token_stats",
         "sim_bruteforce_topk": "sim_bruteforce_topk",
+        "sim_ann_ivf": "sim_ann_ivf",
+        "tpch_cust_distribution": "tpch_cust_distribution",
+        "range_join_events": "range_join_events",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity_q,
         streaming_q,
         text_q,
+        tpch_q,
     )
 
     return REGISTRY

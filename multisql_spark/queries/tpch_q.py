@@ -1,0 +1,248 @@
+"""Decision-support query shapes (TPC-H-style) over the driver testdata.
+
+The reference cannot run any of these (no subqueries, no EXISTS/IN, no
+DISTINCT aggregation — SURVEY §2.8 "absent"); they are the beyond-
+reference proof that the engine handles the classic analytic patterns
+with the plans you want at 100 TB:
+
+- EXISTS/IN       → left-semi joins (never a per-row subquery);
+- groupwise-max   → aggregate once, join back (or window top-k);
+- count-distinct  → partial-aggregated exact distinct (and
+  `approx_sketches` for the 100 TB interactive path);
+- left-join count → distribution without losing zero-count rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multisql_spark.queries import register
+from multisql_spark.tables import load_tables
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "tpch_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "exists", "semi-join"),
+)
+def tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS as a LEFT SEMI join — one shuffle on the join key,
+    no per-row subquery; the semi join short-circuits on first match so
+    the lineitem side never materializes duplicates."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o, l = t["orders"], t["lineitem"]
+    big = l.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_cust_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("tpch", "left-join", "distribution"),
+)
+def tpch_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: per-customer order counts (LEFT join keeps zero-order
+    customers) re-aggregated into a distribution. Two shuffles total —
+    join+count on c_custkey, then a tiny re-agg on the count value."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                 AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "groupwise-max", "view"),
+)
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + groupwise max. The max is a scalar
+    aggregate broadcast into the filter (no second scan of lineitem:
+    Spark reuses the revenue aggregation subtree for both consumers)."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    s, l = t["supplier"], t["lineitem"]
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(
+            F.broadcast(max_rev),
+            revenue.total_revenue == F.col("m"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_brand_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 5, 9)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("tpch", "count-distinct"),
+)
+def tpch_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: exact COUNT(DISTINCT) per group. Spark plans this as a
+    two-phase expand/aggregate (distinct keys partially deduped map-side);
+    at 100 TB prefer `approx_sketches`' HLL for interactive use."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    p, l = t["part"], t["lineitem"]
+    return (
+        p.filter(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 5, 9)
+        )
+        .join(l, p.p_partkey == l.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey,
+           CAST(floor(date_part('epoch', o.o_orderdate)) AS BIGINT)
+             AS o_date,
+           SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+    tags=("tpch", "in-subquery", "having"),
+)
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN over a grouped HAVING → semi join against the
+    aggregated key set. The heavy lineitem aggregation happens once;
+    the key set (rare orders) then semi-joins back — at scale the key
+    set is small enough for a broadcast semi join under AQE."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    big_keys = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            big_keys.withColumnRenamed("l_orderkey", "bk"),
+            o.o_orderkey == F.col("bk"),
+            "left_semi",
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_date"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty")
+        )
+    )
+
+
+@register(
+    "tpch_cheapest_lineitem",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("tpch", "groupwise-min", "window"),
+)
+def tpch_cheapest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped groupwise-min (cheapest sale per part) via a window
+    row_number with a total tie-break — one shuffle on the partition key,
+    no self-join back (the join-back formulation shuffles lineitem
+    twice)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        t["lineitem"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice")
+    )

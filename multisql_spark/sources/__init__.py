@@ -95,6 +95,24 @@ def _attach_csv(spark: SparkSession, name: str, path: str) -> SourceDatabase:
     return db
 
 
+def write_bucketed(
+    df, name: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist a DataFrame as a bucketed (+ sorted) managed table.
+
+    Bucketing is the 100 TB co-location primitive: two tables bucketed on
+    the same key with the same bucket count join with NO exchange (and no
+    sort, if sorted) — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on that key. The
+    reference's CREATE INDEX maps here (SURVEY §2.11): a sorted bucket
+    layout is the scalable analogue of its sorted value→key index.
+    """
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)
+
+
 def _attach_jdbc(spark: SparkSession, name: str, url: str) -> SourceDatabase:
     # reflection of remote schemas (reference src/databases/odbc/base.rs)
     # happens lazily per-table: `db.table` resolves through spark.read.jdbc

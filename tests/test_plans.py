@@ -51,6 +51,36 @@ def test_codegen_on_hot_path(spark):
     assert plans.codegen_stage_count(df) >= 1
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must join with zero shuffle —
+    the write-once/join-free layout that carries co-located joins at
+    100 TB (SCALE.md §1)."""
+    from multisql_spark.sources import write_bucketed
+
+    t = load_tables(spark, SF, ["orders", "lineitem"])
+    write_bucketed(t["lineitem"], "bkt_lineitem", "l_orderkey", buckets=4)
+    write_bucketed(t["orders"], "bkt_orders", "o_orderkey", buckets=4)
+    # at test scale Spark would broadcast (also exchange-free, but not the
+    # property under test); force the big-big join strategy
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = spark.table("bkt_lineitem")
+        o = spark.table("bkt_orders")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = plans.formatted_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # bucket co-location: no exchange may feed the join inputs
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_semi_anti_plans(spark):
     t = load_tables(spark, SF, ["customer", "orders"])
     c, o = t["customer"], t["orders"]
