@@ -73,8 +73,8 @@ def test_bucketed_join_has_no_exchange(spark):
         plan = plans.formatted_plan(joined)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         # bucket co-location: no exchange may feed the join inputs
-        assert "Exchange hashpartitioning(l_orderkey" not in plan
-        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "hashpartitioning(o_orderkey" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
@@ -87,3 +87,35 @@ def test_semi_anti_plans(spark):
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
     plan = plans.formatted_plan(semi)
     assert "LeftSemi" in plan
+
+
+def test_tpch_exists_is_semi_join(spark):
+    """Q4's EXISTS must plan as a semi join, not a per-row subquery."""
+    plan = plans.formatted_plan(
+        REGISTRY["tpch_order_priority"].fn(spark, SF)
+    )
+    assert "LeftSemi" in plan
+    # the date filter must reach the orders scan
+    assert plans.has_pushed_filter(
+        REGISTRY["tpch_order_priority"].fn(spark, SF), "o_orderdate"
+    )
+
+
+def test_tpch_groupwise_min_single_shuffle(spark):
+    """The window-based groupwise-min shuffles lineitem exactly once (the
+    join-back formulation would shuffle it twice)."""
+    plan = plans.formatted_plan(
+        REGISTRY["tpch_cheapest_lineitem"].fn(spark, SF)
+    )
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    assert "Window" in plan
+    # Spark turns rn=1 into a per-partition group limit BEFORE the
+    # shuffle — only each partition's candidate minima move
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_join_filters_pushed(spark):
+    """The bucketized range join must push the event_type filters into
+    both parquet scans."""
+    df = REGISTRY["range_join_events"].fn(spark, SF)
+    assert plans.has_pushed_filter(df, "event_type")
