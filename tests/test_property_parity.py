@@ -170,6 +170,66 @@ def bool_expr(depth: int):
 any_expr = num_expr(3) | str_expr(3)
 
 
+def _agg_item(k: int):
+    """Aggregates restricted to cross-engine-exact outputs: int sums,
+    min/max, counts (floats excluded — summation order differs)."""
+    sub = num_expr(1)
+    return st.one_of(
+        sub.map(lambda e: E(f"SUM({e.ms}) AS a{k}", f"SUM({e.dk}) AS a{k}")),
+        sub.map(lambda e: E(f"MIN({e.ms}) AS a{k}", f"MIN({e.dk}) AS a{k}")),
+        sub.map(lambda e: E(f"MAX({e.ms}) AS a{k}", f"MAX({e.dk}) AS a{k}")),
+        sub.map(
+            lambda e: E(f"COUNT({e.ms}) AS a{k}", f"COUNT({e.dk}) AS a{k}")
+        ),
+        st.just(E(f"COUNT(1) AS a{k}", f"COUNT(1) AS a{k}")),
+    )
+
+
+group_key = st.sampled_from(
+    [
+        ("i", "i"),
+        ("j", "j"),
+        ("s", "s"),
+        ("b", "b"),
+        ("(i + j)", "(i + j)"),
+        ("(i IS NULL)", "(i IS NULL)"),
+    ]
+).map(lambda t: E(*t))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    key=group_key,
+    aggs=st.lists(
+        st.integers(0, 3), min_size=1, max_size=3, unique=True
+    ).flatmap(
+        lambda ks: st.tuples(*[_agg_item(k) for k in ks])
+    ),
+)
+def test_groupby_parity(engines, key, aggs):
+    """Random GROUP BY queries (grouping on expressions, NULL groups,
+    multiple aggregates) must agree with DuckDB row-for-row."""
+    glue, duck = engines
+    ms = ", ".join(a.ms for a in aggs)
+    dk = ", ".join(a.dk for a in aggs)
+    payload = glue.execute(
+        f"SELECT {key.ms} AS g, {ms} FROM prop GROUP BY {key.ms}"
+    )
+    rel = duck.execute(
+        f"SELECT {key.dk} AS g, {dk} FROM prop GROUP BY {key.dk}"
+    )
+    duck_rows = rel.fetchall()
+    cols = [d[0] for d in rel.description]
+    assert canon_rows(payload.labels, payload.rows) == canon_rows(
+        cols, duck_rows
+    ), f"\nkey: {key.ms}\naggs: {ms}"
+
+
 @settings(
     max_examples=40,
     deadline=None,
