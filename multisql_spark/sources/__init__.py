@@ -43,6 +43,8 @@ def attach_database(
         return _attach_jdbc(spark, name, path)
     if path.endswith(".csv"):
         return _attach_csv(spark, name, path)
+    if path.endswith((".json", ".jsonl", ".ndjson")):
+        return _attach_json(spark, name, path)
     if path.endswith((".xlsx", ".xls")):
         raise NotImplementedError(
             "XLSX backend needs spark-excel / openpyxl, not present in this "
@@ -111,6 +113,19 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
+
+
+def _attach_json(spark: SparkSession, name: str, path: str) -> SourceDatabase:
+    """JSON-lines database (beyond-reference source format; the reference's
+    JSON surface is only result export, src/glue/select.rs:14-36). Schema
+    inference is Spark-native; at scale prefer an explicit schema to skip
+    the inference pass."""
+    db = SourceDatabase(name=name, path=path, kind="json")
+    tname = os.path.splitext(os.path.basename(path))[0]
+    df = spark.read.json(path)
+    df.createOrReplaceTempView(f"{name}__{tname}")
+    db.tables[tname] = df
+    return db
 
 
 def _attach_jdbc(spark: SparkSession, name: str, url: str) -> SourceDatabase:

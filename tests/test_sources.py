@@ -47,6 +47,33 @@ def test_parquet_database_matrix(glue, sf_dir):
     assert ("region",) in out.rows and ("lineitem",) in out.rows
 
 
+def test_json_database(glue, spark, sf_dir, tmp_path_factory):
+    import duckdb
+
+    json_path = str(tmp_path_factory.mktemp("jsondb") / "nation_js.json")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{sf_dir}/nation.parquet')"
+        f" TO '{json_path}'"
+    )
+    glue.execute(f"CREATE DATABASE jsdb LOCATION '{json_path}'")
+    out = glue.execute(
+        "SELECT COUNT(*) AS n, SUM(n_regionkey) AS s FROM jsdb.nation_js"
+    )
+    assert out.rows == [(25, 50)]
+    # cross-source join: JSON database x managed table
+    glue.execute("DROP TABLE IF EXISTS regions_mem")
+    glue.execute("CREATE TABLE regions_mem (rk INTEGER, label TEXT)")
+    glue.execute(
+        "INSERT INTO regions_mem (rk, label) VALUES (0, 'zero'), (1, 'one')"
+    )
+    out = glue.execute(
+        "SELECT label, COUNT(*) AS n FROM jsdb.nation_js j"
+        " INNER JOIN regions_mem m ON j.n_regionkey = m.rk"
+        " GROUP BY label"
+    )
+    assert sorted(out.rows) == [("one", 5), ("zero", 5)]
+
+
 def test_xlsx_stub(glue):
     with pytest.raises(Exception, match="(?i)xlsx|excel|NotImplemented"):
         glue.execute("CREATE DATABASE xl LOCATION '/tmp/book.xlsx'")
