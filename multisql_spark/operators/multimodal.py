@@ -86,11 +86,25 @@ def decode_image(blob: bytes, fake: bool = False) -> list[float]:
 def extract_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the blob column
     (mapInPandas: pandas DataFrames in, pandas DataFrames out — the
-    batch shape a real decoder would use)."""
+    batch shape a real decoder would use).
+
+    The worker function is fully self-contained (no references to this
+    module's globals): executors unpickle it by value, so the engine does
+    not need to be importable on worker Python paths — the driver process
+    may be the only place the package is installed."""
+    dim = FEATURE_DIM
+
+    def decode(blob: bytes) -> list[float]:
+        # deterministic fake decode (mirrors decode_image(fake=True))
+        chunk = max(1, len(blob) // dim)
+        return [
+            float(sum(blob[i * chunk:(i + 1) * chunk]) % 256)
+            for i in range(dim)
+        ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["blob"].map(lambda b: decode_image(bytes(b), fake=True))
+            feats = pdf["blob"].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
