@@ -22,6 +22,7 @@ parquet/CSV directories through :mod:`multisql_spark.sources`.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -74,6 +75,11 @@ class TableState:
     df: DataFrame
     auto_counter: dict[str, int] = field(default_factory=dict)
     indexes: dict[str, dict] = field(default_factory=dict)
+    # attached-storage write-back (reference DBMut, src/database/mutable.rs):
+    # mutations rewrite the backing file, like the CSV backend's
+    # whole-file rewrite (src/databases/csv/mutable.rs)
+    persist_path: str | None = None
+    persist_kind: str | None = None  # parquet | csv | json
 
     def column(self, name: str) -> ColumnDef | None:
         for c in self.columns:
@@ -198,12 +204,63 @@ class MultiSQLSession:
 
     def _table(self, name: str) -> TableState:
         key = name.lower()
+        if key not in self.tables and "." in key:
+            db, _, tbl = key.partition(".")
+            if any(d.lower() == db for d in self.databases):
+                key = f"{db}__{tbl}"
         if key not in self.tables:
             raise EngineError(f"table not found: {name}")
         return self.tables[key]
 
     def _register(self, state: TableState) -> None:
         self.tables[state.name.lower()] = state
+        state.df.createOrReplaceTempView(state.name)
+        if state.persist_path:
+            self._flush(state)
+
+    def _flush(self, state: TableState) -> None:
+        """Write an attached table's current rows back to its file, then
+        re-read so the registered view points at the new contents.
+
+        The write materializes from the lazy plan over the *old* file
+        into a temp dir first (single part file), then atomically replaces
+        the original — mirroring the reference's rewrite-on-write storage
+        backends. At 100 TB the persistent store is a transactional table
+        format instead; this path is the embedded-file parity."""
+        import glob
+        import shutil
+        import tempfile
+
+        if state.persist_path.startswith("/root/testdata"):
+            raise EngineError(
+                "driver testdata is read-only; attach a copy to mutate it"
+            )
+        tmp = tempfile.mkdtemp(prefix="msql_flush_")
+        writer = state.df.coalesce(1).write.mode("overwrite")
+        if state.persist_kind == "parquet":
+            writer.parquet(tmp)
+        elif state.persist_kind == "csv":
+            writer.option("header", True).csv(tmp)
+        elif state.persist_kind == "json":
+            writer.json(tmp)
+        else:
+            raise EngineError(
+                f"unwritable backend: {state.persist_kind}"
+            )
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, state.persist_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.catalog.refreshByPath(state.persist_path)
+        if state.persist_kind == "parquet":
+            from multisql_spark.sources import _read_parquet
+
+            state.df = _read_parquet(self.spark, state.persist_path)
+        elif state.persist_kind == "csv":
+            state.df = self.spark.read.csv(
+                state.persist_path, header=True, inferSchema=True
+            )
+        else:
+            state.df = self.spark.read.json(state.persist_path)
         state.df.createOrReplaceTempView(state.name)
 
     def _execute_one(self, stmt: str) -> Payload:
@@ -358,7 +415,27 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse CREATE DATABASE: {stmt[:80]}")
         name, path = m.groups()
-        self.databases[name] = attach_database(self.spark, name, path)
+        db = attach_database(self.spark, name, path)
+        self.databases[name] = db
+        if db.kind in ("parquet", "csv", "json"):
+            # writable backends (reference DBMut): DML on db.table routes
+            # through the managed-table pipeline and flushes back to disk
+            for tname, df in db.tables.items():
+                fpath = (
+                    os.path.join(db.path, f"{tname}.parquet")
+                    if db.kind == "parquet"
+                    else db.path
+                )
+                cols = [
+                    ColumnDef(name=f, type_str=t) for f, t in df.dtypes
+                ]
+                self.tables[f"{name}__{tname}".lower()] = TableState(
+                    name=f"{name}__{tname}",
+                    columns=cols,
+                    df=df,
+                    persist_path=fpath,
+                    persist_kind=db.kind,
+                )
         return Payload.success("CreateDatabase")
 
     # -- INSERT (reference src/executor/alter_row/insert.rs) ----------------
@@ -676,6 +753,16 @@ class MultiSQLSession:
         m = re.match(r"\s*EXPLAIN\s+(\S+)", stmt, re.IGNORECASE)
         target = m.group(1) if m else "ALL"
         tl = target.lower()
+        if target.upper() in ("SELECT", "WITH", "VALUES"):
+            # beyond-reference: EXPLAIN <query> returns the Spark physical
+            # plan (the reference has no plan introspection at all)
+            body = re.sub(r"\s*EXPLAIN\s+", "", stmt, count=1,
+                          flags=re.IGNORECASE)
+            from multisql_spark.plans import formatted_plan
+
+            plan = formatted_plan(self.sql(body))
+            rows = [(line,) for line in plan.splitlines() if line.strip()]
+            return Payload(kind="Select", labels=["plan"], rows=rows)
         if target.upper() == "ALL":
             rows = [(d,) for d in sorted(self.databases)] or [("default",)]
             return Payload(kind="Select", labels=["database"], rows=rows)

@@ -128,6 +128,10 @@ def test_views_and_explain(glue):
     assert ("vt",) in tables.rows
     cols = glue.execute("EXPLAIN vt")
     assert ("a", "bigint") in cols.rows
+    # beyond-reference: EXPLAIN <query> returns the Spark physical plan
+    plan = glue.execute("EXPLAIN SELECT a FROM vt WHERE a > 1")
+    assert plan.labels == ["plan"]
+    assert any("Filter" in r[0] for r in plan.rows)
 
 
 def test_alter_table(glue):

@@ -74,6 +74,45 @@ def test_json_database(glue, spark, sf_dir, tmp_path_factory):
     assert sorted(out.rows) == [("one", 5), ("zero", 5)]
 
 
+def test_attached_database_write_back(spark, sf_dir, tmp_path_factory):
+    """DML on an attached parquet database rewrites the backing file
+    (reference DBMut, src/database/mutable.rs) — proven by re-attaching in
+    a fresh session."""
+    import shutil
+
+    dbdir = tmp_path_factory.mktemp("wbdb")
+    shutil.copy(f"{sf_dir}/region.parquet", dbdir / "region.parquet")
+    g1 = MultiSQLSession(spark)
+    g1.execute(f"CREATE DATABASE wb LOCATION '{dbdir}/'")
+    g1.execute(
+        "INSERT INTO wb.region (r_regionkey, r_name) VALUES (99, 'ATLANTIS')"
+    )
+    g1.execute("UPDATE wb.region SET r_name = 'SUNK' WHERE r_regionkey = 99")
+    g1.execute("DELETE FROM wb.region WHERE r_regionkey = 0")
+    out = g1.execute("SELECT COUNT(*) AS n FROM wb.region")
+    assert out.rows == [(5,)]  # 5 - 1 deleted + 1 inserted
+    # fresh session, fresh attach: the mutations survived on disk
+    g2 = MultiSQLSession(spark)
+    g2.execute(f"CREATE DATABASE wb2 LOCATION '{dbdir}/'")
+    rows = sorted(
+        g2.execute("SELECT r_regionkey, r_name FROM wb2.region").rows
+    )
+    assert (99, "SUNK") in rows
+    assert all(rk != 0 for rk, _ in rows)
+
+
+def test_testdata_is_write_protected(spark, sf_dir):
+    from multisql_spark.session import EngineError
+
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE rodb LOCATION '{sf_dir}/'")
+    with pytest.raises(EngineError, match="read-only"):
+        g.execute(
+            "INSERT INTO rodb.region (r_regionkey, r_name)"
+            " VALUES (7, 'NOPE')"
+        )
+
+
 def test_xlsx_stub(glue):
     with pytest.raises(Exception, match="(?i)xlsx|excel|NotImplemented"):
         glue.execute("CREATE DATABASE xl LOCATION '/tmp/book.xlsx'")
