@@ -253,6 +253,62 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CAST(m.weight AS DECIMAL(18,2))) AS total_weight
+    FROM events e
+    JOIN (
+      VALUES ('click', 1.5), ('view', 1.0), ('purchase', 10.0),
+             ('signup', 5.0), ('error', 0.1)
+    ) AS m(event_type, weight)
+      ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join against a hot-keyed dimension — bit-identical to the
+    plain join.
+
+    ``event_type`` has 5 values over millions of rows: a shuffled join
+    would put each key's entire traffic on one reducer. Salting fans the
+    fact side out over SALT buckets and explodes the dimension side once
+    per bucket, so the join key becomes ``(key, salt)`` with SALT× the
+    cardinality. (For a dimension this small you'd broadcast instead —
+    the salt pattern is for when BOTH sides are too big to broadcast and
+    one key dominates; AQE's skew-split handles moderate skew, salting
+    handles the pathological single-key case.)
+    """
+    SALT = 8
+    t = load_tables(spark, sf_dir, ["events"])
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.5),
+            ("view", 1.0),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.1),
+        ],
+        "event_type string, weight double",
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    fact = t["events"].withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SALT)).cast("int")
+    )
+    return (
+        fact.join(dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("weight").cast("decimal(18,2)")).alias(
+                "total_weight"
+            ),
+        )
+    )
+
+
+@register(
     "embedding_component_stats",
     oracle="""
     SELECT CAST(label AS BIGINT) AS label,

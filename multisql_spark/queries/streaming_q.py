@@ -101,6 +101,30 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS purchase_ts,
+           CAST(floor(date_part('epoch', c.ts)) AS BIGINT) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 60 MINUTE
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "stream-stream-join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (watermark-bounded state) run as a REAL
+    streaming query — hash-matches the equivalent batch join, proving
+    batch/stream unification on a binary stateful operator."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.stream_stream_join(spark, sf_dir, window_min=60)
+
+
+@register(
     "stream_stateful_sessionize",
     oracle="""
     WITH ordered AS (

@@ -242,6 +242,75 @@ def stateful_sessionize(
     return spark.table("stateful_sessions").filter(F.col("user_id") >= 0)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_min: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ clicks per user within a
+    trailing time window — both sides are real streams with watermarks.
+
+    The event-time range condition lets Spark bound the join state: each
+    side retains rows only until the other side's watermark passes the
+    window, so state is O(events in the watermark horizon), not O(stream).
+    This is THE streaming primitive the reference architecture (pull-based
+    full materialization) cannot express at all.
+    """
+    import os
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+    def read_side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(batch_schema).parquet(stream_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    purchases = read_side("purchase", "p")
+    clicks = read_side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_min} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user").cast("long").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("purchase_ts"),
+        F.unix_timestamp("c_ts").alias("click_ts"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("ssj_out")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
