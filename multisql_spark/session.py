@@ -235,6 +235,26 @@ class MultiSQLSession:
             raise EngineError(
                 "driver testdata is read-only; attach a copy to mutate it"
             )
+        if state.persist_kind == "xlsx":
+            # embedded format: whole-book rewrite preserving other sheets
+            # (reference sheet/mutable.rs loads and rewrites the book too)
+            from multisql_spark.sources import xlsx as xmod
+            from multisql_spark.sources import xlsx_sheet_df
+
+            sheet = state.name.split("__", 1)[1]
+            book = xmod.read_workbook(state.persist_path)
+            book[sheet] = [list(state.df.columns)] + [
+                list(r) for r in state.df.collect()
+            ]
+            fd, tmpf = tempfile.mkstemp(suffix=".xlsx")
+            os.close(fd)
+            xmod.write_workbook(tmpf, book)
+            shutil.move(tmpf, state.persist_path)
+            state.df = xlsx_sheet_df(
+                self.spark, xmod.read_workbook(state.persist_path)[sheet]
+            )
+            state.df.createOrReplaceTempView(state.name)
+            return
         tmp = tempfile.mkdtemp(prefix="msql_flush_")
         writer = state.df.coalesce(1).write.mode("overwrite")
         if state.persist_kind == "parquet":
@@ -417,14 +437,14 @@ class MultiSQLSession:
         name, path = m.groups()
         db = attach_database(self.spark, name, path)
         self.databases[name] = db
-        if db.kind in ("parquet", "csv", "json"):
+        if db.kind in ("parquet", "csv", "json", "xlsx"):
             # writable backends (reference DBMut): DML on db.table routes
             # through the managed-table pipeline and flushes back to disk
             for tname, df in db.tables.items():
                 fpath = (
                     os.path.join(db.path, f"{tname}.parquet")
                     if db.kind == "parquet"
-                    else db.path
+                    else db.path  # csv/json/xlsx: one file per database
                 )
                 cols = [
                     ColumnDef(name=f, type_str=t) for f, t in df.dtypes

@@ -45,10 +45,12 @@ def attach_database(
         return _attach_csv(spark, name, path)
     if path.endswith((".json", ".jsonl", ".ndjson")):
         return _attach_json(spark, name, path)
-    if path.endswith((".xlsx", ".xls")):
+    if path.endswith(".xlsx"):
+        return _attach_xlsx(spark, name, path)
+    if path.endswith(".xls"):
         raise NotImplementedError(
-            "XLSX backend needs spark-excel / openpyxl, not present in this "
-            "image; reference parity: src/databases/sheet/"
+            "legacy .xls (BIFF) is unsupported; save as .xlsx "
+            "(reference parity: src/databases/sheet/)"
         )
     if os.path.isdir(path) or path.endswith("/"):
         return _attach_parquet_dir(spark, name, path)
@@ -113,6 +115,54 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
+
+
+def _attach_xlsx(spark: SparkSession, name: str, path: str) -> SourceDatabase:
+    """Spreadsheet backend: one table per sheet (reference
+    src/databases/sheet/base.rs), header row discerned like the CSV
+    backend. Stdlib OOXML reader — see :mod:`multisql_spark.sources.xlsx`."""
+    from multisql_spark.sources import xlsx
+
+    db = SourceDatabase(name=name, path=path, kind="xlsx")
+    for sheet, rows in xlsx.read_workbook(path).items():
+        df = xlsx_sheet_df(spark, rows)
+        df.createOrReplaceTempView(f"{name}__{sheet}")
+        db.tables[sheet] = df
+    return db
+
+
+def xlsx_sheet_df(spark: SparkSession, rows):
+    """Sheet grid → typed DataFrame, with per-column type discernment and
+    demotion on conflict (reference discern.rs:43-70: conflicting columns
+    → Any, surfaced as string)."""
+    from pyspark.sql import types as T
+
+    from multisql_spark.sources import xlsx
+
+    headers, data = xlsx.sheet_to_table(rows)
+    fields, casts = [], []
+    for i, h in enumerate(headers):
+        kinds = {type(r[i]) for r in data if r[i] is not None}
+        if kinds <= {bool}:
+            st, cast = T.BooleanType(), None
+        elif kinds <= {int}:
+            st, cast = T.LongType(), None
+        elif kinds <= {int, float}:
+            st, cast = T.DoubleType(), float
+        elif not kinds:
+            st, cast = T.StringType(), None
+        else:
+            st, cast = T.StringType(), str
+        fields.append(T.StructField(h, st, True))
+        casts.append(cast)
+    pyrows = [
+        tuple(
+            cast(v) if (cast and v is not None) else v
+            for v, cast in zip(r, casts)
+        )
+        for r in data
+    ]
+    return spark.createDataFrame(pyrows, schema=T.StructType(fields))
 
 
 def _attach_json(spark: SparkSession, name: str, path: str) -> SourceDatabase:
