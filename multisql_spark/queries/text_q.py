@@ -145,3 +145,78 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30))
+             AS prefix_dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND (a.n_chars % 16) = (b.n_chars % 16)
+     AND a.doc_id < b.doc_id
+    """,
+    tags=("text", "edit-distance", "near-dup"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance over blocked candidate pairs.
+
+    Levenshtein is O(len²) per pair, so at scale it NEVER runs all-pairs:
+    a cheap blocking key (here lang + length bucket; in the dedup suite,
+    LSH bands) makes the self-join equi — one shuffle, pair count bounded
+    by block sizes — and the quadratic kernel runs on prefixes only.
+    This is the verify stage of a near-dup pipeline: LSH proposes,
+    edit-distance confirms.
+    """
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        (F.col("n_chars") % 16).alias("lb"),
+        F.substring("text", 1, 30).alias("prefix"),
+    )
+    a = d.toDF("doc_a", "lang", "lb", "pa")
+    b = d.toDF("doc_b", "lang", "lb", "pb")
+    return (
+        a.join(b, ["lang", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_dist"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    identical definition in Spark's percentile and DuckDB's
+    quantile_cont). Exact percentiles sort every group; this is the
+    correctness baseline that `approx_sketches` (KLL, mergeable constant
+    state) replaces at 100 TB."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
