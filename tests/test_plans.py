@@ -51,6 +51,50 @@ def test_codegen_on_hot_path(spark):
     assert plans.codegen_stage_count(df) >= 1
 
 
+def test_aqe_splits_skewed_join(spark):
+    """AQE must split a pathologically skewed join partition at runtime
+    (SCALE.md §1) — and, instructively, it CANNOT when a same-key
+    aggregation sits above the join (the split would break the required
+    partitioning), which is precisely the case the manual salting
+    patterns (`agg_salted_skew`, `join_skew_salted`) exist for."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise(F.pmod("id", 1000))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(300_000).select(
+            F.pmod("id", 1000).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        free = big.join(right, "k").select(
+            F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        free.collect()
+        assert "skew=true" in free._jdf.queryExecution().executedPlan().toString()
+
+        pinned = big.join(right, "k").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pinned.collect()
+        assert (
+            "skew=true"
+            not in pinned._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the join key must join with zero shuffle —
     the write-once/join-free layout that carries co-located joins at
