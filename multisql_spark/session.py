@@ -554,17 +554,26 @@ class MultiSQLSession:
                 from pyspark.sql import Window as W
 
                 start = state.auto_counter.get(cdef.name, 0)
-                # dense sequential ids need a global row_number — fine at
-                # DML scale; documented tradeoff for 100 TB (SURVEY §7.2)
-                w = W.orderBy(F.monotonically_increasing_id())
-                aligned = aligned.withColumn(
-                    cdef.name,
-                    F.coalesce(
-                        F.col(cdef.name),
-                        (F.row_number().over(w) + start).cast("long"),
-                    ),
-                )
-                state.auto_counter[cdef.name] = start + n_in
+                # only NULL ids are filled and only they advance the
+                # counter — explicit values don't consume it (reference
+                # sled/auto_increment.rs semantics, see the corpus test:
+                # explicit 6 then auto gives 5, then 6 again)
+                need = aligned.filter(F.col(cdef.name).isNull())
+                have = aligned.filter(F.col(cdef.name).isNotNull())
+                n_fill = need.count()
+                if n_fill:
+                    # dense sequential ids need a global row_number — fine
+                    # at DML scale; documented tradeoff for 100 TB
+                    # (SURVEY §7.2)
+                    w = W.orderBy(F.monotonically_increasing_id())
+                    filled = need.withColumn(
+                        cdef.name,
+                        (F.row_number().over(w) + start).cast(
+                            state.df.schema[cdef.name].dataType.simpleString()
+                        ),
+                    )
+                    aligned = have.unionByName(filled)
+                state.auto_counter[cdef.name] = start + n_fill
 
         state.df = state.df.unionByName(aligned)
         self._register(state)

@@ -122,6 +122,40 @@ def test_set_variable_statement(glue):
     ).rows == []
 
 
+# --- tests/ability/column_option/auto_increment.rs -------------------------
+
+
+def test_auto_increment_counter_semantics(glue):
+    """Explicit ids don't consume the counter; duplicates are legal
+    without UNIQUE (reference sled/auto_increment.rs)."""
+    glue.execute("DROP TABLE IF EXISTS AITest")
+    glue.execute(
+        "CREATE TABLE AITest (id INTEGER AUTO_INCREMENT NOT NULL,"
+        " name TEXT)"
+    )
+    glue.execute("INSERT INTO AITest (name) VALUES ('test1')")
+    glue.execute("INSERT INTO AITest (name) VALUES ('test2'), ('test3')")
+    glue.execute("INSERT INTO AITest (name, id) VALUES ('test4', NULL)")
+    glue.execute("INSERT INTO AITest (name, id) VALUES ('test5', 6)")
+    glue.execute("INSERT INTO AITest (name) VALUES ('test6')")
+    glue.execute("INSERT INTO AITest (name) VALUES ('test7')")
+    assert sorted(glue.execute("SELECT id, name FROM AITest").rows) == [
+        (1, "test1"), (2, "test2"), (3, "test3"), (4, "test4"),
+        (5, "test6"), (6, "test5"), (6, "test7"),
+    ]
+    glue.execute("DROP TABLE IF EXISTS AIUniq")
+    glue.execute(
+        "CREATE TABLE AIUniq (id INTEGER AUTO_INCREMENT NOT NULL UNIQUE,"
+        " name TEXT)"
+    )
+    glue.execute(
+        "INSERT INTO AIUniq (name, id) VALUES ('test1', NULL), ('test2', 3)"
+    )
+    assert sorted(glue.execute("SELECT id, name FROM AIUniq").rows) == [
+        (1, "test1"), (3, "test2"),
+    ]
+
+
 # --- tests/functionality/statement/data_query/values.rs --------------------
 
 
