@@ -53,7 +53,8 @@ class Payload:
         import io
 
         buf = io.StringIO()
-        writer = csv.writer(buf)
+        # \n rows like the reference's select_as_csv (src/glue/select.rs)
+        writer = csv.writer(buf, lineterminator="\n")
         writer.writerow(self.labels)
         writer.writerows(self.rows)
         return buf.getvalue()

@@ -527,8 +527,12 @@ class MultiSQLSession:
                     )
         for cdef in state.columns:
             if cdef.unique:
+                # NULLs never collide (NULL != NULL) — reference
+                # validate_unique.rs skips them; multiple NULLs are legal
+                # in a UNIQUE column (tests/ability/column_option/unique.rs)
+                nn = aligned.filter(F.col(cdef.name).isNotNull())
                 dup_new = (
-                    aligned.groupBy(cdef.name)
+                    nn.groupBy(cdef.name)
                     .count()
                     .filter("count > 1")
                     .count()
@@ -536,7 +540,7 @@ class MultiSQLSession:
                 # anti-join style check against existing rows
                 # (reference validate_unique.rs scan-sort-merge)
                 dup_old = (
-                    aligned.join(
+                    nn.join(
                         state.df.select(cdef.name),
                         on=cdef.name,
                         how="left_semi",
@@ -617,7 +621,8 @@ class MultiSQLSession:
         for cdef in state.columns:
             if cdef.unique and cdef.name.lower() in assignments:
                 dups = (
-                    state.df.groupBy(cdef.name)
+                    state.df.filter(F.col(cdef.name).isNotNull())
+                    .groupBy(cdef.name)
                     .count()
                     .filter("count > 1")
                     .count()

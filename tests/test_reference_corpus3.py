@@ -156,6 +156,75 @@ def test_auto_increment_counter_semantics(glue):
     ]
 
 
+# --- tests/ability/column_option/unique.rs ---------------------------------
+
+
+def test_unique_null_semantics(glue):
+    """NULLs never collide in UNIQUE columns (reference
+    validate_unique.rs); duplicates reject inserts and updates."""
+    from multisql_spark.session import EngineError
+
+    for t in ("UTestA", "UTestB", "UTestC"):
+        glue.execute(f"DROP TABLE IF EXISTS {t}")
+    glue.execute("CREATE TABLE UTestA (id INTEGER UNIQUE, num INTEGER)")
+    glue.execute(
+        "CREATE TABLE UTestB (id INTEGER UNIQUE, num INTEGER UNIQUE)"
+    )
+    glue.execute("CREATE TABLE UTestC (id INTEGER UNIQUE, num INTEGER)")
+    glue.execute("INSERT INTO UTestA VALUES (1, 1)")
+    glue.execute("INSERT INTO UTestA VALUES (2, 1), (3, 1)")
+    glue.execute("INSERT INTO UTestB VALUES (1, 1)")
+    glue.execute("INSERT INTO UTestB VALUES (2, 2), (3, 3)")
+    # multiple NULLs are legal in a UNIQUE column
+    glue.execute("INSERT INTO UTestC VALUES (NULL, 1)")
+    glue.execute("INSERT INTO UTestC VALUES (2, 2), (NULL, 3)")
+    glue.execute("UPDATE UTestC SET id = 1 WHERE num = 1")
+    glue.execute("UPDATE UTestC SET id = NULL WHERE num = 1")
+    assert sorted(
+        glue.execute("SELECT num FROM UTestC WHERE id IS NULL").rows
+    ) == [(1,), (3,)]
+    for bad in (
+        "INSERT INTO UTestA VALUES (2, 2)",
+        "INSERT INTO UTestA VALUES (4, 4), (4, 5)",
+        "UPDATE UTestA SET id = 2 WHERE id = 1",
+        "INSERT INTO UTestB VALUES (1, 3)",
+    ):
+        with pytest.raises(EngineError):
+            glue.execute(bad)
+
+
+# --- tests/ability/insert/basic_insert.rs + api/csv.rs ---------------------
+
+
+def test_insert_variants_and_csv_export(glue):
+    glue.execute("DROP TABLE IF EXISTS ins_t; DROP TABLE IF EXISTS ins_s")
+    # trailing comma in the column list (reference's sqlparser tolerates it)
+    glue.execute("CREATE TABLE ins_t (a INTEGER, b TEXT,)")
+    glue.execute("CREATE TABLE ins_s (x INTEGER, y TEXT)")
+    glue.execute("INSERT INTO ins_s (x, y) VALUES (10, 'j')")
+    for sql, n in [
+        ("INSERT INTO ins_t VALUES (1, 'a')", 1),
+        ("INSERT INTO ins_t (a, b) VALUES (2, 'b')", 1),
+        ("INSERT INTO ins_t (a) VALUES (3)", 1),
+        ("INSERT INTO ins_t (b) VALUES ('c')", 1),
+        ("INSERT INTO ins_t SELECT * FROM ins_s", 1),
+        ("INSERT INTO ins_t (a, b) SELECT * FROM ins_s", 1),
+    ]:
+        p = glue.execute(sql)
+        assert p.kind == "Insert" and p.count == n, sql
+    assert glue.execute("SELECT COUNT(*) AS n FROM ins_t").rows == [(6,)]
+    # api/csv.rs: select_as_csv exact shape (header + newline rows)
+    glue.execute("DROP TABLE IF EXISTS capi")
+    glue.execute("CREATE TABLE capi (a INTEGER)")
+    glue.execute("INSERT INTO capi (a) VALUES (1)")
+    assert glue.execute("SELECT * FROM capi").as_csv() == "a\n1\n"
+    glue.execute("INSERT INTO capi VALUES (2),(3),(4),(5)")
+    assert (
+        glue.execute("SELECT * FROM capi ORDER BY a").as_csv()
+        == "a\n1\n2\n3\n4\n5\n"
+    )
+
+
 # --- tests/functionality/statement/data_query/values.rs --------------------
 
 
