@@ -833,3 +833,88 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("open_total"),
         )
     )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "groupingsets"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations in one pass —
+    Spark plans a single Expand + aggregate, scanning orders once)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("groupingsets",),
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent 1-d summaries + grand
+    total, one scan)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM t GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over a total order (tie-broken for determinism),
+    re-aggregated per bucket. The global sort is the scale cost — at
+    100 TB use approx quantile cutpoints instead of NTILE's single-ordered
+    window (see `approx_sketches`)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            F.ntile(4).over(w).alias("quartile"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        )
+    )
