@@ -91,3 +91,29 @@ def test_backend_conformance(backend, spark, tmp_path_factory):
         assert sorted(
             g2.execute(f"SELECT id, val FROM rk_{backend}.smoke").rows
         ) == [(1, 11), (3, 30), (4, 40)]
+
+
+def test_cross_database_insert_select(spark, tmp_path_factory):
+    """INSERT INTO db1.t SELECT ... FROM db2.t — write path and read path
+    each resolve through a different attached backend (reference
+    multi-database federation, src/glue/mod.rs:33-37)."""
+    base_a = tmp_path_factory.mktemp("xdb_a")
+    base_b = tmp_path_factory.mktemp("xdb_b")
+    _seed_file("parquet", str(base_a))
+    _seed_file("csv", str(base_b / "smoke.csv"))
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE da LOCATION '{base_a}/'")
+    g.execute(f"CREATE DATABASE db LOCATION '{base_b / 'smoke.csv'}'")
+    g.execute(
+        "INSERT INTO da.smoke (id, name, val)"
+        " SELECT id + 10, name, val * 2 FROM db.smoke WHERE val >= 20"
+    )
+    assert sorted(g.execute("SELECT id, val FROM da.smoke").rows) == [
+        (1, 10), (2, 20), (3, 30), (12, 40), (13, 60),
+    ]
+    # joined read across both backends after the write
+    out = g.execute(
+        "SELECT COUNT(*) AS n FROM da.smoke a"
+        " JOIN db.smoke b ON a.name = b.name"
+    )
+    assert out.rows == [(5,)]
