@@ -918,3 +918,32 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
         )
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey AS region,
+           list_sort(list(n_name)) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS csv_names
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array and ordered string aggregation. Arrays are sorted
+    post-collect (collect_list order is partition-dependent — the
+    deterministic form is the only one that hash-matches across engines,
+    and the only one that's reproducible at scale at all)."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    return (
+        t["nation"]
+        .groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("csv_names"),
+        )
+    )
