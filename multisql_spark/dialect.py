@@ -288,7 +288,19 @@ def _xform_nullif(args: list[str]) -> str:
     return f"nullif(({args[0]}), ({args[1]}))"
 
 
+def _xform_avg(args: list[str]) -> str:
+    """Reference AVG is rewritten at plan time to SUM(x)/COUNT(x)
+    (src/data/recipe/new.rs:117-129,183-193) — integer division when the
+    column is integral. Emitting the same decomposition lets the engine's
+    int-division rewrite reproduce it exactly."""
+    if len(args) != 1:
+        raise ValueError(f"AVG takes 1 argument, found {len(args)}")
+    a = args[0]
+    return f"(SUM({a}) / COUNT({a}))"
+
+
 _CALL_TRANSFORMS = {
+    "AVG": _xform_avg,
     "DATEADD": _xform_dateadd,
     "DATEFROMPARTS": _xform_datefromparts,
     "CONVERT": lambda a: _convert_expr(a, try_=False),
@@ -655,6 +667,85 @@ def _bare_join_on_true(
     return out
 
 
+_AGG_FN_NAMES = {"SUM", "COUNT", "MIN", "MAX", "AVG", "FIRST", "ANY_VALUE"}
+
+_GROUP_END_KWS = {"HAVING", "ORDER", "LIMIT", "OFFSET",
+                  "UNION", "EXCEPT", "INTERSECT"}
+
+
+def _loose_group_by(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """The reference allows non-grouped, non-aggregate select items under
+    GROUP BY, resolved against the group's first accumulated row
+    (src/executor/query/select/mod.rs:149-183 evaluates select recipes on
+    the rows that seeded each group). Spark requires every select item to
+    aggregate or group; wrap bare-column items in ``first(col) AS col``.
+
+    Conservative: applies only to a statement that starts with SELECT,
+    has a single depth-0 GROUP BY (no depth-0 set operations), and only
+    rewrites items that are plain (possibly dotted) identifiers."""
+    if not tokens or tokens[0][1].upper() != "SELECT":
+        return tokens
+    depth = 0
+    from_i = group_i = -1
+    for i, (kind, text) in enumerate(tokens):
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident":
+            up = text.upper()
+            if up == "FROM" and from_i < 0:
+                from_i = i
+            elif up == "GROUP" and i + 1 < len(tokens) \
+                    and tokens[i + 1][1].upper() == "BY":
+                group_i = i
+            elif up in ("UNION", "EXCEPT", "INTERSECT"):
+                return tokens
+    if from_i < 0 or group_i < 0:
+        return tokens
+    group_end = len(tokens)
+    depth = 0
+    for i in range(group_i + 2, len(tokens)):
+        kind, text = tokens[i]
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident" and text.upper() in _GROUP_END_KWS:
+            group_end = i
+            break
+    norm = lambda toks: untokenize(toks).lower().replace(" ", "")
+    group_exprs = {norm(g) for g in
+                   _split_args(tokens[group_i + 2:group_end])}
+    # also admit the bare column name of dotted group exprs (t.c ≡ c)
+    group_exprs |= {g.rsplit(".", 1)[-1] for g in group_exprs}
+
+    items = _split_args(tokens[1:from_i])
+    rebuilt: list[tuple[str, str]] = [tokens[0]]
+    changed = False
+    for n, item in enumerate(items):
+        if n:
+            rebuilt.append(("op", ","))
+        is_bare = all(t[0] == "ident" or t[1] == "." for t in item) and \
+            item and item[-1][0] == "ident" and \
+            item[0][1].upper() not in ("DISTINCT", "ALL") and \
+            not any(t[1].upper() in _AGG_FN_NAMES for t in item)
+        key = norm(item)
+        if is_bare and key not in group_exprs \
+                and key.rsplit(".", 1)[-1] not in group_exprs:
+            label = item[-1][1]
+            rebuilt.extend(tokenize(
+                f"first({untokenize(item)}) AS {label}"
+            ))
+            changed = True
+        else:
+            rebuilt.extend(item)
+    if not changed:
+        return tokens
+    rebuilt.extend(tokens[from_i:])
+    return rebuilt
+
+
 def _rewrite_values_statement(
     tokens: list[tuple[str, str]]
 ) -> list[tuple[str, str]]:
@@ -687,6 +778,7 @@ def rewrite(
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _rewrite_cast_types(tokens)
     tokens = _bare_join_on_true(tokens)
+    tokens = _loose_group_by(tokens)
     tokens = _transform(tokens)
     tokens = _floatify_literals(tokens)
     if int_division:

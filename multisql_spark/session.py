@@ -98,6 +98,36 @@ def _spark_type(t: str) -> T.DataType:
     }[t]
 
 
+_INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+# declared type → incoming Spark types accepted on write, mirroring the
+# reference's Value::is (src/data/value/mod.rs:232-260): exact type, or the
+# I64→F64 / I64↔Timestamp auto-widenings; everything else is
+# IncompatibleDataType
+_WRITE_COMPAT: dict[str, tuple] = {
+    "boolean": (T.BooleanType,),
+    "bigint": _INTEGRAL + (T.TimestampType,),
+    "double": _INTEGRAL + (T.DoubleType, T.FloatType, T.DecimalType),
+    "string": (T.StringType,),
+    "timestamp": (T.TimestampType,) + _INTEGRAL,
+}
+
+
+def _check_write_type(
+    cdef: ColumnDef, incoming: T.DataType, ctx: str
+) -> None:
+    if isinstance(incoming, T.NullType):
+        return
+    allowed = _WRITE_COMPAT.get(cdef.type_str)
+    if allowed is None:  # adapter-inferred exotic type: no declared contract
+        return
+    if not isinstance(incoming, allowed):
+        raise EngineError(
+            f"incompatible data type for {ctx}.{cdef.name}:"
+            f" {incoming.simpleString()} into {cdef.type_str}"
+        )
+
+
 # --- statement splitting ----------------------------------------------------
 
 
@@ -380,7 +410,13 @@ class MultiSQLSession:
             type_m = re.match(r"(UNSIGNED\s+INT|[A-Z]+)", rest)
             if type_m and type_m.group(1) in _TYPE_MAP:
                 col.type_str = _TYPE_MAP[type_m.group(1)]
-            col.not_null = "NOT NULL" in rest or "PRIMARY KEY" in rest
+            # reference nullability (src/data/column.rs:36-38): columns are
+            # NOT NULL unless an explicit bare NULL option is present
+            col.not_null = (
+                "NOT NULL" in rest
+                or "PRIMARY KEY" in rest
+                or not re.search(r"(?<!NOT )\bNULL\b", rest)
+            )
             col.unique = "UNIQUE" in rest or "PRIMARY KEY" in rest
             col.auto_increment = "AUTO_INCREMENT" in rest or "AUTOINCREMENT" in rest
             dm = re.search(r"DEFAULT\s+(.+?)(?:\s+(?:NOT\s+NULL|UNIQUE|PRIMARY|AUTO_INCREMENT)|$)",
@@ -504,6 +540,13 @@ class MultiSQLSession:
         mapping → defaults → AUTO_INCREMENT → type coercion → NOT NULL →
         UNIQUE → append."""
         n_in = incoming.count()
+        # stated columns must exist (reference ValidateError::ColumnNotFound,
+        # validate.rs:30-44) and carry compatible types (value/mod.rs:232-260)
+        for s, field in zip(stated, incoming.schema.fields):
+            cdef = state.column(s)
+            if cdef is None:
+                raise EngineError(f"column not found: {s}")
+            _check_write_type(cdef, field.dataType, state.name)
         cols = []
         stated_lower = [s.lower() for s in stated]
         for cdef in state.columns:
@@ -605,6 +648,15 @@ class MultiSQLSession:
                 self._rewrite_fragment(expr.strip())
             )
         n = state.df.filter(cond).count()
+        # validate assignment targets and types before touching state
+        # (reference update.rs runs Value::is / validate_null per row)
+        probe = state.df.limit(0)
+        for col, expr in assignments.items():
+            cdef = state.column(col)
+            if cdef is None:
+                raise EngineError(f"column not found: {col}")
+            ptype = probe.select(expr.alias("_p")).schema[0].dataType
+            _check_write_type(cdef, ptype, state.name)
         new_cols = []
         for cdef in state.columns:
             old = F.col(cdef.name)
@@ -617,11 +669,17 @@ class MultiSQLSession:
                 new_cols.append(new.alias(cdef.name))
             else:
                 new_cols.append(old)
-        state.df = state.df.select(*new_cols)
+        candidate = state.df.select(*new_cols)
+        for cdef in state.columns:
+            if cdef.not_null and cdef.name.lower() in assignments:
+                if candidate.filter(F.col(cdef.name).isNull()).count():
+                    raise EngineError(
+                        f"NOT NULL violated for {state.name}.{cdef.name}"
+                    )
         for cdef in state.columns:
             if cdef.unique and cdef.name.lower() in assignments:
                 dups = (
-                    state.df.filter(F.col(cdef.name).isNotNull())
+                    candidate.filter(F.col(cdef.name).isNotNull())
                     .groupBy(cdef.name)
                     .count()
                     .filter("count > 1")
@@ -631,6 +689,7 @@ class MultiSQLSession:
                     raise EngineError(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
+        state.df = candidate
         self._register(state)
         return Payload.affected("Update", n)
 
@@ -746,7 +805,33 @@ class MultiSQLSession:
             return Payload.success("AlterTable")
         m2 = re.match(r"ADD\s+(?:COLUMN\s+)?(.*)$", au, re.IGNORECASE | re.DOTALL)
         if m2 and not au.upper().startswith("ADD CONSTRAINT"):
-            cdef = self._parse_columns(m2.group(1))[0]
+            src = m2.group(1).strip()
+            # reference AlterError::UnsupportedColumnOption (alter_table.rs)
+            if re.search(r"\bCHECK\b", src, re.IGNORECASE):
+                raise EngineError("unsupported column option: CHECK")
+            # reference AlterError::UnsupportedDataType
+            tm = re.match(
+                r'"?\w+"?\s+(UNSIGNED\s+INT|\w+)', src, re.IGNORECASE
+            )
+            if not tm or tm.group(1).upper() not in _TYPE_MAP:
+                raise EngineError(
+                    f"unsupported data type in ADD COLUMN: {src[:40]}"
+                )
+            cdef = self._parse_columns(src)[0]
+            # reference AlterTableError::AddingColumnAlreadyExists
+            if state.column(cdef.name) is not None:
+                raise EngineError(f"column already exists: {cdef.name}")
+            # reference AlterTableError::DefaultValueRequired: a NOT NULL
+            # column added to a non-empty table needs a DEFAULT
+            if (
+                cdef.default is None
+                and cdef.not_null
+                and not cdef.auto_increment
+                and state.df.count() > 0
+            ):
+                raise EngineError(
+                    f"default value required to add column {cdef.name}"
+                )
             default = (
                 F.expr(self._rewrite_fragment(cdef.default))
                 if cdef.default is not None
@@ -758,9 +843,16 @@ class MultiSQLSession:
             )
             self._register(state)
             return Payload.success("AlterTable")
-        m2 = re.match(r"DROP\s+(?:COLUMN\s+)?(\w+)", au, re.IGNORECASE)
+        m2 = re.match(
+            r"DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?(\w+)", au, re.IGNORECASE
+        )
         if m2:
-            col = m2.group(1)
+            if_exists, col = m2.groups()
+            if state.column(col) is None:
+                if if_exists:
+                    return Payload.success("AlterTable")
+                # reference AlterTableError::DroppingColumnNotFound
+                raise EngineError(f"column not found: {col}")
             state.columns = [
                 c for c in state.columns if c.name.lower() != col.lower()
             ]
@@ -798,15 +890,36 @@ class MultiSQLSession:
             rows = [(line,) for line in plan.splitlines() if line.strip()]
             return Payload(kind="Select", labels=["plan"], rows=rows)
         if target.upper() == "ALL":
-            rows = [(d,) for d in sorted(self.databases)] or [("default",)]
+            # the managed (temp-view) store is the reference's default
+            # database, named "main" (tests/databases/sled.rs Glue::new)
+            rows = [("main",)] + [(d,) for d in sorted(self.databases)]
             return Payload(kind="Select", labels=["database"], rows=rows)
         if target.upper() == "ALL_TABLE":
-            rows = [(t,) for t in sorted(self.tables)]
+            rows = [
+                ("main", t) for t in sorted(self.tables) if "__" not in t
+            ]
+            for db in sorted(self.databases):
+                rows += [
+                    (db, t)
+                    for t in sorted(self.databases[db].table_names())
+                ]
+            return Payload(
+                kind="Select", labels=["database", "table"], rows=rows
+            )
+        if tl == "main" and tl not in self.tables:
+            rows = [(t,) for t in sorted(self.tables) if "__" not in t]
             return Payload(kind="Select", labels=["table"], rows=rows)
+        if tl.startswith("main.") and tl[5:] in self.tables:
+            tl = tl[5:]
         if tl in self.tables:
             state = self.tables[tl]
-            rows = [(c.name, c.type_str) for c in state.columns]
-            return Payload(kind="Select", labels=["column", "type"], rows=rows)
+            rows = [
+                (c.name, _VALUETYPE_DISPLAY.get(c.type_str, c.type_str))
+                for c in state.columns
+            ]
+            return Payload(
+                kind="Select", labels=["column", "data_type"], rows=rows
+            )
         if target in self.databases:
             adapter = self.databases[target]
             rows = [(t,) for t in sorted(adapter.table_names())]
