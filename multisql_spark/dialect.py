@@ -726,16 +726,30 @@ def _loose_group_by(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     for n, item in enumerate(items):
         if n:
             rebuilt.append(("op", ","))
-        is_bare = all(t[0] == "ident" or t[1] == "." for t in item) and \
-            item and item[-1][0] == "ident" and \
-            item[0][1].upper() not in ("DISTINCT", "ALL") and \
-            not any(t[1].upper() in _AGG_FN_NAMES for t in item)
-        key = norm(item)
+        # split an explicit depth-0 `expr AS alias` so only the expression
+        # is wrapped (``i AS g`` must become ``first(i) AS g``, never
+        # ``first(i AS g)``)
+        expr, label = item, None
+        d = 0
+        for j, (kind, text) in enumerate(item):
+            if text == "(":
+                d += 1
+            elif text == ")":
+                d -= 1
+            elif d == 0 and kind == "ident" and text.upper() == "AS" \
+                    and j + 1 < len(item):
+                expr, label = item[:j], item[j + 1][1]
+                break
+        is_bare = all(t[0] == "ident" or t[1] == "." for t in expr) and \
+            expr and expr[-1][0] == "ident" and \
+            expr[0][1].upper() not in ("DISTINCT", "ALL") and \
+            not any(t[1].upper() in _AGG_FN_NAMES for t in expr)
+        key = norm(expr)
         if is_bare and key not in group_exprs \
                 and key.rsplit(".", 1)[-1] not in group_exprs:
-            label = item[-1][1]
+            out_label = label or expr[-1][1]
             rebuilt.extend(tokenize(
-                f"first({untokenize(item)}) AS {label}"
+                f"first({untokenize(expr)}) AS {out_label}"
             ))
             changed = True
         else:

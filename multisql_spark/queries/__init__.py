@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from functools import wraps
 
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -36,10 +39,34 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def canonical_output(df: DataFrame) -> DataFrame:
+    """Cast DecimalType result columns to DOUBLE at the output boundary.
+
+    Aggregates accumulate as DECIMAL internally (exact, order-independent)
+    but the driver canonicalizes results via pandas, where
+    ``Decimal('221589.00')`` vs the oracle's float64 ``221589.0`` is a
+    trailing-zero string mismatch.  Every oracle mirrors this with
+    ``CAST(... AS DOUBLE)`` on its decimal aggregates."""
+    cols = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
+
+
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        @wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return canonical_output(fn(spark, sf_dir))
+
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+            name=name, fn=wrapped, oracle=oracle, tags=tags,
+            doc=fn.__doc__ or ""
         )
         return fn
 

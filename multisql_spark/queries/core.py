@@ -113,10 +113,10 @@ def projection_case_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
-      SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
-      SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
-        AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       ROUND(AVG(l_quantity), 4) AS avg_qty,
       ROUND(AVG(l_discount), 4) AS avg_disc,
       COUNT(*) AS count_order
@@ -160,7 +160,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(l_quantity) AS BIGINT) AS n_qty,
       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
       CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
-      SUM(CAST(l_extendedprice AS {DEC})) AS sum_price,
+      CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price,
       ROUND(AVG(l_extendedprice), 4) AS avg_price
     FROM lineitem
     """,
@@ -185,7 +185,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_having",
     oracle=f"""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS {DEC})) AS total_spend
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) > 5
@@ -213,7 +213,7 @@ def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            o_orderstatus,
            COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS {DEC})) AS total
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -257,7 +257,7 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner_agg",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
-           SUM(CAST(o.o_totalprice AS {DEC})) AS spend
+           CAST(SUM(CAST(o.o_totalprice AS {DEC})) AS DOUBLE) AS spend
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -394,8 +394,8 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multi_revenue",
     oracle=f"""
     SELECT n.n_name,
-           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-               AS DECIMAL(18,4))) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -643,7 +643,7 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, SUM(CAST(o_totalprice AS {DEC})) AS total
       FROM big_orders GROUP BY o_custkey
     )
-    SELECT c.c_name, s.total
+    SELECT c.c_name, CAST(s.total AS DOUBLE) AS total
     FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
     WHERE s.total > 500000
     """,
@@ -739,10 +739,11 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_lag",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS {DEC})) OVER (
+           CAST(SUM(CAST(o_totalprice AS {DEC})) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running,
            LAG(o_orderkey) OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate, o_orderkey) AS prev_ok,
            CAST(RANK() OVER (PARTITION BY o_custkey
@@ -803,8 +804,8 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
-      SUM(CAST(o_totalprice AS {DEC})) FILTER (WHERE o_orderstatus = 'O')
-        AS open_total
+      CAST(SUM(CAST(o_totalprice AS {DEC}))
+        FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
     FROM orders
     GROUP BY 1
     """,
@@ -839,7 +840,7 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -892,7 +893,7 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT quartile, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM t GROUP BY quartile
     """,
     tags=("window", "ntile"),
@@ -924,7 +925,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey AS region,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS csv_names
     FROM nation
     GROUP BY n_regionkey
@@ -935,13 +936,18 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-to-array and ordered string aggregation. Arrays are sorted
     post-collect (collect_list order is partition-dependent — the
     deterministic form is the only one that hash-matches across engines,
-    and the only one that's reproducible at scale at all)."""
+    and the only one that's reproducible at scale at all). The array is
+    emitted as a '|'-joined string: the driver's pandas canonicalizer
+    cannot hash list cells (test_oracle_parity keeps an array-form
+    assertion locally)."""
     t = load_tables(spark, sf_dir, ["nation"])
     return (
         t["nation"]
         .groupBy(F.col("n_regionkey").alias("region"))
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), "|"
+            ).alias("nations"),
             F.array_join(
                 F.sort_array(F.collect_list("n_name")), ","
             ).alias("csv_names"),

@@ -34,7 +34,7 @@ _EPOCH = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
     SELECT ({_EPOCH} // 3600) * 3600 AS hour_start,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            MAX(value) AS max_value
     FROM events
     GROUP BY 1, 2
@@ -213,7 +213,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -257,7 +257,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CAST(m.weight AS DECIMAL(18,2))) AS total_weight
+           CAST(SUM(CAST(m.weight AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_weight
     FROM events e
     JOIN (
       VALUES ('click', 1.5), ('view', 1.0), ('purchase', 10.0),
@@ -313,10 +314,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(label AS BIGINT) AS label,
            COUNT(*) AS n,
-           SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)))
-             AS c0_sum,
-           SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9)))
-             AS c1_sum
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) AS c0_sum,
+           CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9)))
+             AS DOUBLE) AS c1_sum
     FROM embeddings
     GROUP BY label
     """,

@@ -28,7 +28,7 @@ _EPOCH = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
       ({_EPOCH} // 300) * 300 AS win_start,
       event_type,
       COUNT(*) AS n,
-      SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -84,7 +84,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(date_part('epoch', MIN(ts))) AS BIGINT) AS sess_start,
            CAST(user_id AS BIGINT) AS user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, sess_id
     """,

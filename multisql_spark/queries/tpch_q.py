@@ -98,7 +98,8 @@ def tpch_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -169,7 +170,8 @@ def tpch_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_name, o.o_orderkey,
            CAST(floor(date_part('epoch', o.o_orderdate)) AS BIGINT)
              AS o_date,
-           SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -656,7 +656,27 @@ class MultiSQLSession:
             if cdef is None:
                 raise EngineError(f"column not found: {col}")
             ptype = probe.select(expr.alias("_p")).schema[0].dataType
-            _check_write_type(cdef, ptype, state.name)
+            try:
+                _check_write_type(cdef, ptype, state.name)
+            except EngineError:
+                # Reference int `/` int stays I64 (binary.rs:66-92), but the
+                # dialect's runtime-dispatch division CASE is statically
+                # DOUBLE-typed.  Accept a fractional-typed assignment into an
+                # integral column when every assigned value is integral
+                # (DIVERGENCES: `SET id = 3.0` is likewise accepted).
+                if cdef.type_str == "bigint" and isinstance(
+                    ptype, (T.DoubleType, T.FloatType, T.DecimalType)
+                ):
+                    frac = (
+                        state.df.filter(cond)
+                        .select(expr.alias("_p"))
+                        .filter("_p IS NOT NULL AND _p != floor(_p)")
+                        .count()
+                    )
+                    if frac:
+                        raise
+                else:
+                    raise
         new_cols = []
         for cdef in state.columns:
             old = F.col(cdef.name)
@@ -913,10 +933,7 @@ class MultiSQLSession:
             tl = tl[5:]
         if tl in self.tables:
             state = self.tables[tl]
-            rows = [
-                (c.name, _VALUETYPE_DISPLAY.get(c.type_str, c.type_str))
-                for c in state.columns
-            ]
+            rows = [(c.name, c.type_str) for c in state.columns]
             return Payload(
                 kind="Select", labels=["column", "data_type"], rows=rows
             )

@@ -39,7 +39,10 @@ def engines(spark):
 
     glue = MultiSQLSession(spark)
     glue.execute("DROP TABLE IF EXISTS prop")
-    glue.execute("CREATE TABLE prop (i INTEGER, j INTEGER, s TEXT, b BOOLEAN)")
+    glue.execute(
+        "CREATE TABLE prop (i INTEGER NULL, j INTEGER NULL, s TEXT NULL,"
+        " b BOOLEAN NULL)"
+    )
     for i, j, s, b in ROWS:
         vals = ", ".join(
             "NULL"

@@ -98,7 +98,7 @@ def test_index_filter_general(glue):
 def test_nullable(glue):
     glue.execute("DROP TABLE IF EXISTS NullTest")
     glue.execute(
-        "CREATE TABLE NullTest (id INTEGER, num INTEGER, name TEXT)"
+        "CREATE TABLE NullTest (id INTEGER NULL, num INTEGER, name TEXT)"
     )
     glue.execute(
         "INSERT INTO NullTest (id, num, name) VALUES"
@@ -127,7 +127,7 @@ def test_column_option_types(glue):
     glue.execute("DROP TABLE IF EXISTS Typed")
     glue.execute(
         "CREATE TABLE Typed (b BOOLEAN, i INTEGER, f FLOAT, t TEXT,"
-        " ts TIMESTAMP)"
+        " ts TIMESTAMP NULL)"
     )
     glue.execute(
         "INSERT INTO Typed (b, i, f, t, ts) VALUES"

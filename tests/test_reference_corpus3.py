@@ -170,7 +170,8 @@ def test_unique_null_semantics(glue):
     glue.execute(
         "CREATE TABLE UTestB (id INTEGER UNIQUE, num INTEGER UNIQUE)"
     )
-    glue.execute("CREATE TABLE UTestC (id INTEGER UNIQUE, num INTEGER)")
+    # reference unique.rs:26-29: TestC is `id INTEGER NULL UNIQUE`
+    glue.execute("CREATE TABLE UTestC (id INTEGER NULL UNIQUE, num INTEGER)")
     glue.execute("INSERT INTO UTestA VALUES (1, 1)")
     glue.execute("INSERT INTO UTestA VALUES (2, 1), (3, 1)")
     glue.execute("INSERT INTO UTestB VALUES (1, 1)")
@@ -199,8 +200,9 @@ def test_unique_null_semantics(glue):
 def test_insert_variants_and_csv_export(glue):
     glue.execute("DROP TABLE IF EXISTS ins_t; DROP TABLE IF EXISTS ins_s")
     # trailing comma in the column list (reference's sqlparser tolerates it)
-    glue.execute("CREATE TABLE ins_t (a INTEGER, b TEXT,)")
-    glue.execute("CREATE TABLE ins_s (x INTEGER, y TEXT)")
+    # reference basic_insert.rs:6-16: nullable columns
+    glue.execute("CREATE TABLE ins_t (a INTEGER NULL, b TEXT NULL,)")
+    glue.execute("CREATE TABLE ins_s (x INTEGER NULL, y TEXT NULL)")
     glue.execute("INSERT INTO ins_s (x, y) VALUES (10, 'j')")
     for sql, n in [
         ("INSERT INTO ins_t VALUES (1, 'a')", 1),

@@ -35,7 +35,8 @@ def one(glue, sql):
 
 def test_upper_lower(glue):
     glue.execute("DROP TABLE IF EXISTS ULItem")
-    glue.execute("CREATE TABLE ULItem (name TEXT, opt_name TEXT)")
+    # reference upper_lower.rs:6: opt_name is nullable
+    glue.execute("CREATE TABLE ULItem (name TEXT, opt_name TEXT NULL)")
     glue.execute(
         "INSERT INTO ULItem VALUES ('abcd', 'efgi'), ('Abcd', NULL),"
         " ('ABCD', 'EfGi')"

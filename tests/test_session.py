@@ -125,7 +125,8 @@ def test_views_and_explain(glue):
     glue.execute("CREATE VIEW v_big AS SELECT a FROM vt WHERE a > 1")
     assert glue.execute("SELECT * FROM v_big").count == 2
     tables = glue.execute("EXPLAIN ALL_TABLE")
-    assert ("vt",) in tables.rows
+    # reference explain.rs:26-40: ALL_TABLE rows are (database, table)
+    assert ("main", "vt") in tables.rows
     cols = glue.execute("EXPLAIN vt")
     assert ("a", "bigint") in cols.rows
     # beyond-reference: EXPLAIN <query> returns the Spark physical plan
