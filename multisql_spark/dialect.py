@@ -780,6 +780,139 @@ def _rewrite_values_statement(
     return tokenize(" UNION ALL ".join(selects))
 
 
+_CLAUSE_KWS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "UNION", "EXCEPT", "INTERSECT",
+}
+
+
+def _label_select_items(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Reference label parity for unaliased top-level SELECT items
+    (src/data/recipe/planned.rs:252-274 via refine_item.rs:15):
+
+    - bare column → its column name; when the query reads more than one
+      table (plan/mod.rs:58 ``include_table = joins.len() != 1``) a
+      dotted ``t.c`` keeps the ``table.column`` label;
+    - any other expression → ``unnamed_{i}``.
+
+    Conservative: top-level statement only; items with an explicit or
+    implicit alias are left untouched."""
+    if not tokens or tokens[0][1].upper() != "SELECT":
+        return tokens
+    depth = 0
+    list_start = 1
+    if len(tokens) > 1 and tokens[1][1].upper() in ("DISTINCT", "ALL"):
+        list_start = 2
+    list_end = len(tokens)
+    from_i = -1
+    for i in range(list_start, len(tokens)):
+        kind, text = tokens[i]
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident" and text.upper() in _CLAUSE_KWS:
+            list_end = i
+            if text.upper() == "FROM":
+                from_i = i
+            break
+    # multi-table iff the depth-0 FROM clause holds >1 relation
+    multi_table = False
+    if from_i >= 0:
+        d = 0
+        for i in range(from_i + 1, len(tokens)):
+            kind, text = tokens[i]
+            if text == "(":
+                d += 1
+            elif text == ")":
+                d -= 1
+            elif d == 0:
+                up = text.upper()
+                if kind == "ident" and up in (
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                ):
+                    break
+                if text == "," or (kind == "ident" and up == "JOIN"):
+                    multi_table = True
+    items = _split_args(tokens[list_start:list_end])
+    rebuilt: list[tuple[str, str]] = tokens[:list_start]
+    changed = False
+    for n, item in enumerate(items):
+        if n:
+            rebuilt.append(("op", ","))
+        if not item or any(t[1] == "*" for t in item):
+            rebuilt.extend(item)
+            continue
+        # explicit alias?
+        d = 0
+        has_alias = False
+        for j, (kind, text) in enumerate(item):
+            if text == "(":
+                d += 1
+            elif text == ")":
+                d -= 1
+            elif d == 0 and kind == "ident" and text.upper() == "AS":
+                has_alias = True
+                break
+        # implicit alias: trailing ident directly after a value token or
+        # closing paren (`COUNT(1) c`, `num total`); `t . c` stays a path
+        if (
+            not has_alias
+            and len(item) >= 2
+            and item[-1][0] == "ident"
+            and item[-2][1] not in (".",)
+            and (
+                item[-2][0] in ("ident", "number", "string", "qident")
+                or item[-2][1] == ")"
+            )
+        ):
+            has_alias = True
+        if has_alias:
+            rebuilt.extend(item)
+            continue
+        bare = all(t[0] == "ident" or t[1] == "." for t in item)
+        if bare and len(item) == 1:
+            rebuilt.extend(item)  # plain column: Spark label == name
+        elif bare and len(item) == 3 and item[1][1] == ".":
+            if multi_table:
+                rebuilt.extend(item)
+                rebuilt.append(("ident", "AS"))
+                rebuilt.append(("qident", f"`{item[0][1]}.{item[2][1]}`"))
+                changed = True
+            else:
+                rebuilt.extend(item)  # single table: bare column name
+        else:
+            rebuilt.extend(item)
+            rebuilt.append(("ident", "AS"))
+            rebuilt.append(("ident", f"unnamed_{n}"))
+            changed = True
+    if not changed:
+        return tokens
+    rebuilt.extend(tokens[list_end:])
+    return rebuilt
+
+
+def _strip_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Accept-and-ignore ``SELECT TOP n`` like the reference, which
+    destructures the parsed TOP clause away
+    (src/executor/query/select/manual/mod.rs:48 binds ``top: _``)."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        out.append((kind, text))
+        if kind == "ident" and text.upper() == "SELECT" \
+                and i + 2 < len(tokens) \
+                and tokens[i + 1][1].upper() == "TOP" \
+                and tokens[i + 2][0] == "number":
+            i += 3
+            continue
+        i += 1
+    return out
+
+
 def rewrite(
     sql: str,
     variables: dict[str, str] | None = None,
@@ -788,10 +921,12 @@ def rewrite(
 ) -> str:
     """Rewrite a MultiSQL-dialect query into Spark SQL."""
     tokens = tokenize(sql)
+    tokens = _strip_top(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _rewrite_cast_types(tokens)
     tokens = _bare_join_on_true(tokens)
+    tokens = _label_select_items(tokens)
     tokens = _loose_group_by(tokens)
     tokens = _transform(tokens)
     tokens = _floatify_literals(tokens)

@@ -99,39 +99,39 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws("|", *parts)).alias("band_key"),
             )
         )
+    # the band join carries ids ONLY — at billions of docs the shuffle
+    # payload is (id, band_key), not k signature columns per side; the
+    # per-pair dedup is a 2-column distinct.  Signatures are fetched back
+    # afterwards by two keyed id-joins for the agreement estimate.
     exploded = sig_df.select(
         F.col(id_col),
-        *[F.col(f"sig_{i}") for i in range(1, k + 1)],
         F.explode(F.array(*band_keys)).alias("bk"),
     ).select(
         F.col(id_col),
-        *[F.col(f"sig_{i}") for i in range(1, k + 1)],
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
     )
     left = exploded.select(
-        F.col(id_col).alias("doc_a"),
-        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, k + 1)],
-        "band_id",
-        "band_key",
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
     )
     right = exploded.select(
-        F.col(id_col).alias("doc_b"),
-        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, k + 1)],
-        "band_id",
-        "band_key",
+        F.col(id_col).alias("doc_b"), "band_id", "band_key"
     )
-    matches = (
+    pairs = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            *[F.col(f"la_{i}") for i in range(1, k + 1)],
-            *[F.col(f"lb_{i}") for i in range(1, k + 1)],
-        )
+        .select("doc_a", "doc_b")
         .distinct()  # a pair may share several bands
     )
+    sig_a = sig_df.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, k + 1)],
+    )
+    sig_b = sig_df.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, k + 1)],
+    )
+    matches = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
     agree = sum(
         F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
         for i in range(1, k + 1)

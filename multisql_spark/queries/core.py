@@ -459,11 +459,21 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication, build side only hashes keys)."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     c, o = t["customer"], t["orders"]
-    big = o.filter(F.col("o_totalprice") > 200000)
-    n_semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").count()
-    n_anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(n_semi, n_anti)], "n_with_big_order long, n_no_orders long"
+    # one lazy plan, no driver-side actions: orders pre-aggregates to one
+    # row per customer (semi ≡ has any row, anti ≡ no row), then a single
+    # left join + conditional aggregate answers both counts in one job
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_totalprice") > 200000).cast("int")).alias("has_big")
+    )
+    joined = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("has_big") == 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_with_big_order"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_no_orders"),
     )
 
 
@@ -899,21 +909,73 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile"),
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over a total order (tie-broken for determinism),
-    re-aggregated per bucket. The global sort is the scale cost — at
-    100 TB use approx quantile cutpoints instead of NTILE's single-ordered
-    window (see `approx_sketches`)."""
+    """NTILE(4) quartiles with no global single-partition sort.
+
+    ``NTILE(4) OVER (ORDER BY ...)`` forces every row through one reducer.
+    The scale-safe equivalent computed here is bit-exact to NTILE:
+
+    1. approx_percentile cutpoints split the key space into ~32 range
+       buckets (one small aggregate; cutpoints are literals thereafter);
+    2. row_number partitioned by bucket gives a local rank (the only
+       data-scale Window, partitioned — no single-reducer exchange);
+    3. per-bucket counts cumulate into offsets over the tiny (≤33-row)
+       aggregated frame, broadcast back; global rank = offset + local;
+    4. NTILE's bucket arithmetic (first N%4 buckets take one extra row)
+       in integer math on the exact rank.
+
+    Ties never straddle buckets: the bucket key is o_totalprice alone, so
+    equal keys share a bucket and the composite (price, orderkey) order
+    inside the partitioned window stays total."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ["orders"])
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return (
-        t["orders"]
-        .select(
-            F.ntile(4).over(w).alias("quartile"),
-            F.col("o_totalprice"),
+    o = t["orders"].select("o_totalprice", "o_orderkey")
+    probs = [i / 32 for i in range(1, 32)]
+    cuts = sorted(
+        set(
+            o.agg(
+                F.percentile_approx(
+                    "o_totalprice", F.lit(probs), F.lit(10000)
+                ).alias("c")
+            ).collect()[0]["c"]
         )
-        .groupBy("quartile")
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.lit(c), 1
+        ).otherwise(0)
+    w_local = W.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    local = o.withColumn("_pid", bucket).withColumn(
+        "_lr", F.row_number().over(w_local)
+    )
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_tiny = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_tiny), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_total"),
+    )
+    ranked = (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("_rank", F.col("_off") + F.col("_lr"))
+        .withColumn("_q", F.expr("_total div 4"))
+        .withColumn("_rem", F.expr("_total % 4"))
+        .withColumn(
+            "quartile",
+            F.expr(
+                "CAST(CASE WHEN _rank <= _rem * (_q + 1)"
+                " THEN (_rank + _q) div (_q + 1)"
+                " ELSE _rem + (_rank - _rem * (_q + 1) + _q - 1)"
+                "       div greatest(_q, 1) END AS INT)"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),

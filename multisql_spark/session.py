@@ -80,6 +80,11 @@ class TableState:
     # whole-file rewrite (src/databases/csv/mutable.rs)
     persist_path: str | None = None
     persist_kind: str | None = None  # parquet | csv | json
+    # mutations since the last lineage truncation; each INSERT/UPDATE/
+    # DELETE stacks a plan node onto df, so every N mutations the plan is
+    # cut with localCheckpoint (reference tables rewrite storage per
+    # mutation — our equivalent cost, paid only every Nth statement)
+    mutations: int = 0
 
     def column(self, name: str) -> ColumnDef | None:
         for c in self.columns:
@@ -201,7 +206,44 @@ class MultiSQLSession:
 
     def sql(self, sql: str) -> DataFrame:
         """Query path only — returns the lazy DataFrame."""
-        return self.spark.sql(self._rewrite(sql))
+        rewritten = self._rewrite(sql)
+        self._resolve_jdbc_views(rewritten)
+        return self.spark.sql(rewritten)
+
+    def _resolve_jdbc_views(self, sql_text: str) -> None:
+        """Register temp views for JDBC tables referenced as db__tbl.
+
+        The reference reflects remote schemas per-table on demand
+        (src/databases/odbc/base.rs fetch_schema); the Spark equivalent is
+        a lazy ``spark.read.jdbc`` relation — the remote query runs per
+        action with predicate pushdown, never materialized at attach."""
+        for dname, db in self.databases.items():
+            if db.kind != "jdbc":
+                continue
+            for m in re.finditer(
+                rf"\b{re.escape(dname)}__(\w+)\b", sql_text, re.IGNORECASE
+            ):
+                tbl = m.group(1)
+                if tbl in db.tables:
+                    continue
+                df = (
+                    self.spark.read.format("jdbc")
+                    .option("url", db.path)
+                    .option("dbtable", tbl)
+                    .load()
+                )
+                df.createOrReplaceTempView(f"{dname}__{tbl}")
+                db.tables[tbl] = df
+
+    def _jdbc_target(self, name: str):
+        """(SourceDatabase, table) when name addresses a jdbc database."""
+        if "." not in name:
+            return None
+        dbname, _, tbl = name.partition(".")
+        for dname, db in self.databases.items():
+            if dname.lower() == dbname.lower() and db.kind == "jdbc":
+                return db, tbl
+        return None
 
     def insert_vec(
         self, table: str, columns: list[str], rows: list[tuple]
@@ -506,6 +548,9 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse INSERT: {stmt[:80]}")
         name, cols_src, source = m.groups()
+        jt = self._jdbc_target(name)
+        if jt is not None:
+            return self._insert_jdbc(jt[0], jt[1], cols_src, source)
         state = self._table(name)
         stated = (
             [c.strip().strip('`"') for c in cols_src.split(",")]
@@ -525,6 +570,56 @@ class MultiSQLSession:
             df = df.toDF(*stated)
         return self._insert_df(state, df, stated)
 
+    def _insert_jdbc(
+        self, db, tbl: str, cols_src: str | None, source: str
+    ) -> Payload:
+        """JDBC (ODBC-equivalent) sink: batch append through the remote
+        driver, mirroring the reference's insert-only ODBC DBMut
+        (src/databases/odbc/mutable.rs — update/delete are unimplemented
+        there too).  Rows are written in driver-side batches by Spark's
+        JDBC writer (numPartitions × batchsize inserts)."""
+        remote = (
+            self.spark.read.format("jdbc")
+            .option("url", db.path)
+            .option("dbtable", tbl)
+            .load()
+        )
+        stated = (
+            [c.strip().strip('`"') for c in cols_src.split(",")]
+            if cols_src
+            else list(remote.columns)
+        )
+        src = source.strip()
+        if src.upper().startswith("VALUES"):
+            body = src[len("VALUES"):].strip()
+            alias_cols = ", ".join(stated)
+            df = self.spark.sql(
+                f"SELECT * FROM VALUES {self._rewrite_fragment(body)} "
+                f"AS __v({alias_cols})"
+            )
+        else:
+            df = self.sql(src)
+            df = df.toDF(*stated)
+        # align to the reflected remote schema; unstated columns get NULL
+        stated_lower = [s.lower() for s in stated]
+        cols = []
+        for f in remote.schema.fields:
+            if f.name.lower() in stated_lower:
+                src_col = F.col(stated[stated_lower.index(f.name.lower())])
+            else:
+                src_col = F.lit(None)
+            cols.append(src_col.cast(f.dataType).alias(f.name))
+        aligned = df.select(*cols)
+        n = aligned.count()
+        (
+            aligned.write.format("jdbc")
+            .option("url", db.path)
+            .option("dbtable", tbl)
+            .mode("append")
+            .save()
+        )
+        return Payload.affected("Insert", n)
+
     def _rewrite_fragment(self, fragment: str) -> str:
         return dialect.rewrite(
             fragment,
@@ -539,7 +634,6 @@ class MultiSQLSession:
         """Validation pipeline per reference validate.rs:46-99: position
         mapping → defaults → AUTO_INCREMENT → type coercion → NOT NULL →
         UNIQUE → append."""
-        n_in = incoming.count()
         # stated columns must exist (reference ValidateError::ColumnNotFound,
         # validate.rs:30-44) and carry compatible types (value/mod.rs:232-260)
         for s, field in zip(stated, incoming.schema.fields):
@@ -561,35 +655,59 @@ class MultiSQLSession:
             cols.append(src.cast(state.df.schema[cdef.name].dataType).alias(cdef.name))
         aligned = incoming.select(*cols)
 
+        # every per-batch constraint check folds into ONE aggregation job:
+        # row count, per-column NULL counts (NOT NULL), per-column
+        # duplicate detection among non-NULLs (UNIQUE: count - countDistinct;
+        # NULLs never collide, reference validate_unique.rs skips them),
+        # and the AUTO_INCREMENT fill count
+        checks: list = [F.count(F.lit(1)).alias("__n")]
         for cdef in state.columns:
+            nm = cdef.name
             if cdef.not_null and not cdef.auto_increment:
-                bad = aligned.filter(F.col(cdef.name).isNull()).count()
-                if bad:
-                    raise EngineError(
-                        f"NOT NULL violated for {state.name}.{cdef.name}"
+                checks.append(
+                    F.coalesce(
+                        F.sum(F.col(nm).isNull().cast("int")), F.lit(0)
+                    ).alias(f"__nn_{nm}")
+                )
+            if cdef.unique:
+                checks.append(
+                    (F.count(nm) - F.count_distinct(F.col(nm))).alias(
+                        f"__uq_{nm}"
                     )
+                )
+            if cdef.auto_increment:
+                checks.append(
+                    F.coalesce(
+                        F.sum(F.col(nm).isNull().cast("int")), F.lit(0)
+                    ).alias(f"__ai_{nm}")
+                )
+        stats = aligned.agg(*checks).collect()[0]
+        n_in = stats["__n"]
+        for cdef in state.columns:
+            if cdef.not_null and not cdef.auto_increment \
+                    and stats[f"__nn_{cdef.name}"]:
+                raise EngineError(
+                    f"NOT NULL violated for {state.name}.{cdef.name}"
+                )
         for cdef in state.columns:
             if cdef.unique:
-                # NULLs never collide (NULL != NULL) — reference
-                # validate_unique.rs skips them; multiple NULLs are legal
-                # in a UNIQUE column (tests/ability/column_option/unique.rs)
-                nn = aligned.filter(F.col(cdef.name).isNotNull())
-                dup_new = (
-                    nn.groupBy(cdef.name)
-                    .count()
-                    .filter("count > 1")
-                    .count()
-                )
-                # anti-join style check against existing rows
-                # (reference validate_unique.rs scan-sort-merge)
+                if stats[f"__uq_{cdef.name}"]:
+                    raise EngineError(
+                        f"UNIQUE violated for {state.name}.{cdef.name}"
+                    )
+                # collision against existing rows: one semi-join count per
+                # unique column (reference validate_unique.rs
+                # scan-sort-merge)
                 dup_old = (
-                    nn.join(
+                    aligned.filter(F.col(cdef.name).isNotNull())
+                    .join(
                         state.df.select(cdef.name),
                         on=cdef.name,
                         how="left_semi",
-                    ).count()
+                    )
+                    .count()
                 )
-                if dup_new or dup_old:
+                if dup_old:
                     raise EngineError(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
@@ -607,7 +725,7 @@ class MultiSQLSession:
                 # explicit 6 then auto gives 5, then 6 again)
                 need = aligned.filter(F.col(cdef.name).isNull())
                 have = aligned.filter(F.col(cdef.name).isNotNull())
-                n_fill = need.count()
+                n_fill = stats[f"__ai_{cdef.name}"]
                 if n_fill:
                     # dense sequential ids need a global row_number — fine
                     # at DML scale; documented tradeoff for 100 TB
@@ -623,8 +741,19 @@ class MultiSQLSession:
                 state.auto_counter[cdef.name] = start + n_fill
 
         state.df = state.df.unionByName(aligned)
+        self._bound_lineage(state)
         self._register(state)
         return Payload.affected("Insert", n_in)
+
+    # plan depth grows by one node per mutation; cut it every N statements
+    # so a long statement corpus doesn't accumulate an O(statements)
+    # analysis cost per subsequent query
+    _CHECKPOINT_EVERY = 32
+
+    def _bound_lineage(self, state: TableState) -> None:
+        state.mutations += 1
+        if state.mutations % self._CHECKPOINT_EVERY == 0:
+            state.df = state.df.localCheckpoint(eager=True)
 
     # -- UPDATE / DELETE / TRUNCATE ----------------------------------------
 
@@ -637,6 +766,10 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse UPDATE: {stmt[:80]}")
         name, sets_src, where = m.groups()
+        if self._jdbc_target(name) is not None:
+            # reference ODBC DBMut implements insert only
+            # (src/databases/odbc/mutable.rs)
+            raise EngineError("jdbc databases are insert-only")
         state = self._table(name)
         cond = (
             F.expr(self._rewrite_fragment(where)) if where else F.lit(True)
@@ -690,26 +823,39 @@ class MultiSQLSession:
             else:
                 new_cols.append(old)
         candidate = state.df.select(*new_cols)
+        # all post-assignment constraint checks in ONE aggregation job
+        checks: list = []
         for cdef in state.columns:
-            if cdef.not_null and cdef.name.lower() in assignments:
-                if candidate.filter(F.col(cdef.name).isNull()).count():
+            if cdef.name.lower() not in assignments:
+                continue
+            nm = cdef.name
+            if cdef.not_null:
+                checks.append(
+                    F.coalesce(
+                        F.sum(F.col(nm).isNull().cast("int")), F.lit(0)
+                    ).alias(f"__nn_{nm}")
+                )
+            if cdef.unique:
+                checks.append(
+                    (F.count(nm) - F.count_distinct(F.col(nm))).alias(
+                        f"__uq_{nm}"
+                    )
+                )
+        if checks:
+            stats = candidate.agg(*checks).collect()[0]
+            for cdef in state.columns:
+                if cdef.name.lower() not in assignments:
+                    continue
+                if cdef.not_null and stats[f"__nn_{cdef.name}"]:
                     raise EngineError(
                         f"NOT NULL violated for {state.name}.{cdef.name}"
                     )
-        for cdef in state.columns:
-            if cdef.unique and cdef.name.lower() in assignments:
-                dups = (
-                    candidate.filter(F.col(cdef.name).isNotNull())
-                    .groupBy(cdef.name)
-                    .count()
-                    .filter("count > 1")
-                    .count()
-                )
-                if dups:
+                if cdef.unique and stats[f"__uq_{cdef.name}"]:
                     raise EngineError(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
         state.df = candidate
+        self._bound_lineage(state)
         self._register(state)
         return Payload.affected("Update", n)
 
@@ -742,6 +888,8 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse DELETE: {stmt[:80]}")
         name, where = m.groups()
+        if self._jdbc_target(name) is not None:
+            raise EngineError("jdbc databases are insert-only")
         state = self._table(name)
         if where:
             cond = F.expr(self._rewrite_fragment(where))
@@ -750,6 +898,7 @@ class MultiSQLSession:
         else:
             n = state.df.count()
             state.df = state.df.limit(0)
+        self._bound_lineage(state)
         self._register(state)
         return Payload.affected("Delete", n)
 

@@ -234,3 +234,41 @@ def test_values_statement(glue):
     out = glue.execute("VALUES (1, 'a'), (2, 'b')")
     assert out.labels == ["unnamed_0", "unnamed_1"]
     assert sorted(out.rows) == [(1, "a"), (2, "b")]
+
+
+# --- reference TOP clause: parsed and ignored (manual/mod.rs:48) ------------
+
+
+def test_top_accepted_and_ignored(glue):
+    glue.execute("DROP TABLE IF EXISTS topt")
+    glue.execute("CREATE TABLE topt (a INTEGER)")
+    glue.execute("INSERT INTO topt (a) VALUES (1),(2),(3)")
+    # reference binds `top: _` — all rows come back despite TOP 1
+    assert sorted(glue.execute("SELECT TOP 1 a FROM topt").rows) == [
+        (1,), (2,), (3,)
+    ]
+
+
+# --- reference label semantics (planned.rs:252-274, refine_item.rs) ---------
+
+
+def test_select_item_labels(glue):
+    glue.execute("DROP TABLE IF EXISTS lbl_a; DROP TABLE IF EXISTS lbl_b")
+    glue.execute("CREATE TABLE lbl_a (id INTEGER, num INTEGER)")
+    glue.execute("CREATE TABLE lbl_b (id INTEGER, tag TEXT)")
+    glue.execute("INSERT INTO lbl_a (id, num) VALUES (1, 10)")
+    glue.execute("INSERT INTO lbl_b (id, tag) VALUES (1, 'x')")
+    # bare column in a single-table query keeps its own name
+    assert glue.execute("SELECT id FROM lbl_a").labels == ["id"]
+    # unaliased expressions label unnamed_{i} by selection index
+    assert glue.execute(
+        "SELECT id, num + 1, UPPER('a') FROM lbl_a"
+    ).labels == ["id", "unnamed_1", "unnamed_2"]
+    # multi-table query: dotted columns keep the table.column label
+    out = glue.execute(
+        "SELECT lbl_a.num, lbl_b.tag FROM lbl_a"
+        " JOIN lbl_b ON lbl_a.id = lbl_b.id"
+    )
+    assert out.labels == ["lbl_a.num", "lbl_b.tag"]
+    # explicit aliases always win
+    assert glue.execute("SELECT num + 1 AS n1 FROM lbl_a").labels == ["n1"]

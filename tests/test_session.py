@@ -183,3 +183,33 @@ def test_execute_file(glue, tmp_path):
     )
     out = glue.execute(f"EXECUTE FILE('{script}')")
     assert out.rows == [(3,)]
+
+
+def test_insert_action_budget(glue, monkeypatch):
+    """Constraint validation folds into one aggregation action: an INSERT
+    into a table with NOT NULL + UNIQUE + AUTO_INCREMENT triggers at most
+    2 driver actions (stats aggregate + one semi-join count per UNIQUE
+    column).  Job counts are AQE-dependent; actions are the contract."""
+    from pyspark.sql import DataFrame
+
+    _fresh(glue, "jb")
+    glue.execute(
+        "CREATE TABLE jb (id INTEGER AUTO_INCREMENT NOT NULL,"
+        " v TEXT UNIQUE, w INTEGER NOT NULL)"
+    )
+    glue.execute("INSERT INTO jb (v, w) VALUES ('seed', 0)")
+    actions = {"n": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def counting_collect(self):
+        actions["n"] += 1
+        return orig_collect(self)
+
+    def counting_count(self):
+        actions["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    glue.execute("INSERT INTO jb (v, w) VALUES ('a', 1), ('b', 2)")
+    assert actions["n"] <= 2, f"INSERT ran {actions['n']} driver actions"

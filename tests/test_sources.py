@@ -193,3 +193,42 @@ def test_memory_vs_parquet_same_results(glue, spark, sf_dir):
         ).rows
     )
     assert a == b
+
+
+def test_jdbc_scan_and_insert_roundtrip(spark, tmp_path):
+    """JDBC (ODBC-equivalent) backend against embedded Derby: lazy scan
+    reflection, INSERT appends through the remote driver, UPDATE/DELETE
+    rejected like the reference's insert-only ODBC DBMut
+    (src/databases/odbc/mutable.rs)."""
+    import pytest as _pytest
+
+    from multisql_spark.session import EngineError, MultiSQLSession
+
+    url = f"jdbc:derby:{tmp_path}/ddb;create=true"
+    seed = spark.createDataFrame([(1, "x"), (2, "y")], "a INT, b STRING")
+    try:
+        (
+            seed.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "rt")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # no Derby jar in this environment
+        _pytest.skip("no embedded JDBC driver available")
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE remote LOCATION '{url}'")
+    assert sorted(g.execute("SELECT a, b FROM remote.rt").rows) == [
+        (1, "x"), (2, "y")
+    ]
+    p = g.execute("INSERT INTO remote.rt (a, b) VALUES (3, 'z')")
+    assert p.kind == "Insert" and p.count == 1
+    # unstated columns are NULL-filled against the reflected remote schema
+    g.execute("INSERT INTO remote.rt (a) VALUES (4)")
+    assert sorted(g.execute("SELECT a, b FROM remote.rt").rows) == [
+        (1, "x"), (2, "y"), (3, "z"), (4, None)
+    ]
+    with _pytest.raises(EngineError):
+        g.execute("UPDATE remote.rt SET b = 'q'")
+    with _pytest.raises(EngineError):
+        g.execute("DELETE FROM remote.rt")
