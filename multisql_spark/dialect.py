@@ -103,6 +103,65 @@ _RULE_DATETIME_FMT = {
     101: "HH:mm",
 }
 
+# named CONVERT rule → parse-format fallback chains (reference
+# src/data/value/cast.rs:243-246: TRY_RULES_DATETIME/DATE/TIME; rules
+# 010/011 are listed there but unimplemented in the match, so skipped)
+_NAMED_RULE_FORMATS = {
+    "DATETIME": [
+        "yyyy-MM-dd HH:mm:ss",      # 020  %F %T
+        "yyyy-MM-dd HH:mm",         # 021  %F %R
+        "yyyy-MM-dd hh:mm:ss a",    # 030  %F %r
+        "hh:mm a",                  # 031  %I:%M %p
+        "dd/MM/yyyy HH:mm",         # 060
+        "dd/MM/yyyy HH:mm:ss",      # 062
+        "ddMMyyyy HH:mm:ss",        # 063
+    ],
+    "DATE": [
+        "yyyy-MM-dd",               # 022  %F
+        "d-MMM-yy",                 # 033  %e-%b-%y (before 032, cast.rs:245)
+        "dd-MMM-yyyy",              # 032  %v
+        "dd/MM/yyyy",               # 061
+        "ddMMyyyy",                 # 064
+        "yyyyMMdd",                 # 040
+    ],
+    "TIME": [
+        "HH:mm:ss",                 # 100  %T
+        "HH:mm",                    # 101  %R
+    ],
+}
+
+
+def _ts_epoch_expr(val: str, try_: bool) -> str:
+    """Rule 000 / 'TIMESTAMP': value is unix seconds (cast.rs:263-266)."""
+    cast_fn = "try_cast" if try_ else "cast"
+    return f"{cast_fn}({cast_fn}(({val}) AS BIGINT) AS TIMESTAMP)"
+
+
+def _ts_format_chain(val: str, formats: list[str], try_: bool) -> str:
+    """Try each format in order; in strict mode the last arm re-parses
+    with the first format so total failure raises like the reference's
+    ValueError::ParseError."""
+    attempts = [f"try_to_timestamp(({val}), '{f}')" for f in formats]
+    if not try_:
+        attempts.append(f"to_timestamp(({val}), '{formats[0]}')")
+    return f"coalesce({', '.join(attempts)})"
+
+
+def _ts_any_chain(val: str, try_: bool) -> str:
+    """Rule-less string→timestamp: epoch seconds, then every DATETIME /
+    DATE / TIME format (cast.rs:249-252 Value::Null fallback chain)."""
+    parts = [f"try_cast(try_cast(({val}) AS BIGINT) AS TIMESTAMP)",
+             f"try_cast(({val}) AS TIMESTAMP)"]
+    for fams in ("DATETIME", "DATE", "TIME"):
+        parts += [
+            f"try_to_timestamp(({val}), '{f}')"
+            for f in _NAMED_RULE_FORMATS[fams]
+        ]
+    if not try_:
+        parts.append(f"cast(({val}) AS TIMESTAMP)")
+    return f"coalesce({', '.join(parts)})"
+
+
 _STRFTIME_TO_JAVA = [
     ("%F", "yyyy-MM-dd"),
     ("%T", "HH:mm:ss"),
@@ -207,26 +266,21 @@ def _convert_expr(args: list[str], try_: bool) -> str:
         return f"date_format(CAST(({val}) AS TIMESTAMP), '{java}')"
     if target in ("TIMESTAMP", "DATETIME", "DATE", "TIME"):
         ts_fn = "try_to_timestamp" if try_ else "to_timestamp"
-        if rule is None or rule in ("000", "0"):
-            return f"{cast_fn}(({val}) AS TIMESTAMP)"
+        if rule is None:
+            return _ts_any_chain(val, try_)
         code = rule.strip("'\"")
-        # named datetime-parse rules (reference cast.rs:146-215): each
-        # accepts an optional-seconds variant, so try both formats
-        named = {
-            "DATE": ["yyyy-MM-dd"],
-            "DATETIME": ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm"],
-            "TIME": ["HH:mm:ss", "HH:mm"],
-        }
-        if code.upper() in named:
-            attempts = ", ".join(
-                f"try_to_timestamp(({val}), '{f}')"
-                for f in named[code.upper()]
+        if code in ("000", "0"):
+            return _ts_epoch_expr(val, try_)
+        if code.upper() == "TIMESTAMP":
+            return _ts_epoch_expr(val, try_)
+        if code.upper() in _NAMED_RULE_FORMATS:
+            return _ts_format_chain(
+                val, _NAMED_RULE_FORMATS[code.upper()], try_
             )
-            return f"coalesce({attempts})"
         if code.isdigit() and int(code) in _RULE_DATETIME_FMT:
             fmt = _RULE_DATETIME_FMT[int(code)]
             if fmt is None:
-                return f"{cast_fn}(({val}) AS TIMESTAMP)"
+                return _ts_epoch_expr(val, try_)
             return f"{ts_fn}(({val}), '{fmt}')"
         java = strftime_to_java(code)
         return f"{ts_fn}(({val}), '{java}')"
@@ -532,6 +586,62 @@ _CAST_TYPE_MAP = {
     "INT": "BIGINT",  # reference INTEGER is I64
     "INTEGER": "BIGINT",
 }
+
+
+def _rewrite_cast_timestamp(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """``CAST(x AS TIMESTAMP)`` follows the reference's rule-less
+    fallback chain (cast.rs:249-252): epoch seconds, then every
+    DATETIME/DATE/TIME parse format — so ``CAST('03/02/2001 04:05' AS
+    TIMESTAMP)`` parses like the reference instead of erroring on
+    Spark's single ISO format."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if (
+            kind == "ident"
+            and text.upper() in ("CAST", "TRY_CAST")
+            and i + 1 < len(tokens)
+            and tokens[i + 1][1] == "("
+        ):
+            # find the matching close paren and the depth-1 AS
+            depth = 0
+            as_i = close_i = -1
+            for j in range(i + 1, len(tokens)):
+                if tokens[j][1] == "(":
+                    depth += 1
+                elif tokens[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = j
+                        break
+                elif (
+                    depth == 1
+                    and tokens[j][0] == "ident"
+                    and tokens[j][1].upper() == "AS"
+                ):
+                    as_i = j
+            if (
+                as_i > 0
+                and close_i == as_i + 2
+                and tokens[as_i + 1][1].upper() == "TIMESTAMP"
+            ):
+                inner = _rewrite_cast_timestamp(tokens[i + 2:as_i])
+                out.extend(
+                    tokenize(
+                        _ts_any_chain(
+                            untokenize(inner),
+                            try_=text.upper() == "TRY_CAST",
+                        )
+                    )
+                )
+                i = close_i + 1
+                continue
+        out.append((kind, text))
+        i += 1
+    return out
 
 
 def _rewrite_cast_types(
@@ -924,6 +1034,7 @@ def rewrite(
     tokens = _strip_top(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
+    tokens = _rewrite_cast_timestamp(tokens)
     tokens = _rewrite_cast_types(tokens)
     tokens = _bare_join_on_true(tokens)
     tokens = _label_select_items(tokens)

@@ -118,6 +118,17 @@ _WRITE_COMPAT: dict[str, tuple] = {
 }
 
 
+# EXPLAIN <table> data_type display, matching the reference's ValueType
+# ToString (src/data/value/value_type/cast.rs:31-44)
+_VALUETYPE_DISPLAY = {
+    "boolean": "Bool",
+    "bigint": "Int",
+    "double": "Float",
+    "string": "Text",
+    "timestamp": "Timestamp",
+}
+
+
 def _check_write_type(
     cdef: ColumnDef, incoming: T.DataType, ctx: str
 ) -> None:
@@ -191,14 +202,15 @@ class MultiSQLSession:
         return payloads[-1] if payloads else Payload.success()
 
     def execute_many(self, sql: str) -> list[Payload]:
-        from pyspark.errors import AnalysisException, ParseException
+        from pyspark.errors.exceptions.base import PySparkException
 
         out = []
         for stmt in split_statements(sql):
             try:
                 out.append(self._execute_one(stmt))
-            except (AnalysisException, ParseException, ValueError) as exc:
-                # surface Spark analysis/parse failures and dialect-rewrite
+            except (PySparkException, ValueError) as exc:
+                # surface Spark analysis/parse/runtime failures (ANSI cast
+                # and datetime-parse errors included) and dialect-rewrite
                 # rejections as engine errors (the reference returns its own
                 # Error enum, not panics)
                 raise EngineError(str(exc)) from exc
@@ -402,6 +414,33 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse CREATE: {stmt[:80]}")
         if_not_exists, name, cols_src, as_select = m.groups()
+        persist_path = persist_kind = None
+        if "." in name:
+            # CREATE TABLE db.tbl targets an attached database (reference
+            # create/table.rs resolves ComplexTableName.database); `main.`
+            # is the primary namespace
+            dbname, _, tbl = name.partition(".")
+            if dbname.lower() == "main":
+                name = tbl
+            else:
+                db = next(
+                    (
+                        d
+                        for dn, d in self.databases.items()
+                        if dn.lower() == dbname.lower()
+                    ),
+                    None,
+                )
+                if db is None:
+                    raise EngineError(f"database not found: {dbname}")
+                if db.kind != "parquet":
+                    raise EngineError(
+                        f"cannot create tables in a {db.kind} database"
+                    )
+                name = f"{dbname}__{tbl}"
+                persist_path = os.path.join(db.path, f"{tbl}.parquet")
+                persist_kind = "parquet"
+                attach_to = (db, tbl)
         if name.lower() in self.tables:
             if if_not_exists:
                 return Payload.success("Create")
@@ -412,7 +451,16 @@ class MultiSQLSession:
                 ColumnDef(f.name, f.dataType.simpleString())
                 for f in df.schema.fields
             ]
-            self._register(TableState(name, columns, df))
+            self._register(
+                TableState(
+                    name, columns, df,
+                    persist_path=persist_path, persist_kind=persist_kind,
+                )
+            )
+            if persist_path:
+                attach_to[0].tables[attach_to[1]] = (
+                    self.tables[name.lower()].df
+                )
             return Payload.success("Create")
         columns = self._parse_columns(cols_src)
         schema = T.StructType(
@@ -422,7 +470,14 @@ class MultiSQLSession:
             ]
         )
         df = self.spark.createDataFrame([], schema)
-        self._register(TableState(name, columns, df))
+        self._register(
+            TableState(
+                name, columns, df,
+                persist_path=persist_path, persist_kind=persist_kind,
+            )
+        )
+        if persist_path:
+            attach_to[0].tables[attach_to[1]] = self.tables[name.lower()].df
         return Payload.success("Create")
 
     def _parse_columns(self, src: str) -> list[ColumnDef]:
@@ -449,9 +504,20 @@ class MultiSQLSession:
             col = ColumnDef(name=tokens[0].strip('`"'))
             rest = " ".join(tokens[1:]).upper()
             rest_orig = " ".join(tokens[1:])
+            # reference AlterError::UnsupportedColumnOption
+            # (tests/ability/alter/table/create_table.rs CHECK case)
+            if re.search(r"\bCHECK\b", rest):
+                raise EngineError(
+                    f"unsupported column option in {col.name}: CHECK"
+                )
             type_m = re.match(r"(UNSIGNED\s+INT|[A-Z]+)", rest)
             if type_m and type_m.group(1) in _TYPE_MAP:
                 col.type_str = _TYPE_MAP[type_m.group(1)]
+            elif type_m:
+                # reference AlterError::UnsupportedDataType
+                raise EngineError(
+                    f"unsupported data type: {type_m.group(1)}"
+                )
             # reference nullability (src/data/column.rs:36-38): columns are
             # NOT NULL unless an explicit bare NULL option is present
             col.not_null = (
@@ -477,6 +543,23 @@ class MultiSQLSession:
         if not m:
             raise EngineError(f"cannot parse CREATE VIEW: {stmt[:80]}")
         name, query = m.groups()
+        # reference accepts a parenthesized view body
+        # (tests/ability/alter/view/create_view.rs)
+        query = query.strip()
+        while query.startswith("(") and query.endswith(")"):
+            depth = 0
+            balanced = True
+            for i, ch in enumerate(query):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(query) - 1:
+                        balanced = False  # e.g. (SELECT a) UNION (SELECT b)
+                        break
+            if not balanced:
+                break
+            query = query[1:-1].strip()
         df = self.sql(query)
         df.createOrReplaceTempView(name)
         self.views[name.lower()] = query
@@ -506,13 +589,20 @@ class MultiSQLSession:
         from multisql_spark.sources import attach_database
 
         m = re.match(
-            r"\s*CREATE\s+DATABASE\s+(\w+)\s+LOCATION\s+'([^']+)'",
+            r"\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
+            r"\s+LOCATION\s+'([^']+)'",
             stmt,
             re.IGNORECASE,
         )
         if not m:
             raise EngineError(f"cannot parse CREATE DATABASE: {stmt[:80]}")
-        name, path = m.groups()
+        if_not_exists, name, path = m.groups()
+        if any(d.lower() == name.lower() for d in self.databases):
+            # reference create/database error shape
+            # (tests/ability/alter/database/create_database.rs)
+            if if_not_exists:
+                return Payload.success("CreateDatabase")
+            raise EngineError(f"database exists: {name}")
         db = attach_database(self.spark, name, path)
         self.databases[name] = db
         if db.kind in ("parquet", "csv", "json", "xlsx"):
@@ -1082,7 +1172,11 @@ class MultiSQLSession:
             tl = tl[5:]
         if tl in self.tables:
             state = self.tables[tl]
-            rows = [(c.name, c.type_str) for c in state.columns]
+            # reference ValueType display names (value_type/cast.rs:31-44)
+            rows = [
+                (c.name, _VALUETYPE_DISPLAY.get(c.type_str, c.type_str))
+                for c in state.columns
+            ]
             return Payload(
                 kind="Select", labels=["column", "data_type"], rows=rows
             )

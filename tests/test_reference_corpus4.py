@@ -1,0 +1,241 @@
+"""Reference test-corpus port, part 4: tests/ability/alter/* (table,
+view, database), tests/misc/error.rs, tests/query/explain.rs.
+
+The reference's 3-argument ``assert_error!``/``assert_success!`` macros
+bind the expected value as a match-anything pattern (tests/util/mod.rs:
+187-217), so only the 2-argument ``expect_err`` asserts and
+``assert_select!`` row/label comparisons are load-bearing there; this
+port asserts the stricter behavior our engine actually implements.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from multisql_spark.session import EngineError, MultiSQLSession
+
+
+@pytest.fixture(scope="module")
+def glue(spark):
+    return MultiSQLSession(spark)
+
+
+def rows(glue, sql):
+    return glue.execute(sql).rows
+
+
+# --- tests/ability/alter/table/alter_table.rs -------------------------------
+
+
+def test_alter_table_corpus(glue):
+    for t in ("Foo", "Bar"):
+        glue.execute(f"DROP TABLE IF EXISTS {t}")
+    glue.execute("CREATE TABLE Foo (id INTEGER)")
+    glue.execute("INSERT INTO Foo VALUES (1), (2), (3)")
+    assert sorted(rows(glue, "SELECT id FROM Foo")) == [(1,), (2,), (3,)]
+    # AlterTableError::TableNotFound
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo2 RENAME TO Bar")
+    glue.execute("ALTER TABLE Foo RENAME TO Bar")
+    assert sorted(rows(glue, "SELECT id FROM Bar")) == [(1,), (2,), (3,)]
+    glue.execute("ALTER TABLE Bar RENAME COLUMN id TO new_id")
+    assert sorted(rows(glue, "SELECT new_id FROM Bar")) == [
+        (1,), (2,), (3,)
+    ]
+    # AlterTableError::RenamingColumnNotFound
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Bar RENAME COLUMN hello TO idid")
+    glue.execute("CREATE TABLE Foo (id INTEGER)")
+    glue.execute("INSERT INTO Foo VALUES (1), (2)")
+    # AlterTableError::DefaultValueRequired (non-empty table, no DEFAULT)
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo ADD COLUMN amount INTEGER")
+    # AlterTableError::AddingColumnAlreadyExists
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo ADD COLUMN id INTEGER")
+    # AlterError::UnsupportedDataType
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo ADD COLUMN something SOMEWHAT")
+    # AlterError::UnsupportedColumnOption
+    with pytest.raises(EngineError):
+        glue.execute(
+            "ALTER TABLE Foo ADD COLUMN something INTEGER CHECK (true)"
+        )
+    # the reference's success assert here is vacuous and its later DROP
+    # error shows the column was never added: a NOT-NULL-by-default column
+    # on a non-empty table without DEFAULT cannot be added
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo ADD COLUMN something FLOAT UNIQUE")
+    glue.execute("ALTER TABLE Foo DROP COLUMN IF EXISTS something")
+    # AlterTableError::DroppingColumnNotFound
+    with pytest.raises(EngineError):
+        glue.execute("ALTER TABLE Foo DROP COLUMN something")
+    glue.execute("ALTER TABLE Foo DROP COLUMN IF EXISTS opt2")
+    # nullable columns CAN be added to a non-empty table (rows get NULL)
+    glue.execute("ALTER TABLE Foo ADD COLUMN opt BOOLEAN NULL")
+    assert sorted(rows(glue, "SELECT id, opt FROM Foo")) == [
+        (1, None), (2, None)
+    ]
+
+
+# --- tests/ability/alter/table/create_table.rs ------------------------------
+
+
+def test_create_table_corpus(glue):
+    for t in ("CreateTable1", "CreateTable2", "Gluery"):
+        glue.execute(f"DROP TABLE IF EXISTS {t}")
+    glue.execute(
+        "CREATE TABLE CreateTable1 (id INTEGER NULL, num INTEGER,"
+        " name TEXT)"
+    )
+    # CreateError::AlreadyExists
+    with pytest.raises(EngineError):
+        glue.execute(
+            "CREATE TABLE CreateTable1 (id INTEGER NULL, num INTEGER,"
+            " name TEXT)"
+        )
+    glue.execute(
+        "CREATE TABLE IF NOT EXISTS CreateTable2 (id INTEGER NULL,"
+        " num INTEGER, name TEXT)"
+    )
+    # IF NOT EXISTS tolerates a different column list (no-op)
+    glue.execute(
+        "CREATE TABLE IF NOT EXISTS CreateTable2 (id2 INTEGER NULL,)"
+    )
+    glue.execute("INSERT INTO CreateTable2 VALUES (NULL, 1, '1')")
+    # AlterError::UnsupportedDataType
+    with pytest.raises(EngineError):
+        glue.execute("CREATE TABLE Gluery (id SOMEWHAT)")
+    # AlterError::UnsupportedColumnOption
+    with pytest.raises(EngineError):
+        glue.execute("CREATE TABLE Gluery (id INTEGER CHECK (true))")
+
+
+# --- tests/ability/alter/table/drop_table.rs --------------------------------
+
+
+def test_drop_table_corpus(glue):
+    glue.execute("DROP TABLE IF EXISTS DropTable")
+    glue.execute(
+        "CREATE TABLE DropTable (id INT, num INT, name TEXT)"
+    )
+    glue.execute(
+        "INSERT INTO DropTable (id, num, name) VALUES (1, 2, 'Hello')"
+    )
+    assert len(rows(glue, "SELECT id, num, name FROM DropTable")) == 1
+    glue.execute("DROP TABLE DropTable")
+    # AlterError::TableNotFound
+    with pytest.raises(EngineError):
+        glue.execute("DROP TABLE DropTable")
+    glue.execute("CREATE TABLE DropTable (id INT, num INT, name TEXT)")
+    glue.execute("DROP TABLE IF EXISTS DropTable")
+    glue.execute("DROP TABLE IF EXISTS DropTable")
+    # FetchError::TableNotFound
+    with pytest.raises(EngineError):
+        glue.execute("SELECT id, num, name FROM DropTable")
+    glue.execute("CREATE TABLE DropTable (id INT, num INT, name TEXT)")
+    assert rows(glue, "SELECT id, num, name FROM DropTable") == []
+
+
+# --- tests/ability/alter/view/create_view.rs --------------------------------
+
+
+def test_create_view_corpus(glue):
+    glue.execute("DROP TABLE IF EXISTS basic_v")
+    glue.execute("CREATE TABLE basic_v (a INTEGER)")
+    glue.execute("INSERT INTO basic_v (a) VALUES (1)")
+    # parenthesized view body
+    glue.execute(
+        "CREATE VIEW basic_view AS (SELECT a FROM basic_v)"
+    )
+    assert rows(glue, "SELECT a FROM basic_view") == [(1,)]
+    glue.execute("DROP VIEW basic_view")
+
+
+# --- tests/ability/alter/database/create_database.rs ------------------------
+
+
+def test_create_database_corpus(glue, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("otherdb")) + "/"
+    # CREATE TABLE into an unattached database errors
+    with pytest.raises(EngineError):
+        glue.execute("CREATE TABLE other.simple (id INTEGER, val FLOAT)")
+    glue.execute(f"CREATE DATABASE other LOCATION '{loc}'")
+    # duplicate attach errors; IF NOT EXISTS tolerated
+    with pytest.raises(EngineError):
+        glue.execute(f"CREATE DATABASE other LOCATION '{loc}'")
+    glue.execute(f"CREATE DATABASE IF NOT EXISTS other LOCATION '{loc}'")
+    # CREATE TABLE into the attached database persists to its directory
+    glue.execute("CREATE TABLE other.simple (id INTEGER, val FLOAT)")
+    glue.execute("INSERT INTO other.simple (id, val) VALUES (1, 1.5)")
+    assert rows(glue, "SELECT id, val FROM other.simple") == [(1, 1.5)]
+    import os
+
+    assert os.path.exists(os.path.join(loc, "simple.parquet"))
+    # main. addresses the primary namespace
+    glue.execute("DROP TABLE IF EXISTS mainsimple")
+    glue.execute("CREATE TABLE main.mainsimple (id INTEGER)")
+    glue.execute("INSERT INTO mainsimple (id) VALUES (7)")
+    assert rows(glue, "SELECT id FROM mainsimple") == [(7,)]
+
+
+# --- tests/misc/error.rs ----------------------------------------------------
+
+
+def test_error_shapes(glue):
+    glue.execute("DROP TABLE IF EXISTS TableA")
+    glue.execute("CREATE TABLE TableA (id INTEGER)")
+    glue.execute("INSERT INTO TableA (id) VALUES (1)")
+    # ExecuteError::QueryNotSupported
+    with pytest.raises(EngineError):
+        glue.execute("COMMIT")
+    # ExecuteError::TableNotExists
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO Nothing VALUES (1)")
+    with pytest.raises(EngineError):
+        glue.execute("UPDATE Nothing SET a = 1")
+    # FetchError::TableNotFound
+    with pytest.raises(EngineError):
+        glue.execute("SELECT * FROM Nothing")
+    # RecipeError::MissingColumn
+    with pytest.raises(EngineError):
+        glue.execute("SELECT * FROM TableA WHERE noname = 1")
+    # ValidateError::ColumnNotFound
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO TableA (id2) VALUES (1)")
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO TableA (id2, id) VALUES (100)")
+    # ValidateError::WrongNumberOfValues
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO TableA VALUES (100), (100, 200)")
+    # beyond reference: scalar subqueries in WHERE are supported here
+    # (the reference raises ManualError::UnimplementedSubquery)
+    assert rows(
+        glue,
+        "SELECT * FROM TableA WHERE id ="
+        " (SELECT id FROM TableA WHERE id = 1)",
+    ) == [(1,)]
+
+
+# --- tests/query/explain.rs -------------------------------------------------
+
+
+def test_explain_corpus(glue):
+    glue.execute("DROP TABLE IF EXISTS simple")
+    glue.execute("CREATE TABLE simple (id INTEGER, val FLOAT)")
+    # EXPLAIN <table> lists (column, data_type) with ValueType names
+    assert rows(glue, "EXPLAIN simple") == [("id", "Int"), ("val", "Float")]
+    assert rows(glue, "EXPLAIN main.simple") == [
+        ("id", "Int"), ("val", "Float")
+    ]
+    # EXPLAIN main lists primary-namespace tables
+    out = glue.execute("EXPLAIN main")
+    assert out.labels == ["table"]
+    assert ("simple",) in out.rows
+    with pytest.raises(EngineError):
+        glue.execute("EXPLAIN nonsense")
+    out = glue.execute("EXPLAIN ALL")
+    assert out.labels == ["database"]
+    out = glue.execute("EXPLAIN ALL_TABLE")
+    assert out.labels == ["database", "table"]
+    assert ("main", "simple") in out.rows

@@ -258,3 +258,113 @@ def test_values_labels_and_int_division(glue):
     assert out.labels == ["unnamed_0"]
     assert sorted(out.rows) == [(2,), (4,)]
     assert one(glue, "VALUES (5.0 / 2)") == (2.5,)
+
+
+# --- tests/query/function/convert_timestamp.rs ------------------------------
+
+
+def test_convert_timestamp_rules(glue):
+    """Rule-code and named-rule parse chains (reference cast.rs:243-299);
+    instants match the reference's unix-second asserts, returned as
+    timestamps (documented divergence, SURVEY §1.2)."""
+    cases = [
+        ("CONVERT('TIMESTAMP', '981158400', 'TIMESTAMP')", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '981158400', 0)", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '2001-02-03', 'DATE')", ts(2001, 2, 3)),
+        (
+            "CONVERT('TIMESTAMP', '2001-02-03 04:05', 'DATETIME')",
+            ts(2001, 2, 3, 4, 5),
+        ),
+        ("CONVERT('TIMESTAMP', '04:05', 'TIME')", ts(1970, 1, 1, 4, 5)),
+        (
+            "CONVERT('TIMESTAMP', '04:05:06', 'TIME')",
+            ts(1970, 1, 1, 4, 5, 6),
+        ),
+        ("CONVERT('TIMESTAMP', '03/02/2001', 'DATE')", ts(2001, 2, 3)),
+        # DD/MM ordering (Australian locale rules 060-064)
+        ("CONVERT('TIMESTAMP', '13/02/2001', 'DATE')", ts(2001, 2, 13)),
+        ("CONVERT('TIMESTAMP', '03-Feb-2001', 'DATE')", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '03-Feb-01', 'DATE')", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '03-Feb-2001', 32)", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '03-Feb-01', 33)", ts(2001, 2, 3)),
+        ("CONVERT('TIMESTAMP', '03/02/2001', 61)", ts(2001, 2, 3)),
+        (
+            "CONVERT('TIMESTAMP', '03/02/2001 04:05', 60)",
+            ts(2001, 2, 3, 4, 5),
+        ),
+        # bare CAST runs the full fallback chain (cast.rs:249-252)
+        ("CAST('03/02/2001 04:05' AS TIMESTAMP)", ts(2001, 2, 3, 4, 5)),
+        ("CAST('981173100' AS TIMESTAMP)", ts(2001, 2, 3, 4, 5)),
+    ]
+    for expr, want in cases:
+        assert one(glue, f"VALUES ({expr})") == (want,), expr
+    for bad in (
+        "CONVERT('TIMESTAMP', '2001-02-03', 'DATETIME')",  # no time part
+        "CONVERT('TIMESTAMP', '2001-02-03', 'TIME')",      # not a time
+        "CONVERT('TIMESTAMP', '02/13/2001', 'DATE')",      # month 13
+    ):
+        with pytest.raises(EngineError):
+            glue.execute(f"VALUES ({bad})")
+
+
+# --- tests/query/function/misc_func_cast.rs ---------------------------------
+
+
+def test_misc_func_cast(glue):
+    glue.execute("DROP TABLE IF EXISTS CastItem")
+    glue.execute(
+        "CREATE TABLE CastItem (id INTEGER NULL, flag BOOLEAN,"
+        " ratio FLOAT NULL, number TEXT)"
+    )
+    glue.execute("INSERT INTO CastItem VALUES (0, TRUE, NULL, '1')")
+    assert one(
+        glue, "SELECT CAST(LOWER(number) AS INTEGER) AS c FROM CastItem"
+    ) == (1,)
+    assert one(
+        glue, "SELECT CAST(id AS BOOLEAN) AS c FROM CastItem"
+    ) == (False,)
+    assert one(
+        glue, "SELECT CAST(flag AS TEXT) AS c FROM CastItem"
+    ) == ("true",)
+    # NULL propagates through CAST
+    assert one(
+        glue, "SELECT CAST(ratio AS INTEGER) AS c FROM CastItem"
+    ) == (None,)
+
+
+# --- tests/api/cast_any.rs --------------------------------------------------
+
+
+def test_cast_any_equivalences(glue):
+    """Value-level cast equivalence matrix: casting either side of each
+    pair to the target type yields the same value."""
+    bool_pairs = [("FALSE", "'false'"), ("FALSE", "0"),
+                  ("TRUE", "'true'"), ("TRUE", "1")]
+    for a, b in bool_pairs:
+        assert one(
+            glue,
+            f"VALUES (CAST({a} AS BOOLEAN) = CAST({b} AS BOOLEAN))",
+        ) == (True,), (a, b)
+    int_pairs = [("0", "FALSE"), ("0", "'0'"), ("0", "0.0"),
+                 ("1", "TRUE"), ("1", "'1'"), ("1", "1.0"),
+                 ("999", "'999'"), ("999", "999.0")]
+    for a, b in int_pairs:
+        assert one(
+            glue,
+            f"VALUES (CAST({a} AS INTEGER) = CAST({b} AS INTEGER))",
+        ) == (True,), (a, b)
+    float_pairs = [("0.0", "FALSE"), ("0.0", "'0.0'"), ("0.0", "0"),
+                   ("1.0", "TRUE"), ("1.0", "'1.0'"), ("1.0", "1"),
+                   ("999.99", "'999.99'"), ("999.0", "999")]
+    for a, b in float_pairs:
+        assert one(
+            glue,
+            f"VALUES (CAST({a} AS FLOAT) = CAST({b} AS FLOAT))",
+        ) == (True,), (a, b)
+    str_pairs = [("'false'", "FALSE"), ("'0'", "0"), ("'0.0'", "0.0"),
+                 ("'true'", "TRUE"), ("'1'", "1"), ("'1.0'", "1.0")]
+    for a, b in str_pairs:
+        assert one(
+            glue,
+            f"VALUES (CAST({a} AS TEXT) = CAST({b} AS TEXT))",
+        ) == (True,), (a, b)

@@ -128,7 +128,8 @@ def test_views_and_explain(glue):
     # reference explain.rs:26-40: ALL_TABLE rows are (database, table)
     assert ("main", "vt") in tables.rows
     cols = glue.execute("EXPLAIN vt")
-    assert ("a", "bigint") in cols.rows
+    # reference ValueType display (value_type/cast.rs:38): I64 → "Int"
+    assert ("a", "Int") in cols.rows
     # beyond-reference: EXPLAIN <query> returns the Spark physical plan
     plan = glue.execute("EXPLAIN SELECT a FROM vt WHERE a > 1")
     assert plan.labels == ["plan"]
