@@ -210,3 +210,52 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs`` — component is the
+    minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label across itself and its neighbors; converges in
+    O(component diameter) rounds, which for near-dup clusters (dense,
+    LSH-generated) is small. Each round is one keyed join + one groupBy —
+    both shuffles carry (node, label) longs only, never documents.
+    Lineage is cut per round with localCheckpoint; on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so rounds
+    don't pin executor memory. This is the pair→cluster step a dedup
+    pipeline needs before choosing canonical documents (the reference has
+    no graph operators; this is beyond-reference)."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter("new_label != label")
+            .count()
+        )
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels

@@ -132,9 +132,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cube_status_priority",
     "window_ntile_quartiles",
     "agg_collect_sorted",
-    # stable representatives of the round-1-green core set
+    # stable representative of the round-1-green core set + the new
+    # pair→cluster dedup operator
     "scan_project_filter",
-    "join_multi_revenue",
+    "dedup_cluster_components",
 )
 
 

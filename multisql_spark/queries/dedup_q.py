@@ -139,3 +139,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         t["documents"], block_tokens=8, threshold=0.5
     )
+
+
+def _cc_oracle() -> str:
+    """Connected components as a DuckDB recursive CTE over the same
+    minhash candidate pairs: component label = min reachable doc_id —
+    an algorithm-independent graph property, so the iterative Spark
+    propagation and the recursive closure must agree exactly."""
+    return f"""
+    WITH RECURSIVE simpairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM simpairs WHERE est_sim >= 0.5
+    ),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT d.doc_id AS node,
+             COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_docs,
+           CAST(MAX(node) AS BIGINT) AS max_doc
+    FROM labeled GROUP BY cluster
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_cc_oracle(),
+    tags=("dedup", "graph", "connected-components"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidate pairs (est_sim ≥ 0.5) →
+    connected components → one row per cluster with its canonical id
+    (min doc_id), size, and max member. Singleton documents are their own
+    cluster. This is the pair→cluster→keep-list step of a production
+    dedup pipeline; shuffles carry (id, label) longs only."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+        F.col("est_sim") >= 0.5
+    )
+    comp = dedup.connected_components(pairs)
+    docs = t["documents"].select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    labeled = docs.join(comp, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("cluster")
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+    )

@@ -370,3 +370,70 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "pipeline_prepare_corpus",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 40
+    ),
+    kept AS (  -- exact dedup: keep the smallest doc_id per content hash
+      SELECT * FROM scored
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM scored GROUP BY md5(text)
+      )
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "end-to-end", "dedup", "split"),
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation: length filter → exact dedup (keep
+    min doc_id per content hash) → deterministic hash split → per-split
+    token accounting.  The whole pipeline is three shuffles at any scale:
+    dedup groupBy(md5), the keep-list semi-join, and the final
+    aggregation; the split itself is a narrow map."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = (
+        t["documents"]
+        .filter(F.col("n_chars") >= 40)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    keep = scored.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = scored.join(keep.select("doc_id"), "doc_id", "left_semi")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        kept.select(
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            "n_tokens",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -108,3 +108,35 @@ def test_rollup_group_count_bounded(spark):
         .h
     )
     assert df.count() <= n_types * hours
+
+
+def test_connected_components_small_graph(spark):
+    """Hand-built graph: {1-2, 2-3} ∪ {10-11} ∪ isolated-by-absence 99.
+    Labels must be the min reachable id regardless of iteration count."""
+    from multisql_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (7, 8), (8, 9), (9, 7)],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (7, 7), (8, 7), (9, 7),
+    }
+
+
+def test_connected_components_chain_diameter(spark):
+    """A path graph stresses the propagation rounds (diameter = n-1)."""
+    from multisql_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a LONG, doc_b LONG"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {i: 1 for i in range(1, n + 1)}
