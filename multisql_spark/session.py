@@ -123,9 +123,14 @@ _WRITE_COMPAT: dict[str, tuple] = {
 _VALUETYPE_DISPLAY = {
     "boolean": "Bool",
     "bigint": "Int",
+    "int": "Int",
+    "smallint": "Int",
+    "tinyint": "Int",
     "double": "Float",
+    "float": "Float",
     "string": "Text",
     "timestamp": "Timestamp",
+    "timestamp_ntz": "Timestamp",
 }
 
 
@@ -1170,6 +1175,38 @@ class MultiSQLSession:
             return Payload(kind="Select", labels=["table"], rows=rows)
         if tl.startswith("main.") and tl[5:] in self.tables:
             tl = tl[5:]
+        if "." in tl:
+            # EXPLAIN db.table (reference explain.rs:9-12 2-element name):
+            # managed-state tables use declared columns; adapter-only
+            # tables (e.g. jdbc) reflect the Spark schema
+            dbname, _, tbl = tl.partition(".")
+            if f"{dbname}__{tbl}" in self.tables:
+                tl = f"{dbname}__{tbl}"
+            else:
+                db = next(
+                    (
+                        d
+                        for dn, d in self.databases.items()
+                        if dn.lower() == dbname
+                    ),
+                    None,
+                )
+                if db is not None:
+                    if db.kind == "jdbc" and tbl not in db.tables:
+                        self._resolve_jdbc_views(f"{dbname}__{tbl}")
+                    if tbl in db.tables:
+                        rows = [
+                            (
+                                f,
+                                _VALUETYPE_DISPLAY.get(t, t),
+                            )
+                            for f, t in db.tables[tbl].dtypes
+                        ]
+                        return Payload(
+                            kind="Select",
+                            labels=["column", "data_type"],
+                            rows=rows,
+                        )
         if tl in self.tables:
             state = self.tables[tl]
             # reference ValueType display names (value_type/cast.rs:31-44)

@@ -163,3 +163,39 @@ def test_range_join_filters_pushed(spark):
     both parquet scans."""
     df = REGISTRY["range_join_events"].fn(spark, SF)
     assert plans.has_pushed_filter(df, "event_type")
+
+
+def test_ntile_query_has_no_global_sort_window(spark):
+    """The quartile query's data-scale Window must be partitioned; the
+    only unpartitioned window runs over the tiny bucket-size aggregate
+    (SCALE.md §11)."""
+    plan = plans.formatted_plan(
+        REGISTRY["window_ntile_quartiles"].fn(spark, SF)
+    )
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            # partitioned by the range-bucket id, never a bare ORDER BY
+            assert "windowspecdefinition(_pid" in line
+
+
+def test_pipeline_prepare_corpus_pushdown(spark):
+    """The length filter must reach the parquet scan and the scan must
+    prune to the consumed columns."""
+    df = REGISTRY["pipeline_prepare_corpus"].fn(spark, SF)
+    assert plans.has_pushed_filter(df, "n_chars")
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text", "lang", "n_chars"}
+
+
+def test_connected_components_no_cartesian(spark):
+    """Every join in the CC propagation must be keyed — no
+    BroadcastNestedLoop / CartesianProduct at any round."""
+    from multisql_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    df = connected_components(pairs, max_iter=2)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

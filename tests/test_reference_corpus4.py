@@ -239,3 +239,14 @@ def test_explain_corpus(glue):
     out = glue.execute("EXPLAIN ALL_TABLE")
     assert out.labels == ["database", "table"]
     assert ("main", "simple") in out.rows
+
+
+def test_explain_attached_database_table(glue, tmp_path_factory, sf_dir):
+    """EXPLAIN db.table resolves 2-part names for attached databases
+    (reference explain.rs:9-12)."""
+    glue.execute(f"CREATE DATABASE exdb LOCATION '{sf_dir}/'")
+    out = glue.execute("EXPLAIN exdb.nation")
+    assert out.labels == ["column", "data_type"]
+    cols = dict(out.rows)
+    assert cols["n_nationkey"] == "Int"
+    assert cols["n_name"] == "Text"
