@@ -262,6 +262,24 @@ class MultiSQLSession:
                 return db, tbl
         return None
 
+    def extend(self, database_name: str, database_path: str) -> bool:
+        """Attach a storage by path, guessing the backend from the
+        extension (reference Glue::try_extend_from_path,
+        glue/mod.rs:108-129). Returns whether action was taken — False if
+        the name is already attached."""
+        if any(d.lower() == database_name.lower() for d in self.databases):
+            return False
+        self._create_database(
+            f"CREATE DATABASE {database_name}"
+            f" LOCATION '{database_path}'"
+        )
+        return True
+
+    def reduce(self, database_name: str) -> bool:
+        """Detach a database (reference Glue::reduce, glue/mod.rs:143-149).
+        Returns whether action was taken."""
+        return self._detach_database(database_name)
+
     def insert_vec(
         self, table: str, columns: list[str], rows: list[tuple]
     ) -> Payload:
@@ -1030,9 +1048,27 @@ class MultiSQLSession:
             self.spark.catalog.dropTempView(name)
             return Payload.success("DropView")
         if kind in ("SCHEMA", "DATABASE"):
-            self.databases.pop(name, None)
+            self._detach_database(name)
             return Payload.success("DropDatabase")
         return Payload.success("DropIndex")
+
+    def _detach_database(self, name: str) -> bool:
+        """Remove an attached database and every table state / temp view
+        registered under it (reference Glue::reduce, glue/mod.rs:143-149)."""
+        match = next(
+            (d for d in self.databases if d.lower() == name.lower()), None
+        )
+        if match is None:
+            return False
+        self.databases.pop(match)
+        prefix = f"{match.lower()}__"
+        for key in [k for k in self.tables if k.startswith(prefix)]:
+            state = self.tables.pop(key)
+            try:
+                self.spark.catalog.dropTempView(state.name)
+            except Exception:
+                pass
+        return True
 
     # -- ALTER TABLE (reference src/executor/alter_table/) ------------------
 

@@ -214,3 +214,29 @@ def test_insert_action_budget(glue, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", counting_count)
     glue.execute("INSERT INTO jb (v, w) VALUES ('a', 1), ('b', 2)")
     assert actions["n"] <= 2, f"INSERT ran {actions['n']} driver actions"
+
+
+def test_extend_reduce_api(glue, sf_dir):
+    """Programmatic attach/detach (reference Glue::try_extend_from_path /
+    Glue::reduce, glue/mod.rs:108-149)."""
+    assert glue.extend("ext1", f"{sf_dir}/") is True
+    assert glue.extend("ext1", f"{sf_dir}/") is False  # already attached
+    assert glue.execute("SELECT COUNT(*) AS n FROM ext1.region").rows == [
+        (5,)
+    ]
+    assert glue.reduce("ext1") is True
+    assert glue.reduce("ext1") is False
+    with pytest.raises(EngineError):
+        glue.execute("SELECT COUNT(*) AS n FROM ext1.region")
+
+
+def test_drop_database_cleans_state(glue, sf_dir):
+    glue.execute(f"CREATE DATABASE dd1 LOCATION '{sf_dir}/'")
+    assert glue.execute("SELECT COUNT(*) AS n FROM dd1.nation").count == 1
+    glue.execute("DROP DATABASE dd1")
+    with pytest.raises(EngineError):
+        glue.execute("SELECT COUNT(*) AS n FROM dd1.nation")
+    # re-attach works cleanly after the drop
+    glue.execute(f"CREATE DATABASE dd1 LOCATION '{sf_dir}/'")
+    assert glue.execute("SELECT COUNT(*) AS n FROM dd1.nation").count == 1
+    glue.execute("DROP DATABASE dd1")
