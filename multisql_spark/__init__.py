@@ -17,7 +17,26 @@ DataFrame / Catalyst:
 """
 
 from multisql_spark.payload import Payload
-from multisql_spark.session import MultiSQLSession
+from multisql_spark.session import (
+    AlreadyExistsError,
+    ColumnNotFoundError,
+    EngineError,
+    MultiSQLSession,
+    NotNullViolation,
+    TableNotFoundError,
+    UniqueViolation,
+    UnsupportedError,
+)
 
-__all__ = ["MultiSQLSession", "Payload"]
+__all__ = [
+    "AlreadyExistsError",
+    "ColumnNotFoundError",
+    "EngineError",
+    "MultiSQLSession",
+    "NotNullViolation",
+    "Payload",
+    "TableNotFoundError",
+    "UniqueViolation",
+    "UnsupportedError",
+]
 __version__ = "0.1.0"

@@ -48,6 +48,21 @@ class Payload:
             default=str,
         )
 
+    def as_string(self) -> list[list[str]]:
+        """[labels] + rows with every cell cast to its string form
+        (reference select_as_string, src/glue/select.rs:37-56)."""
+
+        def cell(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        return [list(self.labels)] + [
+            [cell(v) for v in row] for row in self.rows
+        ]
+
     def as_csv(self) -> str:
         import csv
         import io

@@ -35,7 +35,35 @@ from multisql_spark.payload import Payload
 
 
 class EngineError(Exception):
-    pass
+    """Base engine error (reference returns a typed Error enum; these
+    subclasses mirror its families so host code can catch specifically,
+    DIVERGENCES #15)."""
+
+
+class TableNotFoundError(EngineError):
+    """FetchError::TableNotFound / ExecuteError::TableNotExists /
+    AlterTableError::TableNotFound."""
+
+
+class ColumnNotFoundError(EngineError):
+    """ValidateError::ColumnNotFound / AlterTableError::ColumnNotFound."""
+
+
+class AlreadyExistsError(EngineError):
+    """CreateError::AlreadyExists / database-exists shapes."""
+
+
+class NotNullViolation(EngineError):
+    """ValidateError::NullValueOnNotNullField."""
+
+
+class UniqueViolation(EngineError):
+    """ValidateError::DuplicateEntryOnUniqueField."""
+
+
+class UnsupportedError(EngineError):
+    """ExecuteError::QueryNotSupported / AlterError::UnsupportedDataType /
+    AlterError::UnsupportedColumnOption."""
 
 
 # --- schema model (reference src/data/column.rs:13-20) ----------------------
@@ -217,7 +245,19 @@ class MultiSQLSession:
                 # surface Spark analysis/parse/runtime failures (ANSI cast
                 # and datetime-parse errors included) and dialect-rewrite
                 # rejections as engine errors (the reference returns its own
-                # Error enum, not panics)
+                # Error enum, not panics); well-known Spark error classes
+                # map to the matching typed family
+                cond = ""
+                for getter in ("getCondition", "getErrorClass"):
+                    try:
+                        cond = getattr(exc, getter)() or ""
+                        break
+                    except Exception:
+                        continue
+                if "TABLE_OR_VIEW_NOT_FOUND" in cond:
+                    raise TableNotFoundError(str(exc)) from exc
+                if "UNRESOLVED_COLUMN" in cond or "MISSING_COLUMN" in cond:
+                    raise ColumnNotFoundError(str(exc)) from exc
                 raise EngineError(str(exc)) from exc
         return out
 
@@ -261,6 +301,24 @@ class MultiSQLSession:
             if dname.lower() == dbname.lower() and db.kind == "jdbc":
                 return db, tbl
         return None
+
+    # -- SELECT-only converters (reference src/glue/select.rs:14-82) -------
+
+    def _select_payload(self, query: str) -> Payload:
+        p = self.execute(query)
+        if p.kind != "Select":
+            # reference ExecuteError::QueryNotSupported
+            raise UnsupportedError("query not supported: expected SELECT")
+        return p
+
+    def select_json(self, query: str) -> str:
+        return self._select_payload(query).as_json()
+
+    def select_as_string(self, query: str) -> list[list[str]]:
+        return self._select_payload(query).as_string()
+
+    def select_as_csv(self, query: str) -> str:
+        return self._select_payload(query).as_csv()
 
     def extend(self, database_name: str, database_path: str) -> bool:
         """Attach a storage by path, guessing the backend from the
@@ -316,7 +374,7 @@ class MultiSQLSession:
             if any(d.lower() == db for d in self.databases):
                 key = f"{db}__{tbl}"
         if key not in self.tables:
-            raise EngineError(f"table not found: {name}")
+            raise TableNotFoundError(f"table not found: {name}")
         return self.tables[key]
 
     def _register(self, state: TableState) -> None:
@@ -415,7 +473,7 @@ class MultiSQLSession:
             return self._explain(stmt)
         if kw == "EXECUTE":
             return self._execute_file(stmt)
-        raise EngineError(f"unsupported statement: {stmt[:60]}")
+        raise UnsupportedError(f"unsupported statement: {stmt[:60]}")
 
     # -- CREATE -------------------------------------------------------------
 
@@ -467,7 +525,7 @@ class MultiSQLSession:
         if name.lower() in self.tables:
             if if_not_exists:
                 return Payload.success("Create")
-            raise EngineError(f"table exists: {name}")
+            raise AlreadyExistsError(f"table exists: {name}")
         if as_select:  # CREATE TABLE .. AS SELECT
             df = self.sql(as_select)
             columns = [
@@ -538,7 +596,7 @@ class MultiSQLSession:
                 col.type_str = _TYPE_MAP[type_m.group(1)]
             elif type_m:
                 # reference AlterError::UnsupportedDataType
-                raise EngineError(
+                raise UnsupportedError(
                     f"unsupported data type: {type_m.group(1)}"
                 )
             # reference nullability (src/data/column.rs:36-38): columns are
@@ -625,7 +683,7 @@ class MultiSQLSession:
             # (tests/ability/alter/database/create_database.rs)
             if if_not_exists:
                 return Payload.success("CreateDatabase")
-            raise EngineError(f"database exists: {name}")
+            raise AlreadyExistsError(f"database exists: {name}")
         db = attach_database(self.spark, name, path)
         self.databases[name] = db
         if db.kind in ("parquet", "csv", "json", "xlsx"):
@@ -752,7 +810,7 @@ class MultiSQLSession:
         for s, field in zip(stated, incoming.schema.fields):
             cdef = state.column(s)
             if cdef is None:
-                raise EngineError(f"column not found: {s}")
+                raise ColumnNotFoundError(f"column not found: {s}")
             _check_write_type(cdef, field.dataType, state.name)
         cols = []
         stated_lower = [s.lower() for s in stated]
@@ -799,13 +857,13 @@ class MultiSQLSession:
         for cdef in state.columns:
             if cdef.not_null and not cdef.auto_increment \
                     and stats[f"__nn_{cdef.name}"]:
-                raise EngineError(
+                raise NotNullViolation(
                     f"NOT NULL violated for {state.name}.{cdef.name}"
                 )
         for cdef in state.columns:
             if cdef.unique:
                 if stats[f"__uq_{cdef.name}"]:
-                    raise EngineError(
+                    raise UniqueViolation(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
                 # collision against existing rows: one semi-join count per
@@ -821,7 +879,7 @@ class MultiSQLSession:
                     .count()
                 )
                 if dup_old:
-                    raise EngineError(
+                    raise UniqueViolation(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
 
@@ -900,7 +958,7 @@ class MultiSQLSession:
         for col, expr in assignments.items():
             cdef = state.column(col)
             if cdef is None:
-                raise EngineError(f"column not found: {col}")
+                raise ColumnNotFoundError(f"column not found: {col}")
             ptype = probe.select(expr.alias("_p")).schema[0].dataType
             try:
                 _check_write_type(cdef, ptype, state.name)
@@ -960,11 +1018,11 @@ class MultiSQLSession:
                 if cdef.name.lower() not in assignments:
                     continue
                 if cdef.not_null and stats[f"__nn_{cdef.name}"]:
-                    raise EngineError(
+                    raise NotNullViolation(
                         f"NOT NULL violated for {state.name}.{cdef.name}"
                     )
                 if cdef.unique and stats[f"__uq_{cdef.name}"]:
-                    raise EngineError(
+                    raise UniqueViolation(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
                     )
         state.df = candidate
@@ -1039,7 +1097,7 @@ class MultiSQLSession:
         key = name.lower()
         if kind == "TABLE":
             if key not in self.tables and not if_exists:
-                raise EngineError(f"table not found: {name}")
+                raise TableNotFoundError(f"table not found: {name}")
             self.tables.pop(key, None)
             self.spark.catalog.dropTempView(name)
             return Payload.success("DropTable")
@@ -1098,7 +1156,7 @@ class MultiSQLSession:
             old, new = m2.groups()
             cdef = state.column(old)
             if not cdef:
-                raise EngineError(f"column not found: {old}")
+                raise ColumnNotFoundError(f"column not found: {old}")
             cdef.name = new
             state.df = state.df.withColumnRenamed(old, new)
             self._register(state)
@@ -1108,19 +1166,19 @@ class MultiSQLSession:
             src = m2.group(1).strip()
             # reference AlterError::UnsupportedColumnOption (alter_table.rs)
             if re.search(r"\bCHECK\b", src, re.IGNORECASE):
-                raise EngineError("unsupported column option: CHECK")
+                raise UnsupportedError("unsupported column option: CHECK")
             # reference AlterError::UnsupportedDataType
             tm = re.match(
                 r'"?\w+"?\s+(UNSIGNED\s+INT|\w+)', src, re.IGNORECASE
             )
             if not tm or tm.group(1).upper() not in _TYPE_MAP:
-                raise EngineError(
+                raise UnsupportedError(
                     f"unsupported data type in ADD COLUMN: {src[:40]}"
                 )
             cdef = self._parse_columns(src)[0]
             # reference AlterTableError::AddingColumnAlreadyExists
             if state.column(cdef.name) is not None:
-                raise EngineError(f"column already exists: {cdef.name}")
+                raise AlreadyExistsError(f"column already exists: {cdef.name}")
             # reference AlterTableError::DefaultValueRequired: a NOT NULL
             # column added to a non-empty table needs a DEFAULT
             if (
@@ -1152,14 +1210,14 @@ class MultiSQLSession:
                 if if_exists:
                     return Payload.success("AlterTable")
                 # reference AlterTableError::DroppingColumnNotFound
-                raise EngineError(f"column not found: {col}")
+                raise ColumnNotFoundError(f"column not found: {col}")
             state.columns = [
                 c for c in state.columns if c.name.lower() != col.lower()
             ]
             state.df = state.df.drop(col)
             self._register(state)
             return Payload.success("AlterTable")
-        raise EngineError(f"unsupported ALTER action: {au[:60]}")
+        raise UnsupportedError(f"unsupported ALTER action: {au[:60]}")
 
     # -- SET / EXPLAIN / EXECUTE FILE ---------------------------------------
 

@@ -140,3 +140,74 @@ def test_connected_components_chain_diameter(spark):
     )
     labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
     assert labels == {i: 1 for i in range(1, n + 1)}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a 10-minute watermark: an
+    event arriving a batch later but older than the watermark must be
+    dropped, so the finalized window keeps the on-time count only."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    schema = pa.schema(
+        [("ts", pa.timestamp("us")), ("k", pa.string()), ("v", pa.int64())]
+    )
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def tbl(rows):
+        return pa.Table.from_pylist(
+            [
+                {"ts": base + dt.timedelta(minutes=m), "k": k, "v": v}
+                for m, k, v in rows
+            ],
+            schema=schema,
+        )
+
+    d = str(tmp_path / "wmstream")
+    ckpt = str(tmp_path / "wmckpt")
+    os.makedirs(d)
+
+    sink = str(tmp_path / "wmsink")
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, k STRING, v LONG"
+        ).parquet(d)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window"]["start"].minute, r["count"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # run 1: five on-time events in window [00:00, 00:05) plus one event
+    # at 01:00 — after this run the persisted watermark is 00:50
+    pq.write_table(
+        tbl([(0, "a", 1), (1, "a", 1), (2, "a", 1), (3, "a", 1),
+             (4, "a", 1), (60, "a", 1)]),
+        f"{d}/batch1.parquet",
+    )
+    run("wmtest1")
+    # run 2 (resumes from the checkpoint): a late duplicate older than the
+    # watermark arrives — it must be dropped, and the finalized window
+    # keeps the on-time count only
+    pq.write_table(tbl([(1, "a", 99)]), f"{d}/batch2.parquet")
+    out = run("wmtest2")
+    assert (0, 5) in out
+    assert (0, 6) not in out

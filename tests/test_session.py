@@ -240,3 +240,49 @@ def test_drop_database_cleans_state(glue, sf_dir):
     glue.execute(f"CREATE DATABASE dd1 LOCATION '{sf_dir}/'")
     assert glue.execute("SELECT COUNT(*) AS n FROM dd1.nation").count == 1
     glue.execute("DROP DATABASE dd1")
+
+
+def test_select_converters(glue):
+    """Glue-level SELECT-only converters (reference select.rs:14-82):
+    non-SELECT statements raise QueryNotSupported-shaped errors."""
+    _fresh(glue, "conv")
+    glue.execute("CREATE TABLE conv (a INTEGER, b BOOLEAN NULL)")
+    glue.execute("INSERT INTO conv (a, b) VALUES (1, TRUE), (2, NULL)")
+    assert glue.select_as_string("SELECT a, b FROM conv ORDER BY a") == [
+        ["a", "b"], ["1", "true"], ["2", "NULL"]
+    ]
+    assert glue.select_as_csv("SELECT a FROM conv ORDER BY a") == "a\n1\n2\n"
+    assert '"a": 1' in glue.select_json("SELECT a FROM conv ORDER BY a")
+    with pytest.raises(EngineError):
+        glue.select_json("INSERT INTO conv (a, b) VALUES (3, TRUE)")
+
+
+def test_typed_error_classes(glue):
+    """Error families mirror the reference's typed enum (DIVERGENCES #15):
+    host code can catch the specific class, all subclass EngineError."""
+    from multisql_spark import (
+        AlreadyExistsError,
+        ColumnNotFoundError,
+        NotNullViolation,
+        TableNotFoundError,
+        UniqueViolation,
+        UnsupportedError,
+    )
+
+    _fresh(glue, "terr")
+    glue.execute(
+        "CREATE TABLE terr (a INTEGER NOT NULL, b INTEGER UNIQUE)"
+    )
+    glue.execute("INSERT INTO terr (a, b) VALUES (1, 1)")
+    with pytest.raises(TableNotFoundError):
+        glue.execute("SELECT * FROM no_such_table_xyz")
+    with pytest.raises(ColumnNotFoundError):
+        glue.execute("INSERT INTO terr (nope) VALUES (1)")
+    with pytest.raises(AlreadyExistsError):
+        glue.execute("CREATE TABLE terr (a INTEGER)")
+    with pytest.raises(NotNullViolation):
+        glue.execute("INSERT INTO terr (a, b) VALUES (NULL, 2)")
+    with pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO terr (a, b) VALUES (2, 1)")
+    with pytest.raises(UnsupportedError):
+        glue.execute("COMMIT")
