@@ -87,6 +87,7 @@ def bench_queries(spark: SparkSession):
         "sim_ann_ivf": "sim_ann_ivf",
         "tpch_cust_distribution": "tpch_cust_distribution",
         "range_join_events": "range_join_events",
+        "pipeline_prepare_corpus": "pipeline_prepare_corpus",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect

@@ -122,3 +122,50 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ),
         F.array_min(shingle_hashes).alias("fp_min_shingle"),
     )
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup keys: lowercase, strip
+    punctuation to spaces, collapse whitespace runs, trim. Pure codegen
+    column ops — a narrow map at any scale. Returns (id, norm_text,
+    norm_hash)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing (emails, long digit runs, @handles) with
+    per-document hit counts — the pre-training scrub pass. regexp_replace
+    / regexp_count are JVM codegen; no Python in the row path. Returns
+    (id, clean_text, n_emails, n_numbers, n_handles)."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    digits = r"\b\d{7,}\b"
+    handle = r"(^|\s)@[a-zA-Z0-9_]+"
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), email, "<EMAIL>"),
+            digits,
+            "<NUM>",
+        ),
+        handle,
+        " <HANDLE>",
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(digits)).alias("n_numbers"),
+        F.regexp_count(F.col(text_col), F.lit(handle)).alias("n_handles"),
+    )

@@ -220,3 +220,59 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         )
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+    tags=("text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase / strip punctuation / collapse
+    whitespace) with an md5 over the normalized form — the key for
+    near-exact dedup that ignores formatting. Narrow map, no shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.normalize_text(t["documents"])
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           length(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+             '<EMAIL>', 'g')) AS clean_len,
+           len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text, '\\b\\d{7,}\\b')) AS n_numbers
+    FROM documents
+    """,
+    tags=("text", "pii"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting: emails replaced by a tag (asserted via the
+    post-replacement length) plus per-document match counts. The full
+    redacted text comes from :func:`operators.textan.redact_pii`; the
+    query projects engine-agnostic accounting columns so the oracle
+    hash-matches."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    digits = r"\b\d{7,}\b"
+    return t["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>")
+        ).alias("clean_len"),
+        F.regexp_count(F.col("text"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(digits)).alias("n_numbers"),
+    )
