@@ -39,6 +39,7 @@ import re
 _TOKEN_RE = re.compile(
     r"""
       (?P<space>\s+)
+    | (?P<comment>--[^\n]*|(?s:/\*.*?\*/))
     | (?P<string>'(?:[^']|'')*')
     | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
@@ -57,7 +58,14 @@ def tokenize(sql: str) -> list[tuple[str, str]]:
         if not m:
             raise ValueError(f"cannot tokenize SQL at: {sql[pos:pos + 30]!r}")
         kind = m.lastgroup or "op"
-        if kind != "space":
+        if kind == "qident" and m.group().startswith('"'):
+            # reference parity: the corpus writes string literals with
+            # double quotes (e.g. ``VALUES (NULL, 2, "Hello")`` in
+            # tests/functionality/statement/data_query/nullable.rs) and
+            # expects Str values — treat "..." as a string literal
+            body = m.group()[1:-1].replace('""', '"')
+            tokens.append(("string", "'" + body.replace("'", "''") + "'"))
+        elif kind not in ("space", "comment"):
             tokens.append((kind, m.group()))
         pos = m.end()
     return tokens

@@ -250,3 +250,21 @@ def test_explain_attached_database_table(glue, tmp_path_factory, sf_dir):
     cols = dict(out.rows)
     assert cols["n_nationkey"] == "Int"
     assert cols["n_name"] == "Text"
+
+
+# --- dialect lexical surfaces the reference's sqlparser accepts -------------
+
+
+def test_comments_and_double_quoted_strings(glue):
+    """SQL comments are stripped; double-quoted literals are strings like
+    the reference corpus writes them (nullable.rs:14-18 inserts "Hello"
+    and expects Str values)."""
+    assert rows(glue, "SELECT 1 AS a -- trailing comment") == [(1,)]
+    assert rows(glue, "SELECT /* inline */ 2 AS a") == [(2,)]
+    glue.execute("DROP TABLE IF EXISTS dqt")
+    glue.execute("CREATE TABLE dqt (id INTEGER NULL, num INTEGER,"
+                 " name TEXT)")
+    glue.execute('INSERT INTO dqt (id, num, name) VALUES (NULL, 2, "Hello")')
+    assert rows(glue, 'SELECT num FROM dqt WHERE name = "Hello"') == [(2,)]
+    # embedded quote escaping: "" inside double quotes, '' inside single
+    assert rows(glue, "SELECT \"say \"\"hi\"\"\" AS s") == [('say "hi"',)]
