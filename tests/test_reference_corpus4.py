@@ -268,3 +268,119 @@ def test_comments_and_double_quoted_strings(glue):
     assert rows(glue, 'SELECT num FROM dqt WHERE name = "Hello"') == [(2,)]
     # embedded quote escaping: "" inside double quotes, '' inside single
     assert rows(glue, "SELECT \"say \"\"hi\"\"\" AS s") == [('say "hi"',)]
+
+
+# --- tests/ability/base/filter/filter_simple.rs -----------------------------
+
+
+def test_filter_simple(glue):
+    for t in ("Boss", "Hunter"):
+        glue.execute(f"DROP TABLE IF EXISTS {t}")
+    glue.execute(
+        "CREATE TABLE Boss (id INTEGER, name TEXT, strength FLOAT)"
+    )
+    glue.execute("CREATE TABLE Hunter (id INTEGER, name TEXT)")
+    glue.execute(
+        "INSERT INTO Boss (id, name, strength) VALUES"
+        " (1, 'Amelia', 10.10), (2, 'Doll', 20.20), (3, 'Gascoigne', 30.30),"
+        " (4, 'Gehrman', 40.40), (5, 'Maria', 50.50)"
+    )
+    glue.execute(
+        "INSERT INTO Hunter (id, name) VALUES"
+        " (1, 'Gascoigne'), (2, 'Gehrman'), (3, 'Maria')"
+    )
+    cases = [
+        (3, "SELECT id, name FROM Boss WHERE id BETWEEN 2 AND 4"),
+        (3, "SELECT id, name FROM Boss WHERE name BETWEEN 'Doll'"
+            " AND 'Gehrman'"),
+        (2, "SELECT name FROM Boss WHERE name NOT BETWEEN 'Doll'"
+            " AND 'Gehrman'"),
+        (2, "SELECT strength, name FROM Boss WHERE name NOT BETWEEN"
+            " 'Doll' AND 'Gehrman'"),
+        (5, "SELECT name FROM Boss WHERE +1 = 1"),
+        (3, "SELECT id FROM Hunter WHERE -1 = -1"),
+        (5, "SELECT name FROM Boss WHERE -2.0 < -1.0"),
+        (3, "SELECT id FROM Hunter WHERE +2 > +1.0"),
+        (2, "SELECT name FROM Boss WHERE id <= +2"),
+        (2, "SELECT name FROM Boss WHERE +id <= 2"),
+        (5, "SELECT name FROM Boss WHERE 2 = 1.0 + 1"),
+        (3, "SELECT id FROM Hunter WHERE -1.0 - 1.0 < -1"),
+        (5, "SELECT name FROM Boss WHERE -2.0 * -3.0 = 6"),
+        (3, "SELECT id FROM Hunter WHERE +2 / 1.0 > +1.0"),
+        # EXISTS / NOT EXISTS: the reference TODO'd these
+        # (filter_simple.rs:63-79); we run them (strict superset)
+        (3, "SELECT name FROM Boss WHERE EXISTS"
+            " (SELECT * FROM Hunter WHERE Hunter.name = Boss.name)"),
+        (2, "SELECT name FROM Boss WHERE NOT EXISTS"
+            " (SELECT * FROM Hunter WHERE Hunter.name = Boss.name)"),
+    ]
+    for expected, sql in cases:
+        assert len(rows(glue, sql)) == expected, sql
+
+
+# --- tests/ability/base/aggregate/old.rs ------------------------------------
+
+
+def test_aggregate_old(glue):
+    glue.execute("DROP TABLE IF EXISTS AggItem")
+    glue.execute(
+        "CREATE TABLE AggItem (id INTEGER, quantity INTEGER,"
+        " age INTEGER NULL)"
+    )
+    glue.execute(
+        "INSERT INTO AggItem (id, quantity, age) VALUES"
+        " (1, 10, 11), (2, 0, 90), (3, 9, NULL), (4, 3, 3), (5, 25, NULL)"
+    )
+    out = glue.execute("SELECT COUNT(1) FROM AggItem")
+    assert out.labels == ["unnamed_0"] and out.rows == [(5,)]
+    out = glue.execute("SELECT COUNT(1), COUNT(1) FROM AggItem")
+    assert out.labels == ["unnamed_0", "unnamed_1"]
+    assert out.rows == [(5, 5)]
+    assert rows(
+        glue,
+        "SELECT SUM(quantity), MAX(quantity), MIN(quantity) FROM AggItem",
+    ) == [(47, 25, 0)]
+    assert rows(glue, "SELECT SUM(quantity + 1) FROM AggItem") == [(52,)]
+    # int `/` parity inside aggregate arithmetic: 3 / 1 dispatches to
+    # integer division (binary.rs:66-92)
+    assert rows(
+        glue,
+        "SELECT SUM(quantity) * 2 + MAX(quantity) - 3 / 1 FROM AggItem",
+    ) == [(116,)]
+    assert rows(
+        glue, "SELECT SUM(age), MAX(age), MIN(age) FROM AggItem"
+    ) == [(104, 90, 3)]
+    assert rows(
+        glue, "SELECT SUM(age) + SUM(quantity) FROM AggItem"
+    ) == [(151,)]
+    # reference AVG = SUM/COUNT over ints gives 9 (int division); we
+    # return the same value float-typed (DIVERGENCES #3)
+    assert rows(glue, "SELECT AVG(quantity) FROM AggItem") == [(9.0,)]
+    assert rows(glue, "SELECT SUM(1 + 2) FROM AggItem") == [(15,)]
+    out = glue.execute(
+        "SELECT id, COUNT(1) FROM AggItem GROUP BY id"
+    )
+    assert out.labels == ["id", "unnamed_1"]
+    assert sorted(out.rows) == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
+
+
+# --- tests/ability/index/create.rs + create_table.rs ------------------------
+
+
+def test_index_create_corpus(glue):
+    glue.execute("DROP TABLE IF EXISTS basic_ix")
+    glue.execute("DROP TABLE IF EXISTS basic_keyed")
+    glue.execute("CREATE TABLE basic_ix (a INTEGER)")
+    # the reference even allows `index` as the index name
+    glue.execute("CREATE INDEX index ON basic_ix (a)")
+    glue.execute("INSERT INTO basic_ix (a) VALUES (1), (2)")
+    assert sorted(rows(glue, "SELECT a FROM basic_ix WHERE a >= 1")) == [
+        (1,), (2,)
+    ]
+    # PRIMARY KEY column option = NOT NULL + UNIQUE
+    glue.execute("CREATE TABLE basic_keyed (a INTEGER PRIMARY KEY)")
+    glue.execute("INSERT INTO basic_keyed (a) VALUES (1)")
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO basic_keyed (a) VALUES (1)")
+    with pytest.raises(EngineError):
+        glue.execute("INSERT INTO basic_keyed (a) VALUES (NULL)")
