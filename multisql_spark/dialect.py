@@ -878,24 +878,83 @@ def _loose_group_by(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return rebuilt
 
 
+_SET_OP_KWS = {"UNION", "EXCEPT", "INTERSECT"}
+
+
 def _rewrite_values_statement(
     tokens: list[tuple[str, str]]
 ) -> list[tuple[str, str]]:
     """Statement-level ``VALUES (…),(…)`` → UNION ALL of SELECTs with the
     reference's ``unnamed_{i}`` labels (set_expr.rs:26-52). Also lifts
     Spark's inline-table restriction to foldable expressions, so
-    ``VALUES (UUID())`` / ``VALUES (RAND())`` work like the reference."""
-    rows = _split_args(tokens[1:])
-    selects = []
-    for row in rows:
-        if not row or row[0][1] != "(" or row[-1][1] != ")":
-            return tokens  # not a plain row list; leave untouched
-        exprs = _split_args(row[1:-1])
-        items = ", ".join(
-            f"({untokenize(e)}) AS unnamed_{i}" for i, e in enumerate(exprs)
-        )
-        selects.append(f"SELECT {items}")
-    return tokenize(" UNION ALL ".join(selects))
+    ``VALUES (UUID())`` / ``VALUES (RAND())`` work like the reference.
+
+    VALUES may appear as any set-operation operand (the reference's
+    set_operation corpus runs ``VALUES … UNION VALUES …``), so the
+    statement is split at depth-0 UNION/EXCEPT/INTERSECT and each
+    operand is rewritten independently, parenthesized to preserve the
+    original operator structure."""
+    operands: list[list[tuple[str, str]]] = []
+    ops: list[str] = []
+    depth = 0
+    cur: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        if depth == 0 and kind == "ident" and text.upper() in _SET_OP_KWS:
+            op = text.upper()
+            if (
+                i + 1 < len(tokens)
+                and tokens[i + 1][0] == "ident"
+                and tokens[i + 1][1].upper() in ("ALL", "DISTINCT")
+            ):
+                op += " " + tokens[i + 1][1].upper()
+                i += 1
+            operands.append(cur)
+            ops.append(op)
+            cur = []
+        else:
+            cur.append((kind, text))
+        i += 1
+    operands.append(cur)
+
+    def rewrite_one(opnd: list[tuple[str, str]]) -> str | None:
+        if not (
+            opnd
+            and opnd[0][0] == "ident"
+            and opnd[0][1].upper() == "VALUES"
+        ):
+            return untokenize(opnd)  # e.g. a SELECT operand — untouched
+        rows = _split_args(opnd[1:])
+        selects = []
+        for row in rows:
+            if not row or row[0][1] != "(" or row[-1][1] != ")":
+                return None  # not a plain row list
+            exprs = _split_args(row[1:-1])
+            items = ", ".join(
+                f"({untokenize(e)}) AS unnamed_{i}"
+                for i, e in enumerate(exprs)
+            )
+            selects.append(f"SELECT {items}")
+        return " UNION ALL ".join(selects)
+
+    if not ops:
+        sql = rewrite_one(operands[0])
+        return tokens if sql is None else tokenize(sql)
+    parts = []
+    for opnd in operands:
+        sql = rewrite_one(opnd)
+        if sql is None:
+            return tokens  # leave the whole statement untouched
+        parts.append(f"({sql})")
+    joined = parts[0]
+    for op, part in zip(ops, parts[1:]):
+        joined += f" {op} {part}"
+    return tokenize(joined)
 
 
 _CLAUSE_KWS = {

@@ -384,3 +384,84 @@ def test_index_create_corpus(glue):
         glue.execute("INSERT INTO basic_keyed (a) VALUES (1)")
     with pytest.raises(EngineError):
         glue.execute("INSERT INTO basic_keyed (a) VALUES (NULL)")
+
+
+# --- tests/functionality/statement/data_query/set_operation/*.rs ------------
+
+
+def test_values_set_operations(glue):
+    # union.rs: VALUES as both operands, unnamed_{i} labels survive
+    out = glue.execute(
+        "VALUES ('Test', 1), ('Test2', 2) UNION VALUES ('Test3', 3)"
+    )
+    assert out.labels == ["unnamed_0", "unnamed_1"]
+    assert sorted(out.rows) == [("Test", 1), ("Test2", 2), ("Test3", 3)]
+    out = glue.execute(
+        "VALUES ('Test', 1), ('Test2', 2), ('Test3', 3)"
+        " UNION VALUES ('Test3', 3)"
+    )
+    assert sorted(out.rows) == [("Test", 1), ("Test2", 2), ("Test3", 3)]
+    out = glue.execute(
+        "VALUES ('Test', 1), ('Test2', 2), ('Test3', 3)"
+        " UNION ALL VALUES ('Test3', 3)"
+    )
+    assert sorted(out.rows) == [
+        ("Test", 1), ("Test2", 2), ("Test3", 3), ("Test3", 3)
+    ]
+    # except.rs
+    out = glue.execute(
+        "VALUES ('Test', 1), ('Test2', 2), ('Test3', 3), ('Test4', 4)"
+        " EXCEPT VALUES ('Test3', 3)"
+    )
+    assert sorted(out.rows) == [("Test", 1), ("Test2", 2), ("Test4", 4)]
+    # intersect.rs
+    out = glue.execute(
+        "VALUES ('Test', 1), ('Test2', 2), ('Test3', 3), ('Test4', 4)"
+        " INTERSECT VALUES ('Test3', 3), ('Test1', 1), ('Test5', 5),"
+        " ('Test2', 2)"
+    )
+    assert sorted(out.rows) == [("Test2", 2), ("Test3", 3)]
+    # mixed operands: VALUES against a table SELECT
+    glue.execute("DROP TABLE IF EXISTS setop_t")
+    glue.execute("CREATE TABLE setop_t (a INTEGER)")
+    glue.execute("INSERT INTO setop_t (a) VALUES (9)")
+    out = glue.execute("VALUES (1) UNION SELECT a FROM setop_t")
+    assert sorted(out.rows) == [(1,), (9,)]
+
+
+# --- tests/ability/index/filter/gt_lt.rs ------------------------------------
+
+
+def test_index_filter_gt_lt(glue):
+    glue.execute("DROP TABLE IF EXISTS OperatorIx")
+    # the reference writes a trailing comma in the column list
+    glue.execute(
+        "CREATE TABLE OperatorIx (\n id INTEGER,\n name TEXT,\n )"
+    )
+    glue.execute(
+        "INSERT INTO OperatorIx (id, name) VALUES (1, 'Abstract'),"
+        " (2, 'Azzzz'), (3, 'July'), (4, 'Romeo'), (5, 'Trade')"
+    )
+    glue.execute("CREATE INDEX OperatorIx_id ON OperatorIx (id)")
+    glue.execute("CREATE INDEX OperatorIx_name ON OperatorIx (name)")
+    cases = [
+        (1, "SELECT * FROM OperatorIx WHERE id < 2"),
+        (2, "SELECT * FROM OperatorIx WHERE id <= 2"),
+        (3, "SELECT * FROM OperatorIx WHERE id > 2"),
+        (4, "SELECT * FROM OperatorIx WHERE id >= 2"),
+        (1, "SELECT * FROM OperatorIx WHERE 2 > id"),
+        (2, "SELECT * FROM OperatorIx WHERE 2 >= id"),
+        (3, "SELECT * FROM OperatorIx WHERE 2 < id"),
+        (4, "SELECT * FROM OperatorIx WHERE 2 <= id"),
+        (5, "SELECT * FROM OperatorIx WHERE 1 < 3"),
+        (5, "SELECT * FROM OperatorIx WHERE 3 >= 3"),
+        (0, "SELECT * FROM OperatorIx WHERE 3 > 3"),
+        (2, "SELECT * FROM OperatorIx WHERE name < 'Azzzzzzzzzz'"),
+        (1, "SELECT * FROM OperatorIx WHERE name < 'Az'"),
+        (5, "SELECT * FROM OperatorIx WHERE name < 'zz'"),
+        (5, "SELECT * FROM OperatorIx WHERE 'aa' < 'zz'"),
+        (4, "SELECT * FROM OperatorIx WHERE 'Romeo' >= name"),
+        (5, "SELECT * FROM OperatorIx WHERE NOT (1 != 1)"),
+    ]
+    for expected, sql in cases:
+        assert len(rows(glue, sql)) == expected, sql
