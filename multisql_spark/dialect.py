@@ -837,6 +837,9 @@ def _loose_group_by(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                    _split_args(tokens[group_i + 2:group_end])}
     # also admit the bare column name of dotted group exprs (t.c ≡ c)
     group_exprs |= {g.rsplit(".", 1)[-1] for g in group_exprs}
+    # GROUP BY ordinals (Spark-native `GROUP BY 1`) name select items by
+    # 1-based position — those items are grouped, not loose
+    group_ordinals = {int(g) for g in group_exprs if g.isdigit()}
 
     items = _split_args(tokens[1:from_i])
     rebuilt: list[tuple[str, str]] = [tokens[0]]
@@ -863,8 +866,12 @@ def _loose_group_by(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             expr[0][1].upper() not in ("DISTINCT", "ALL") and \
             not any(t[1].upper() in _AGG_FN_NAMES for t in expr)
         key = norm(expr)
+        # grouped under its own name, its alias (`GROUP BY k` where the
+        # item is `grp AS k`), or its 1-based ordinal (`GROUP BY 1`)
         if is_bare and key not in group_exprs \
-                and key.rsplit(".", 1)[-1] not in group_exprs:
+                and key.rsplit(".", 1)[-1] not in group_exprs \
+                and not (label and label.lower() in group_exprs) \
+                and (n + 1) not in group_ordinals:
             out_label = label or expr[-1][1]
             rebuilt.extend(tokenize(
                 f"first({untokenize(expr)}) AS {out_label}"

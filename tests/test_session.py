@@ -286,3 +286,28 @@ def test_typed_error_classes(glue):
         glue.execute("INSERT INTO terr (a, b) VALUES (2, 1)")
     with pytest.raises(UnsupportedError):
         glue.execute("COMMIT")
+
+
+def test_group_by_alias_and_ordinal(glue):
+    """Spark-native GROUP BY forms must not be mangled by the
+    loose-group-by rewrite (reference has neither form; strict
+    superset): grouping by a select-item alias or by 1-based ordinal
+    leaves that item grouped, not wrapped in first()."""
+    _fresh(glue, "galias")
+    glue.execute("CREATE TABLE galias (k INTEGER, v INTEGER)")
+    glue.execute(
+        "INSERT INTO galias (k, v) VALUES (1, 10), (1, 20), (2, 30)"
+    )
+    out = glue.execute(
+        "SELECT k AS grp, SUM(v) AS s FROM galias GROUP BY grp"
+    )
+    assert out.labels == ["grp", "s"]
+    assert sorted(out.rows) == [(1, 30), (2, 30)]
+    out = glue.execute("SELECT k, SUM(v) AS s FROM galias GROUP BY 1")
+    assert out.labels == ["k", "s"]
+    assert sorted(out.rows) == [(1, 30), (2, 30)]
+    # expression items grouped by ordinal
+    out = glue.execute(
+        "SELECT k + 1 AS k1, SUM(v) AS s FROM galias GROUP BY 1"
+    )
+    assert sorted(out.rows) == [(2, 30), (3, 30)]
