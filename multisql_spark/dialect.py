@@ -957,11 +957,80 @@ def _rewrite_values_statement(
         sql = rewrite_one(opnd)
         if sql is None:
             return tokens  # leave the whole statement untouched
-        parts.append(f"({sql})")
+        # parenthesize only rewritten VALUES operands (they are UNION ALL
+        # chains); a SELECT operand keeps its tokens bare so a trailing
+        # ORDER BY / LIMIT still scopes over the whole set operation
+        is_values = (
+            opnd and opnd[0][0] == "ident" and opnd[0][1].upper() == "VALUES"
+        )
+        parts.append(f"({sql})" if is_values else sql)
     joined = parts[0]
     for op, part in zip(ops, parts[1:]):
         joined += f" {op} {part}"
     return tokenize(joined)
+
+
+def _has_values_operand(tokens: list[tuple[str, str]]) -> bool:
+    """True when any depth-0 set-operation operand starts with VALUES."""
+    if tokens and tokens[0][0] == "ident" and tokens[0][1].upper() == "VALUES":
+        return True
+    depth = 0
+    expect_operand = False
+    for kind, text in tokens:
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident":
+            up = text.upper()
+            if up in _SET_OP_KWS:
+                expect_operand = True
+            elif expect_operand:
+                if up == "VALUES":
+                    return True
+                if up not in ("ALL", "DISTINCT"):
+                    expect_operand = False
+    return False
+
+
+def _rewrite_nested_values(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """``( VALUES … )`` at any depth → a parenthesized UNION ALL of
+    SELECTs with ``unnamed_{i}`` labels, so a VALUES derived table
+    (``FROM (VALUES (1),(2)) v`` / ``JOIN (VALUES …) v ON …``) exposes
+    the reference's column names (set_expr.rs:26-52) instead of Spark's
+    native ``colN``."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        kind, text = tokens[i]
+        if (
+            text == "("
+            and i + 1 < n
+            and tokens[i + 1][0] == "ident"
+            and tokens[i + 1][1].upper() == "VALUES"
+        ):
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                if tokens[j][1] == "(":
+                    depth += 1
+                elif tokens[j][1] == ")":
+                    depth -= 1
+                j += 1
+            inner = tokens[i + 1:j - 1]
+            rewritten = _rewrite_values_statement(inner)
+            if rewritten is not inner:
+                out.append(("punct", "("))
+                out.extend(_rewrite_nested_values(rewritten))
+                out.append(("punct", ")"))
+                i = j
+                continue
+        out.append((kind, text))
+        i += 1
+    return out
 
 
 _CLAUSE_KWS = {
@@ -1110,6 +1179,7 @@ def rewrite(
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _rewrite_cast_timestamp(tokens)
     tokens = _rewrite_cast_types(tokens)
+    tokens = _rewrite_nested_values(tokens)
     tokens = _bare_join_on_true(tokens)
     tokens = _label_select_items(tokens)
     tokens = _loose_group_by(tokens)
@@ -1117,6 +1187,6 @@ def rewrite(
     tokens = _floatify_literals(tokens)
     if int_division:
         tokens = _rewrite_division(tokens)
-    if tokens and tokens[0][0] == "ident" and tokens[0][1].upper() == "VALUES":
+    if _has_values_operand(tokens):
         tokens = _rewrite_values_statement(tokens)
     return untokenize(tokens)

@@ -452,7 +452,7 @@ class MultiSQLSession:
         head = re.match(r"\s*([A-Za-z_]+)", stmt)
         kw = head.group(1).upper() if head else ""
         if kw in ("SELECT", "WITH", "VALUES") or stmt.strip().startswith("("):
-            return Payload.select(self.sql(stmt))
+            return self._select_with_aqe_fallback(stmt)
         if kw == "CREATE":
             return self._create(stmt)
         if kw == "INSERT":
@@ -474,6 +474,26 @@ class MultiSQLSession:
         if kw == "EXECUTE":
             return self._execute_file(stmt)
         raise UnsupportedError(f"unsupported statement: {stmt[:60]}")
+
+    def _select_with_aqe_fallback(self, stmt: str) -> Payload:
+        """Collect a SELECT, working around a Spark 4.1 planner fault: a
+        correlated scalar subquery whose outer plan contains a Union (the
+        shape managed tables take after INSERTs) fails with an internal
+        ``NoSuchElementException: key not found``. Checkpointing each
+        managed table collapses its plan to a single scan node, which the
+        subquery planner handles; results are unaffected (the same rows,
+        one lineage cut the engine already performs every Nth mutation)."""
+        try:
+            return Payload.select(self.sql(stmt))
+        except Exception as exc:
+            if "key not found" not in str(exc):
+                raise
+            for state in self.tables.values():
+                if state.persist_path is not None:
+                    continue  # attached tables are file scans, never Unions
+                state.df = state.df.localCheckpoint(eager=True)
+                state.df.createOrReplaceTempView(state.name)
+            return Payload.select(self.sql(stmt))
 
     # -- CREATE -------------------------------------------------------------
 

@@ -311,3 +311,58 @@ def test_group_by_alias_and_ordinal(glue):
         "SELECT k + 1 AS k1, SUM(v) AS s FROM galias GROUP BY 1"
     )
     assert sorted(out.rows) == [(2, 30), (3, 30)]
+
+
+def test_correlated_scalar_subquery(glue):
+    """Correlated scalar subquery over managed (post-INSERT union-shaped)
+    tables — exercises the checkpoint fallback for the Spark 4.1 planner
+    fault (NoSuchElementException on Union outer plans)."""
+    _fresh(glue, "csq_p")
+    _fresh(glue, "csq_c")
+    glue.execute("CREATE TABLE csq_p (id INTEGER, cat INTEGER)")
+    glue.execute("INSERT INTO csq_p (id, cat) VALUES (1, 1), (2, 2)")
+    glue.execute("CREATE TABLE csq_c (cat INTEGER, label TEXT)")
+    glue.execute(
+        "INSERT INTO csq_c (cat, label) VALUES (1, 'low'), (2, 'high')"
+    )
+    sql = (
+        "SELECT id, (SELECT label FROM csq_c WHERE csq_c.cat = csq_p.cat)"
+        " AS lbl FROM csq_p"
+    )
+    assert sorted(glue.execute(sql).rows) == [(1, "low"), (2, "high")]
+    # mutate after the fallback's checkpoint, query again (fresh Union)
+    glue.execute("INSERT INTO csq_p (id, cat) VALUES (3, 1)")
+    assert sorted(glue.execute(sql).rows) == [
+        (1, "low"), (2, "high"), (3, "low")
+    ]
+
+
+def test_values_derived_table_labels(glue):
+    """VALUES usable as a derived table / join operand with the
+    reference's unnamed_{i} labels, and as a trailing set-op operand."""
+    _fresh(glue, "vdt")
+    glue.execute("CREATE TABLE vdt (id INTEGER)")
+    glue.execute("INSERT INTO vdt (id) VALUES (1), (2), (3)")
+    out = glue.execute("SELECT unnamed_0 FROM (VALUES (10), (20)) t")
+    assert out.labels == ["unnamed_0"]
+    assert sorted(out.rows) == [(10,), (20,)]
+    out = glue.execute(
+        "SELECT vdt.id AS pid FROM vdt"
+        " JOIN (VALUES (1), (2)) v ON vdt.id = v.unnamed_0"
+    )
+    assert sorted(out.rows) == [(1,), (2,)]
+    # explicit column aliases still win over unnamed_{i}
+    out = glue.execute(
+        "SELECT t.a FROM (VALUES (1, 'x'), (2, 'y')) AS t(a, b)"
+    )
+    assert sorted(out.rows) == [(1,), (2,)]
+    # VALUES as the second set-operation operand; trailing ORDER BY /
+    # LIMIT still scope over the whole set operation
+    out = glue.execute("SELECT id FROM vdt UNION VALUES (99)")
+    assert sorted(out.rows) == [(1,), (2,), (3,), (99,)]
+    out = glue.execute(
+        "SELECT id FROM vdt UNION VALUES (99) ORDER BY 1 DESC LIMIT 2"
+    )
+    assert out.rows == [(99,), (3,)]
+    out = glue.execute("SELECT id FROM vdt WHERE id IN (VALUES (1), (3))")
+    assert sorted(out.rows) == [(1,), (3,)]
