@@ -15,9 +15,10 @@ Scale design (100 TB / billions of vectors):
 - LSH: bucket key is computed per-row in one pass (8 hyperplanes → 256
   buckets); candidate search shuffles only same-bucket pairs;
 - IVF: the coarse assignment is a partition key — per-list scans are
-  partition-pruned scans. Here the ``label`` column stands in for the
-  k-means coarse quantizer (at scale: Spark ML KMeans fit on a sample,
-  broadcast centroids, argmin-assign in one pass).
+  partition-pruned scans. Two variants: ``ivf_topk`` (the ``label``
+  column as a ready-made coarse assignment) and ``ivf_kmeans_topk``
+  (a real KMeans quantizer: deterministic hash seeding + fixed-point
+  Lloyd iterations with broadcast centroids, fit-on-sample at scale).
 """
 
 from __future__ import annotations
@@ -193,6 +194,130 @@ def ivf_topk(
     w = W.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's KMeans as DataFrame jobs — the real coarse
+    quantizer for IVF (replacing the dataset-label stand-in).
+
+    - Seeds: the ``n_lists`` vectors with smallest ``md5(id)`` (order-free,
+      engine-reproducible); cid = rank in that order.
+    - Assign: argmin over ``dot(c,c) - 2*dot(v,c)`` (ties → smallest cid),
+      centroids broadcast as literals — one corpus scan, no shuffle beyond
+      the (n_lists × dim)-row mean aggregation.
+    - Update: per-component mean in **fixed-point** (values quantized to
+      1e-6, summed as exact BIGINTs) so the result is bit-identical
+      regardless of partition/accumulation order — this is what lets a SQL
+      oracle replay the fit exactly.
+
+    Centroids live on the driver (n_lists × dim doubles — tiny) between
+    iterations. At 100 TB you fit on a sample (``emb.sample(...)``) and
+    assign the full corpus once; the per-iteration cost here is one scan +
+    one n_lists×dim-group aggregation either way.
+    """
+    base = emb.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("v")
+    )
+    seed_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        assigned = base.select(
+            _assign_col(F.col("v"), centroids).alias("cid"), "v"
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .withColumn("q", F.round(F.col("val") * 1e6).cast("long"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.round(F.sum("q") / F.count(F.lit(1))).cast("double")
+                    / 1e6
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (cid, [comps[p] for p in sorted(comps)])
+            for cid, comps in sorted(by_cid.items())
+        ]
+    return centroids
+
+
+def _assign_col(vcol, centroids: list[tuple[int, list[float]]]):
+    """Nearest-centroid id: argmin of dot(c,c) - 2*dot(v,c) (the ||v||²
+    term is constant per row), ties broken by smallest cid. Centroids are
+    literals → pure codegen, no shuffle."""
+    scores = []
+    for _, c in centroids:
+        cc = 0.0
+        for x in c:  # sequential, mirroring list_dot_product(c, c)
+            cc = cc + x * x
+        lit_c = F.array(*[F.lit(x) for x in c])
+        scores.append(F.lit(cc) - F.lit(2.0) * dot(vcol, lit_c))
+    arr = F.array(*scores)
+    idx = F.array_position(arr, F.array_min(arr)).cast("int")
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return F.element_at(cid_arr, idx)
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    query_filter,
+    n_lists: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over KMeans-fit inverted lists: fit the coarse quantizer
+    (see :func:`kmeans_fit`), assign corpus and queries in one codegen'd
+    pass, then search only the query's list (nprobe=1). The list id is the
+    partition key at scale → partition-pruned probe scans."""
+    from pyspark.sql import Window as W
+
+    centroids = kmeans_fit(emb, n_lists, iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("list_id", _assign_col(F.col("v"), centroids))
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("list_id").alias("q_list"),
+    )
+    pairs = (
+        base.join(F.broadcast(q), base["list_id"] == q["q_list"], "inner")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)

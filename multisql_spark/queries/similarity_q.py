@@ -158,6 +158,89 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(t["embeddings"], F.col("vec_id") < 5, k=5)
 
 
+def _kmeans_oracle(n_lists: int = 8, iters: int = 2, k: int = 5) -> str:
+    """Replay the deterministic KMeans fit (hash seeds → fixed-point Lloyd
+    updates → argmin assignment) in pure SQL, then probe. Exactly mirrors
+    ``operators.similarity.kmeans_fit`` — the fixed-point mean (values
+    quantized to 1e-6, summed as BIGINTs) is what makes the two engines
+    bit-identical regardless of accumulation order."""
+    score = (
+        "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
+    )
+    sql = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+             v AS c
+      FROM emb ORDER BY md5(vec_id::VARCHAR) LIMIT {n_lists}
+    )"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score}, c.cid) AS rn
+        FROM emb e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT a.cid, t.pos,
+               round(sum(CAST(round(a.v[t.pos] * 1000000) AS BIGINT))
+                     / count(*)) / 1000000.0 AS m
+        FROM a{it} a CROSS JOIN range(1, 65) t(pos)
+        GROUP BY a.cid, t.pos
+      ) GROUP BY cid
+    )"""
+        prev = f"c{it}"
+    sql += f""",
+    af AS (
+      SELECT vec_id, v, cid AS list_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score}, c.cid) AS rn
+        FROM emb e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, list_id AS q_list
+          FROM af WHERE vec_id < 5),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q JOIN af c ON c.list_id = q.q_list
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {k}
+    """
+    return sql.replace("{n_lists}", str(n_lists))
+
+
+@register(
+    "sim_ann_ivf_kmeans",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "ivf", "ann", "kmeans"),
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a real KMeans coarse quantizer (deterministic hash seeding
+    + 2 fixed-point Lloyd iterations), not the dataset-label stand-in:
+    fit, assign corpus + queries, probe only the query's list. Fully
+    hash-checked against a SQL replay of the same fit."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.ivf_kmeans_topk(
+        t["embeddings"], F.col("vec_id") < 5, n_lists=8, iters=2, k=5
+    )
+
+
 @register(
     "sim_embedding_neardup",
     oracle=f"""
