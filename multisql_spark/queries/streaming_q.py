@@ -230,3 +230,23 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click_id").cast("long"),
         F.unix_timestamp("click_ts").alias("click_ts"),
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the source redelivers every event in
+    a second microbatch; ``dropDuplicatesWithinWatermark(event_id)`` must
+    emit each exactly once — so the output equals the batch table."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.stream_dedup_exactly_once(spark, sf_dir)

@@ -354,3 +354,65 @@ def run_stream_to_memory(
         finally:
             q.stop()
     return spark.table(query_name)
+
+
+def stream_dedup_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: every event is
+    delivered TWICE in separate microbatches (two copies of the source
+    file, maxFilesPerTrigger=1) and ``dropDuplicatesWithinWatermark`` on
+    the event id must restore each exactly once.
+
+    State holds a key only until the watermark passes its event time —
+    O(events in the watermark horizon), the 100 TB-stream-safe bound; an
+    unbounded ``dropDuplicates`` would accumulate every key ever seen.
+    Redeliveries falling behind the watermark are dropped as late data —
+    either path yields exactly-once output.
+    """
+    import os
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    os.symlink(src, os.path.join(stream_dir, "delivery1.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "delivery2.parquet"))
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            F.col("event_id").cast("long"),
+            F.unix_timestamp("ts").alias("ts_sec"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("value").cast("double"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("dedup_out")

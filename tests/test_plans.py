@@ -199,3 +199,14 @@ def test_connected_components_no_cartesian(spark):
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_kmeans_probe_is_broadcast(spark):
+    """The KMeans-IVF probe must broadcast the tiny query side and never
+    shuffle or nested-loop the corpus; centroid assignment is literal
+    arithmetic inside the scan's codegen stage."""
+    df = REGISTRY["sim_ann_ivf_kmeans"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
