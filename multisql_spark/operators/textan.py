@@ -169,3 +169,107 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
         F.regexp_count(F.col(text_col), F.lit(digits)).alias("n_numbers"),
         F.regexp_count(F.col(text_col), F.lit(handle)).alias("n_handles"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality filters (the Gopher/C4 family): fraction
+    of mass in the single most frequent token, and fraction of duplicate
+    word bigrams. High values flag boilerplate / degenerate text before
+    the expensive dedup and embedding stages.
+
+    Token counting is the explode → groupBy formulation — partial
+    aggregation keeps the shuffle at (doc, token) cardinality; the bigram
+    dedup is per-row array algebra (codegen, no shuffle at all).
+    """
+    toks = F.split(F.col("text"), " ")
+    per_tok = df.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
+    counts = per_tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.groupBy(id_col).agg(
+        F.round(
+            F.max("c") / F.sum("c").cast("double"), 4
+        ).alias("top_token_frac")
+    )
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1),"
+        "         slice(_toks, 2, size(_toks) - 1),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    dup = (
+        df.withColumn("_toks", toks)
+        .withColumn("_bg", bigrams)
+        .select(
+            F.col(id_col),
+            F.when(
+                F.size("_bg") > 0,
+                F.round(
+                    1
+                    - F.size(F.array_distinct("_bg"))
+                    / F.size("_bg").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+        )
+    )
+    return top.join(dup, id_col)
+
+
+def contamination(
+    df: DataFrame,
+    bench_filter,
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap of word ``n``-grams
+    with a held-out benchmark set (here: rows matching ``bench_filter``).
+    The standard pre-training hygiene step — any document sharing n-grams
+    with an eval set is flagged for exclusion.
+
+    The benchmark n-gram set is deduplicated and broadcast (eval sets are
+    tiny next to the corpus); the corpus side streams through one explode
+    + one broadcast hash join + one partial-aggregated groupBy — no
+    corpus-side shuffle of text, and at 100 TB the join key would be a
+    64-bit hash of the n-gram instead of the string.
+
+    Documents shorter than ``n`` tokens have no n-grams and drop out
+    (mirrored by the oracle's ``unnest`` of an empty list).
+    """
+    ng = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f"          i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    base = (
+        df.withColumn("_toks", F.split(F.col("text"), " "))
+        .withColumn("_ng", ng)
+        .filter(F.size("_ng") > 0)
+    )
+    bench = (
+        base.filter(bench_filter)
+        .select(F.explode("_ng").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = base.filter(~bench_filter).select(
+        F.col(id_col), F.explode("_ng").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams").cast("double"), 4)
+            .alias("contam_frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

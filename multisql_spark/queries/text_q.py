@@ -276,3 +276,79 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(email)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(digits)).alias("n_numbers"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    cnts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    top AS (
+      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4)
+             AS top_token_frac
+      FROM cnts GROUP BY doc_id
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN len(bg) > 0
+                  THEN round(1 - list_unique(bg) / CAST(len(bg) AS DOUBLE), 4)
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        FROM t
+      )
+    )
+    SELECT top.doc_id AS doc_id, top_token_frac, dup_bigram_frac
+    FROM top JOIN dup ON top.doc_id = dup.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: top-token mass fraction and
+    duplicate-bigram fraction per document."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.repetition_stats(t["documents"])
+
+
+@register(
+    "text_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS g
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 37 = 0),
+    corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 37 <> 0)
+    SELECT c.doc_id AS doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS contam_frac,
+           sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS contaminated
+    FROM corpus c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "contamination", "dedup"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word 5-gram overlap of each corpus
+    document against the held-out benchmark slice (doc_id % 37 = 0)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.contamination(
+        t["documents"], F.col("doc_id") % 37 == 0, n=5
+    )
