@@ -360,3 +360,49 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering summary over KMeans-fit lists: per-cluster
+    member count and mean cosine-to-centroid (cohesion) — the topic-
+    bucketing / semantic-dedup view of the corpus.
+
+    The mean is fixed-point (cosines rounded to 1e-6, summed as exact
+    BIGINTs) so it is order-independent and SQL-replayable, like the fit
+    itself. One assignment pass + one (n_lists)-group aggregation."""
+    centroids = kmeans_fit(emb, n_lists, iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("list_id", _assign_col(F.col("v"), centroids))
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in centroids]),
+        F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in centroids]),
+    )
+    withcos = base.withColumn(
+        "q",
+        F.round(
+            F.round(cosine(F.col("v"), cent_map[F.col("list_id")]), 6)
+            * 1e6
+        ).cast("long"),
+    )
+    return (
+        withcos.groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.round(F.sum("q") / F.count(F.lit(1))).cast("double")
+                / 1e6
+            ).alias("mean_cos_to_centroid"),
+        )
+        .select(
+            F.col("list_id").cast("int"),
+            "n_members",
+            "mean_cos_to_centroid",
+        )
+    )

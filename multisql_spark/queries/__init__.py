@@ -132,9 +132,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cube_status_priority",
     "window_ntile_quartiles",
     "agg_collect_sorted",
-    # stable representative of the round-1-green core set + the new
-    # pair→cluster dedup operator
-    "scan_project_filter",
+    # new round-2 operators that deserve a driver row (the core set was
+    # driver-green in round 1; scan_project_filter's slot goes to the
+    # KMeans-IVF variant)
+    "sim_ann_ivf_kmeans",
     "dedup_cluster_components",
 )
 

@@ -158,16 +158,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(t["embeddings"], F.col("vec_id") < 5, k=5)
 
 
-def _kmeans_oracle(n_lists: int = 8, iters: int = 2, k: int = 5) -> str:
-    """Replay the deterministic KMeans fit (hash seeds → fixed-point Lloyd
-    updates → argmin assignment) in pure SQL, then probe. Exactly mirrors
+def _kmeans_fit_ctes(n_lists: int = 8, iters: int = 2) -> str:
+    """SQL replay of the deterministic KMeans fit (hash seeds →
+    fixed-point Lloyd updates → argmin assignment), exactly mirroring
     ``operators.similarity.kmeans_fit`` — the fixed-point mean (values
     quantized to 1e-6, summed as BIGINTs) is what makes the two engines
-    bit-identical regardless of accumulation order."""
+    bit-identical regardless of accumulation order. Ends with ``af``
+    (vec_id, v, list_id) and the final centroid CTE ``c{iters}``."""
     score = (
         "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
     )
-    sql = """
+    sql = f"""
     WITH emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
@@ -205,7 +206,14 @@ def _kmeans_oracle(n_lists: int = 8, iters: int = 2, k: int = 5) -> str:
                  ORDER BY {score}, c.cid) AS rn
         FROM emb e CROSS JOIN {prev} c
       ) WHERE rn = 1
-    ),
+    )"""
+    return sql
+
+
+def _kmeans_oracle(n_lists: int = 8, iters: int = 2, k: int = 5) -> str:
+    """Fit replay + IVF probe (nprobe=1, top-k per query)."""
+    sql = _kmeans_fit_ctes(n_lists, iters)
+    sql += f""",
     q AS (SELECT vec_id AS q_id, v AS qv, list_id AS q_list
           FROM af WHERE vec_id < 5),
     pairs AS (
@@ -222,7 +230,7 @@ def _kmeans_oracle(n_lists: int = 8, iters: int = 2, k: int = 5) -> str:
       FROM pairs
     ) WHERE rn <= {k}
     """
-    return sql.replace("{n_lists}", str(n_lists))
+    return sql
 
 
 @register(
@@ -264,3 +272,28 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(
         t["embeddings"], threshold=0.9, n_planes=N_PLANES, dim=DIM
     )
+
+
+@register(
+    "sim_kmeans_cluster_stats",
+    oracle=_kmeans_fit_ctes()
+    + f""",
+    withcos AS (
+      SELECT a.list_id,
+             CAST(round({_COS.format(a="a.v", b="c.c")} * 1000000) AS BIGINT)
+               AS q
+      FROM af a JOIN c2 c ON c.cid = a.list_id
+    )
+    SELECT CAST(list_id AS INT) AS list_id,
+           count(*) AS n_members,
+           round(sum(q) / count(*)) / 1000000.0 AS mean_cos_to_centroid
+    FROM withcos GROUP BY list_id
+    """,
+    tags=("similarity", "kmeans", "clustering"),
+)
+def sim_kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size and cohesion (mean cosine to centroid) over the
+    KMeans-fit semantic clusters — fully hash-checked via the SQL fit
+    replay."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.kmeans_cluster_stats(t["embeddings"], n_lists=8, iters=2)
