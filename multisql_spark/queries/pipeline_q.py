@@ -437,3 +437,68 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_shard_layout",
+    oracle="""
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 16
+             AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT)
+             AS est_tokens,
+           bit_xor(CAST(doc_id AS BIGINT)) AS membership_xor
+    FROM documents GROUP BY 1
+    """,
+    tags=("pipeline", "shard", "writer"),
+)
+def pipeline_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data writer layout: deterministic 16-way hash sharding
+    with per-shard doc/char/token totals and an order-free XOR membership
+    checksum (the writer-side verification that every document landed in
+    exactly one shard, cheap to recompute on read).
+
+    The shard key is a pure narrow map (no shuffle until the 16-group
+    aggregate); at 100 TB this is the ``repartitionByRange``/bucketed
+    write key and the checksum verifies shard manifests without re-reading
+    payloads."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 16
+    )
+    return (
+        t["documents"]
+        .select(
+            shard.alias("shard"),
+            F.col("n_chars"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.ceil(F.col("n_chars") / 4.0).cast("long"))
+            .cast("long")
+            .alias("est_tokens"),
+            F.expr("bit_xor(doc_id)").alias("membership_xor"),
+        )
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=None,  # greedy packing is stateful-sequential, not closed-form SQL
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 128-token budgets within hash groups
+    (training-batch construction). Invariants (budget respected, every doc
+    packed exactly once, greedy boundaries match a pure-Python reference)
+    are pinned by tests/test_pipeline_ops.py."""
+    from multisql_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return pack_sequences(t["documents"], budget=128, n_groups=16)

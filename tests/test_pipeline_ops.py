@@ -211,3 +211,57 @@ def test_watermark_drops_late_data(spark, tmp_path):
     out = run("wmtest2")
     assert (0, 5) in out
     assert (0, 6) not in out
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Greedy packing: budget respected (oversized docs → singleton
+    packs), every doc packed exactly once, and boundaries equal a
+    pure-Python greedy reference per group."""
+    import math
+
+    import duckdb
+
+    from multisql_spark.operators.packing import pack_sequences
+    from multisql_spark.tables import load_tables
+
+    BUDGET = 128
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = pack_sequences(t["documents"], budget=BUDGET, n_groups=16)
+    rows = out.collect()
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    assert len({r["doc_id"] for r in rows}) == len(docs)
+
+    # per-pack totals: within budget unless the pack is a single
+    # oversized doc; pack_total consistent with member sum
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r["grp"], r["pack_seq"]), []).append(r)
+    for members in by_pack.values():
+        total = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_total"] == total for m in members)
+        if len(members) > 1:
+            assert total <= BUDGET
+
+    # greedy reference replay per group
+    import hashlib
+
+    by_grp = {}
+    for doc_id, n_chars in docs:
+        grp = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 16
+        by_grp.setdefault(grp, []).append(
+            (doc_id, math.ceil(n_chars / 4))
+        )
+    expect = {}
+    for grp, ds in by_grp.items():
+        cur, tot = 0, 0
+        for doc_id, n in sorted(ds):
+            if tot > 0 and tot + n > BUDGET:
+                cur, tot = cur + 1, 0
+            expect[doc_id] = (grp, cur)
+            tot += n
+    for r in rows:
+        assert expect[r["doc_id"]] == (r["grp"], r["pack_seq"])
