@@ -88,6 +88,8 @@ def bench_queries(spark: SparkSession):
         "tpch_cust_distribution": "tpch_cust_distribution",
         "range_join_events": "range_join_events",
         "pipeline_prepare_corpus": "pipeline_prepare_corpus",
+        "text_contamination": "text_contamination",
+        "shard_layout": "pipeline_shard_layout",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect
