@@ -259,3 +259,36 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level dedup at chunk grain: split each document
+    into disjoint ``width``-token chunks and report every chunk that
+    occurs in more than one document (the passage-dedup pass that
+    document-level hashing misses — boilerplate headers, license blocks,
+    templated text).
+
+    One explode + one partially-aggregated groupBy on the chunk — shuffle
+    carries (chunk, doc_id) pairs only. At 100 TB the group key is a
+    64-bit chunk hash and the chunk text is dropped before the exchange;
+    survivors re-fetch text by id. Returns (chunk, n_docs, n_occurrences).
+    """
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(size(_toks) / {width} AS INT) - 1),"
+        f"          i -> concat_ws(' ', slice(_toks, i * {width} + 1, {width})))"
+    )
+    return (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .filter(F.size("_toks") >= width)
+        .withColumn("chunk", F.explode(chunks))
+        .groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -202,3 +202,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc"),
     )
+
+
+@register(
+    "dedup_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(toks) // 8),
+                    i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS chunk
+      FROM t WHERE len(toks) >= 8
+    )
+    SELECT chunk,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+    """,
+    tags=("dedup", "chunks", "passage"),
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: disjoint 8-token chunks occurring in
+    more than one document — catches shared boilerplate that whole-doc
+    hashing misses."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.chunk_dup_stats(t["documents"], width=8)

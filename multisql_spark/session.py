@@ -357,6 +357,27 @@ class MultiSQLSession:
         df = self.spark.createDataFrame(rows, schema)
         return self._insert_df(state, df, columns)
 
+    def register_udf(
+        self, name: str, fn, return_type: str = "string", pandas: bool = False
+    ) -> None:
+        """Register a host-language scalar function usable in SQL.
+
+        Beyond-reference: the reference's only extensibility point is the
+        storage trait (SURVEY §2.10) — it has no SQL function surface at
+        all. Here UDF registration is native Spark; ``pandas=True``
+        registers an Arrow-vectorized pandas UDF (batched columnar
+        transfer, ~10-100× the throughput of a row-at-a-time Python UDF
+        — the only variant that belongs anywhere near a hot path).
+        """
+        if pandas:
+            from pyspark.sql.functions import pandas_udf
+
+            self.spark.udf.register(name, pandas_udf(fn, return_type))
+        else:
+            from pyspark.sql.functions import udf
+
+            self.spark.udf.register(name, udf(fn, return_type))
+
     # -- internals ----------------------------------------------------------
 
     def _rewrite(self, sql: str) -> str:

@@ -366,3 +366,28 @@ def test_values_derived_table_labels(glue):
     assert out.rows == [(99,), (3,)]
     out = glue.execute("SELECT id FROM vdt WHERE id IN (VALUES (1), (3))")
     assert sorted(out.rows) == [(1,), (3,)]
+
+
+def test_register_udf(glue):
+    """Host-registered scalar functions are callable from engine SQL —
+    both row-wise and Arrow-vectorized pandas variants (SURVEY §2.10:
+    beyond-reference; the reference has no function extensibility)."""
+    glue.execute("DROP TABLE IF EXISTS UdfT")
+    glue.execute("CREATE TABLE UdfT (id INTEGER NULL, s TEXT NULL)")
+    glue.execute(
+        "INSERT INTO UdfT (id, s) VALUES (1, 'ab'), (2, 'xyz'), (3, NULL)"
+    )
+
+    glue.register_udf("shout", lambda s: s.upper() + "!" if s else None)
+    assert sorted(
+        glue.execute("SELECT shout(s) AS r FROM UdfT").rows,
+        key=lambda r: (r[0] is None, r[0]),
+    ) == [("AB!",), ("XYZ!",), (None,)]
+
+    def squared(col):
+        return col * col
+
+    glue.register_udf("squared", squared, "bigint", pandas=True)
+    assert sorted(
+        glue.execute("SELECT squared(id) AS sq FROM UdfT").rows
+    ) == [(1,), (4,), (9,)]
