@@ -248,3 +248,108 @@ def tpch_cheapest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice")
     )
+
+
+@register(
+    "tpch_nation_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "multi-join", "volume"),
+)
+def tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between nation pairs by year — a
+    five-way join where the two nation legs broadcast (tiny dims), the
+    fact tables shuffle once each on their join keys, and the year
+    extraction stays in codegen."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"]
+    )
+    l, o, c, s, n = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+    )
+    small_n = n.filter(F.col("n_nationkey") < 3)
+    ns = F.broadcast(
+        small_n.select(
+            F.col("n_nationkey").alias("ns_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    nc = F.broadcast(
+        small_n.select(
+            F.col("n_nationkey").alias("nc_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(nc, c.c_nationkey == F.col("nc_key"))
+        .join(ns, s.s_nationkey == F.col("ns_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "tpch_promo_share",
+    oracle="""
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    tags=("tpch", "conditional-agg"),
+)
+def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue share per month — one fact shuffle,
+    the part dimension broadcasts, and the CASE folds into the partial
+    aggregate (no second pass over lineitem)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    l, p = t["lineitem"], t["part"]
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).alias("promo_revenue"),
+            F.sum(rev).alias("total_revenue"),
+        )
+    )
