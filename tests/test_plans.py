@@ -210,3 +210,27 @@ def test_ivf_kmeans_probe_is_broadcast(spark):
     assert plans.uses_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark n-gram set must broadcast; the corpus side must
+    never shuffle its text through a non-broadcast join."""
+    df = REGISTRY["text_contamination"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_partial_agg(spark):
+    """Chunk-grain dedup must partially aggregate (map-side combine)
+    before the exchange on the chunk key."""
+    plan = plans.formatted_plan(REGISTRY["dedup_chunks"].fn(spark, SF))
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") != plan.rindex("HashAggregate")
+
+
+def test_nation_volume_broadcasts_dims(spark):
+    """Q7 shape: the nation dimension legs broadcast instead of
+    shuffling the fact tables on nation keys."""
+    df = REGISTRY["tpch_nation_volume"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
