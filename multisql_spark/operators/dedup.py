@@ -292,3 +292,39 @@ def chunk_dup_stats(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    new_filter,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time dedup: flag each NEW document whose (normalized)
+    content hash already exists in the standing corpus, and report the
+    surviving canonical owner.
+
+    This is the shape incremental 100 TB ingestion needs: only the new
+    batch streams through the join; the corpus side is its (hash →
+    min-id) index — a bucketed/Z-ordered table in production, so the
+    probe is a co-located join, and the full corpus text is never
+    re-read. Exact-hash here; the MinHash/SimHash band indexes compose
+    the same way for near-dup probes.
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    corpus_index = (
+        hashed.filter(~new_filter)
+        .groupBy("h")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+    return (
+        hashed.filter(new_filter)
+        .join(corpus_index, "h", "left")
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("canonical_id").isNotNull().alias("is_dup"),
+            F.col("canonical_id").cast("long"),
+        )
+    )

@@ -8,6 +8,7 @@ signatures — these are full hash-match checks, not rows-only."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from multisql_spark.operators import dedup
 from multisql_spark.queries import register
@@ -229,3 +230,31 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing misses."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.chunk_dup_stats(t["documents"], width=8)
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    idx AS (
+      SELECT h, min(doc_id) AS canonical_id
+      FROM hashed WHERE doc_id % 10 <> 0 GROUP BY h
+    )
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           i.canonical_id IS NOT NULL AS is_dup,
+           CAST(i.canonical_id AS BIGINT) AS canonical_id
+    FROM hashed n LEFT JOIN idx i USING (h)
+    WHERE n.doc_id % 10 = 0
+    """,
+    tags=("dedup", "incremental", "ingestion"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the new batch (doc_id % 10 = 0)
+    probes the standing corpus's (hash → min-id) index; only the new
+    slice shuffles."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.incremental_dedup(
+        t["documents"], F.col("doc_id") % 10 == 0
+    )

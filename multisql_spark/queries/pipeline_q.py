@@ -502,3 +502,31 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     return pack_sequences(t["documents"], budget=128, n_groups=16)
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 < n_chars / 150.0 AS keep
+    FROM documents
+    """,
+    tags=("sampling", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep probability ∝ document
+    length (quality-weighted corpus thinning), decided by the key's md5
+    fraction — RNG-free, repartition-stable, identical on re-runs and
+    across engines, unlike ``df.sample`` whose draw depends on partition
+    layout. A narrow map: no shuffle at any scale."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    return t["documents"].select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (frac < F.col("n_chars") / 150.0).alias("keep"),
+    )
