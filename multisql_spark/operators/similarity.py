@@ -406,3 +406,64 @@ def kmeans_cluster_stats(
             "mean_cos_to_centroid",
         )
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_filter,
+    n_planes: int = 8,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket PLUS the
+    ``n_planes`` single-bit-flip neighbors (the buckets a near-neighbor
+    most likely fell into when one hyperplane sign disagreed). Recall
+    rises sharply for the cost of (n_planes + 1)× probe joins — still
+    keyed equi-joins, never all-pairs, and the corpus is hashed once.
+
+    The probe expansion is a per-query explode of n_planes + 1 literal
+    XOR masks — the corpus side never replicates.
+    """
+    from pyspark.sql import Window as W
+
+    planes = [hyperplane(m, dim) for m in range(n_planes)]
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    masks = F.array(*[F.lit(0)] + [F.lit(1 << m) for m in range(n_planes)])
+    q = (
+        base.filter(query_filter)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.transform(
+                    masks, lambda m: F.col("bucket").bitwiseXOR(m)
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    pairs = (
+        base.join(
+            F.broadcast(q), base["bucket"] == q["probe_bucket"], "inner"
+        )
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "cos_sim",
+            "rn",
+        )
+    )

@@ -297,3 +297,43 @@ def sim_kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     return sim.kmeans_cluster_stats(t["embeddings"], n_lists=8, iters=2)
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, xor(bucket, m) AS probe_bucket
+      FROM emb,
+           unnest([{", ".join(str(x) for x in [0] + [1 << m for m in range(N_PLANES)])}]) t(m)
+      WHERE vec_id < 5
+    ),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q JOIN emb c ON c.bucket = q.probe_bucket
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "lsh", "ann", "multiprobe"),
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: the query's bucket plus all one-bit-flip
+    neighbor buckets — the standard recall lever that keeps the probe an
+    equi-join."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.lsh_multiprobe_topk(
+        t["embeddings"], F.col("vec_id") < 5, n_planes=N_PLANES, dim=DIM, k=5
+    )

@@ -265,3 +265,31 @@ def test_pack_sequences_invariants(spark, sf_dir):
             tot += n
     for r in rows:
         assert expect[r["doc_id"]] == (r["grp"], r["pack_seq"])
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH searches a candidate superset of single-probe
+    (mask 0 is among the probes), so per-query result quality — recall
+    against brute force, and every rank's similarity — can only be equal
+    or better."""
+    from multisql_spark.queries import load_all
+
+    reg = load_all()
+    truth = {
+        (r["q_id"], r["cand_id"])
+        for r in reg["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+        if r["rn"] <= 5
+    }
+    single_rows = reg["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    multi_rows = (
+        reg["sim_ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    )
+    single = {(r["q_id"], r["cand_id"]) for r in single_rows}
+    multi = {(r["q_id"], r["cand_id"]) for r in multi_rows}
+    assert len(multi & truth) >= len(single & truth)
+    # rank-for-rank, multiprobe similarity dominates single-probe
+    m_by_rank = {(r["q_id"], r["rn"]): r["cos_sim"] for r in multi_rows}
+    for r in single_rows:
+        key = (r["q_id"], r["rn"])
+        if key in m_by_rank:
+            assert m_by_rank[key] >= r["cos_sim"]
