@@ -328,3 +328,66 @@ def incremental_dedup(
             F.col("canonical_id").cast("long"),
         )
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal: strip every chunk that
+    :func:`chunk_dup_stats` flags as shared across documents, then
+    reassemble each document from its surviving chunks in order.
+
+    The cleaning pass is chunk-grained (the trailing sub-chunk tail is
+    outside the dedup domain by construction). The dup-chunk set is small
+    (boilerplate is rare relative to corpus bytes) so it broadcasts; the
+    reassembly is one partially-aggregated groupBy per document. Returns
+    (doc_id, n_chunks, n_removed, clean_md5) — the md5 stands in for the
+    rewritten text column so the result stays narrow.
+    """
+    chunks_expr = F.expr(
+        f"transform(sequence(0, CAST(size(_toks) / {width} AS INT) - 1),"
+        f"          i -> concat_ws(' ', slice(_toks, i * {width} + 1, {width})))"
+    )
+    ch = (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .filter(F.size("_toks") >= width)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks_expr).alias("pos", "chunk"),
+        )
+    )
+    dup = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk", F.lit(1).alias("_dup"))
+    )
+    flagged = ch.join(F.broadcast(dup), "chunk", "left")
+    kept = flagged.filter(F.col("_dup").isNull())
+    totals = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return totals.join(clean, id_col, "left").select(
+        F.col(id_col).cast("long"),
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -258,3 +258,47 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(
         t["documents"], F.col("doc_id") % 10 == 0
     )
+
+
+@register(
+    "dedup_remove_boilerplate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) // 8),
+                      i -> {'pos': i,
+                            'chunk': array_to_string(toks[i*8+1:i*8+8], ' ')}))
+                 AS u
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    dup AS (
+      SELECT chunk FROM ch GROUP BY chunk
+      HAVING count(DISTINCT doc_id) > 1
+    ),
+    kept AS (SELECT doc_id, pos, chunk FROM ch ANTI JOIN dup USING (chunk)),
+    clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+           tot.n_chunks,
+           CAST(tot.n_chunks - coalesce(clean.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(clean.clean_md5, md5('')) AS clean_md5
+    FROM tot LEFT JOIN clean ON tot.doc_id = clean.doc_id
+    """,
+    tags=("dedup", "boilerplate", "transform"),
+)
+def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip cross-document duplicated chunks and reassemble each
+    document from its surviving chunks — the cleaning transform on top of
+    dedup_chunks' detection pass."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.remove_boilerplate(t["documents"], width=8)
