@@ -378,6 +378,30 @@ class MultiSQLSession:
 
             self.spark.udf.register(name, udf(fn, return_type))
 
+    def register_udaf(self, name: str, fn, return_type: str) -> None:
+        """Register a host-language aggregate (Series → scalar) usable in
+        SQL GROUP BY — an Arrow-batched pandas aggregate UDF, so partials
+        transfer columnar. Beyond-reference (SURVEY §2.10).
+
+        The grouped-agg variant is selected by annotating ``fn`` with a
+        real Series → scalar signature here, so callers don't depend on
+        their module's (possibly stringified) type hints."""
+        import inspect
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        first = next(iter(inspect.signature(fn).parameters))
+        fn.__annotations__ = {first: pd.Series, "return": float}
+        self.spark.udf.register(name, pandas_udf(fn, return_type))
+
+    def register_udtf(self, name: str, cls) -> None:
+        """Register a host-language table function (one row in, many rows
+        out) callable in FROM position. ``cls`` is a class with an
+        ``eval`` generator, already decorated with
+        ``pyspark.sql.functions.udtf``. Beyond-reference (SURVEY §2.10)."""
+        self.spark.udtf.register(name, cls)
+
     # -- internals ----------------------------------------------------------
 
     def _rewrite(self, sql: str) -> str:

@@ -391,3 +391,37 @@ def test_register_udf(glue):
     assert sorted(
         glue.execute("SELECT squared(id) AS sq FROM UdfT").rows
     ) == [(1,), (4,), (9,)]
+
+
+def test_register_udaf_and_udtf(glue):
+    """Aggregate and table functions registered from the host language,
+    used from engine SQL (SURVEY §2.10 — the full UDF/UDAF/UDTF surface
+    the reference lacks)."""
+    import pandas as pd
+
+    glue.execute("DROP TABLE IF EXISTS FnT")
+    glue.execute("CREATE TABLE FnT (g INTEGER, x INTEGER)")
+    glue.execute(
+        "INSERT INTO FnT (g, x) VALUES (1, 2), (1, 8), (2, 5), (2, 5)"
+    )
+
+    def second_moment(v: pd.Series) -> float:
+        return float((v.astype("float64") ** 2).mean())
+
+    glue.register_udaf("second_moment", second_moment, "double")
+    assert glue.execute(
+        "SELECT g, second_moment(x) AS m2 FROM FnT GROUP BY g ORDER BY g"
+    ).rows == [(1, 34.0), (2, 25.0)]
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word STRING, wlen INT")
+    class SplitWords:
+        def eval(self, s: str):
+            for w in (s or "").split(" "):
+                yield (w, len(w))
+
+    glue.register_udtf("split_words", SplitWords)
+    assert glue.execute(
+        "SELECT word, wlen FROM split_words('scan join agg')"
+    ).rows == [("scan", 4), ("join", 4), ("agg", 3)]
