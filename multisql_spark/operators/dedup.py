@@ -391,3 +391,95 @@ def remove_boilerplate(
         .alias("n_removed"),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+def bloom_prefilter(
+    docs: DataFrame,
+    new_filter,
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Bloom-filter prefilter for incremental ingestion dedup.
+
+    The standing corpus is summarized as an ``m_bits``-wide bloom filter
+    (2 hash functions derived from the content md5), materialized as at
+    most ``m_bits / 32`` (word_idx, word) rows via ONE aggregation with
+    map-side combine.  Each NEW document probes the filter first; only
+    bloom-positive docs need the exact (hash -> min-id) index join that
+    `incremental_dedup` does.
+
+    100 TB shape: the filter is O(m_bits) regardless of corpus size —
+    gigabit-scale filters broadcast to every executor, so the probe is a
+    narrow map, and the expensive exact-verification shuffle runs over
+    the (tiny) bloom-positive slice only.  False positives are bounded
+    by m/n sizing; false negatives are impossible, which the test pins
+    (`is_dup` implies `bloom_positive`).
+
+    Returns per NEW doc: (doc_id, bloom_positive, is_dup) — is_dup is
+    the exact verdict, so ``bloom_positive AND NOT is_dup`` rows surface
+    the filter's false-positive rate.  Determinism contract: bit
+    positions come from md5 hex substrings (32-bit words, no sign
+    issues), identical in the DuckDB oracle.
+    """
+    n_words = m_bits // 32
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+
+    def bits(col_h):
+        # two independent positions from disjoint 32-bit md5 slices
+        out = []
+        for off in (1, 9):
+            pos = (
+                F.conv(F.substring(col_h, off, 8), 16, 10).cast("long")
+                % m_bits
+            )
+            # F.shiftleft only takes a literal shift amount; 2^k is exact
+            # in double for k < 32, so pow is the column-shift equivalent
+            out.append(
+                F.struct(
+                    (pos / 32).cast("int").alias("word_idx"),
+                    F.pow(F.lit(2.0), (pos % 32).cast("double"))
+                    .cast("long")
+                    .alias("mask"),
+                )
+            )
+        return F.array(*out)
+
+    corpus = hashed.filter(~new_filter)
+    bloom_words = (
+        corpus.select(F.explode(bits(F.col("h"))).alias("b"))
+        .groupBy(F.col("b.word_idx").alias("word_idx"))
+        .agg(F.expr("bit_or(b.mask)").alias("word"))
+    )
+    corpus_index = corpus.groupBy("h").agg(F.min(id_col).alias("canonical_id"))
+
+    new_bits = hashed.filter(new_filter).select(
+        F.col(id_col), F.col("h"), F.explode(bits(F.col("h"))).alias("b")
+    )
+    probed = (
+        new_bits.join(
+            F.broadcast(bloom_words),
+            new_bits["b.word_idx"] == bloom_words["word_idx"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("h"),
+            (
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("b.mask")) == F.col("b.mask"))
+            ).alias("bit_set"),
+        )
+        .groupBy(id_col, "h")
+        .agg(F.expr("bool_and(bit_set)").alias("bloom_positive"))
+    )
+    return (
+        probed.join(corpus_index, "h", "left")
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("bloom_positive"),
+            F.col("canonical_id").isNotNull().alias("is_dup"),
+        )
+    )

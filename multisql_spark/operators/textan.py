@@ -273,3 +273,48 @@ def contamination(
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+# Fixed weights for the linear quality classifier (fastText/C4-style cheap
+# model): trained-model coefficients are deployment constants, so they are
+# pinned here and mirrored verbatim in the SQL oracle.
+QUALITY_MODEL = {
+    "bias": -1.5,
+    "len_score": 2.2,
+    "diversity": 1.8,
+    "stop_score": 1.2,
+}
+
+
+def quality_model_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-weight linear quality model + logistic calibration — the
+    cheap learned-filter stage (fastText-style) that gates expensive
+    dedup/embedding work in training-data pipelines.
+
+    Pure codegen column algebra over the same features `quality_score`
+    computes; no UDF, no shuffle (narrow map at any scale).  Cross-engine
+    determinism: the logit is quantized to 1e-6 BEFORE the exp so both
+    engines round the same value, and the keep decision depends only on
+    the logit's sign (exact)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / n * 5, F.lit(1.0))
+    w = QUALITY_MODEL
+    z = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["len_score"]) * len_score
+        + F.lit(w["diversity"]) * diversity
+        + F.lit(w["stop_score"]) * stop_score,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        z.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        (z > 0).alias("keep"),
+    )

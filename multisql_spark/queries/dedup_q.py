@@ -302,3 +302,69 @@ def dedup_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_chunks' detection pass."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.remove_boilerplate(t["documents"], width=8)
+
+
+_BLOOM_BIT = (
+    "(('0x' || substr(h, {off}, 8))::BIGINT % 4096)"
+)
+
+
+def _bloom_oracle() -> str:
+    def struct(off: int) -> str:
+        pos = _BLOOM_BIT.format(off=off)
+        return (
+            "{'word_idx': " + pos + " // 32, "
+            "'mask': 1::BIGINT << (" + pos + " % 32)}"
+        )
+
+    both = f"[{struct(1)}, {struct(9)}]"
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    corpus AS (SELECT * FROM hashed WHERE doc_id % 10 <> 0),
+    corpus_bits AS (
+      SELECT u.word_idx AS word_idx, u.mask AS mask FROM (
+        SELECT unnest({both}) AS u FROM corpus
+      )
+    ),
+    bloom AS (
+      SELECT word_idx, bit_or(mask) AS word FROM corpus_bits GROUP BY word_idx
+    ),
+    idx AS (SELECT h, min(doc_id) AS canonical_id FROM corpus GROUP BY h),
+    new_bits AS (
+      SELECT doc_id, h, u.word_idx AS word_idx, u.mask AS mask FROM (
+        SELECT doc_id, h, unnest({both}) AS u
+        FROM hashed WHERE doc_id % 10 = 0
+      )
+    ),
+    probed AS (
+      SELECT nb.doc_id, nb.h,
+             bool_and(b.word IS NOT NULL AND (b.word & nb.mask) = nb.mask)
+               AS bloom_positive
+      FROM new_bits nb LEFT JOIN bloom b USING (word_idx)
+      GROUP BY nb.doc_id, nb.h
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           p.bloom_positive,
+           i.canonical_id IS NOT NULL AS is_dup
+    FROM probed p LEFT JOIN idx i USING (h)
+    """
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=_bloom_oracle(),
+    tags=("dedup", "bloom", "ingestion"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter before exact ingestion dedup: the corpus is
+    summarized as a 4096-bit / 2-hash bloom filter (one aggregation, at
+    most 128 rows), each new doc (doc_id % 10 = 0) probes the broadcast
+    filter, and the output exposes both the bloom verdict and the exact
+    one — no false negatives by construction, false positives visible.
+    At 100 TB the exact-index join only runs over bloom-positive rows."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.bloom_prefilter(
+        t["documents"], F.col("doc_id") % 10 == 0, m_bits=4096
+    )

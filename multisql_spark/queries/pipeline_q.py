@@ -530,3 +530,105 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         (frac < F.col("n_chars") / 150.0).alias("keep"),
     )
+
+
+@register(
+    "sample_domain_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs, sum(toks) AS src_tokens
+      FROM d GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(src_tokens) * 1.0 AS total_tokens,
+             count(*) * 1.0 AS n_sources
+      FROM per_src
+    ),
+    rates AS (
+      SELECT source, n_docs, src_tokens,
+             round(least(1.0,
+                 (total_tokens / n_sources) / src_tokens), 6) AS keep_rate
+      FROM per_src, tot
+    ),
+    kept AS (
+      SELECT d.source,
+             count(*) FILTER (
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < r.keep_rate) AS n_kept,
+             sum(d.toks) FILTER (
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < r.keep_rate) AS kept_tokens
+      FROM d JOIN rates r USING (source)
+      GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.src_tokens AS BIGINT) AS src_tokens,
+           r.keep_rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM rates r LEFT JOIN kept k USING (source)
+    """,
+    tags=("sampling", "mixture"),
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: downsample each source/domain to a
+    uniform share of total tokens. Per-source keep rates come from one
+    bounded aggregation (|sources| rows, broadcast back); the keep
+    decision is the doc key's md5 fraction — RNG-free, repartition-stable,
+    so the sampled mixture is reproducible run-to-run and engine-to-engine.
+    At 100 TB: two map-side-combined aggregations over the corpus and a
+    broadcast join; no wide shuffle of document data at all."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total_tokens") / F.col("n_sources"))
+                / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.when(frac < F.col("keep_rate"), 1)).alias("n_kept"),
+            F.sum(F.when(frac < F.col("keep_rate"), F.col("toks")))
+            .alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("src_tokens").cast("long").alias("src_tokens"),
+        F.col("keep_rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )

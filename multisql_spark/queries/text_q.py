@@ -352,3 +352,40 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textan.contamination(
         t["documents"], F.col("doc_id") % 37 == 0, n=5
     )
+
+
+@register(
+    "text_quality_model",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+        len(string_split(text, ' ')) * 1.0 AS n,
+        len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'and'))) * 1.0 AS stop_hits,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+        round(-1.5 + 2.2 * least(n_chars / 500.0, 1.0)
+                   + 1.8 * (n_distinct / n)
+                   + 1.2 * least(stop_hits / n * 5, 1.0), 6) AS logit
+      FROM q
+    )
+    SELECT doc_id,
+      logit,
+      round(1.0 / (1.0 + exp(-logit)), 4) AS score,
+      logit > 0 AS keep
+    FROM z
+    """,
+    tags=("text", "quality", "model"),
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier with logistic calibration
+    (fastText-style cheap learned filter). The logit is quantized to
+    1e-6 before exp so the rounded score matches DuckDB bit-for-bit; the
+    keep decision depends only on the logit sign. Narrow map — no
+    shuffle at any scale."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.quality_model_score(t["documents"])

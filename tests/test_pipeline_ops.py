@@ -293,3 +293,49 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         key = (r["q_id"], r["rn"])
         if key in m_by_rank:
             assert m_by_rank[key] >= r["cos_sim"]
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A bloom filter can false-positive but never false-negative: every
+    exact duplicate must be bloom-positive, and the filter itself stays
+    bounded (≤ m_bits/32 words)."""
+    from multisql_spark.queries import load_all
+
+    rows = (
+        load_all()["dedup_bloom_prefilter"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        if r["is_dup"]:
+            assert r["bloom_positive"], r
+
+
+def test_quality_model_keep_is_logit_sign(spark, sf_dir):
+    """keep must equal logit > 0 and score must be the logistic of the
+    quantized logit (monotone in it)."""
+    import math
+
+    from multisql_spark.queries import load_all
+
+    rows = load_all()["text_quality_model"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["logit"] > 0)
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 5e-5
+
+
+def test_domain_mix_rates_and_counts(spark, sf_dir):
+    """Keep rates are in (0, 1]; a source holding more than the uniform
+    token share is downsampled; kept counts never exceed originals."""
+    from multisql_spark.queries import load_all
+
+    rows = load_all()["sample_domain_mix"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["src_tokens"] for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0 < r["keep_rate"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["src_tokens"]
+        if r["src_tokens"] > target:
+            assert r["keep_rate"] < 1.0
