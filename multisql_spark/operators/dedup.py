@@ -483,3 +483,119 @@ def bloom_prefilter(
             F.col("canonical_id").isNotNull().alias("is_dup"),
         )
     )
+
+
+def _band_key_structs(k: int, bands: int) -> list:
+    """(band_id, band_key) structs over sig_1..sig_k — the shared LSH
+    bucketing formula (md5 over the band's signature slice)."""
+    rows_per_band = k // bands
+    out = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{b * rows_per_band + j + 1}")
+            for j in range(rows_per_band)
+        ]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    return out
+
+
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    new_filter,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup ingestion probe: each NEW document queries the standing
+    corpus's banded-LSH index and reports its best near-duplicate match.
+
+    The exact-hash ingestion probe (`incremental_dedup`) composes with
+    this: run exact first, then this for survivors.  Scale shape mirrors
+    the batch LSH path but one-sided — the corpus contributes only its
+    (band_key → id) index (a bucketed table in production, built once and
+    appended to), the band join carries ids only, and signatures are
+    fetched back by keyed id-joins for the agreement estimate.  Work is
+    proportional to real collisions for the NEW batch, never corpus².
+
+    Returns one row per NEW doc: (doc_id, n_candidates, best_match_id,
+    best_sim, is_neardup) — docs with no band collision keep a row with
+    n_candidates = 0.
+    """
+    from pyspark.sql import Window
+
+    sigs = minhash_signatures(docs, id_col=id_col, k=k)
+    flags = docs.select(F.col(id_col), new_filter.alias("_is_new"))
+    sigs = sigs.join(flags, id_col)
+
+    def band_rows(df, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*_band_key_structs(k, bands))).alias("bk"),
+        ).select(
+            out_id,
+            F.col("bk.band_id").alias("band_id"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+
+    corpus_sigs = sigs.filter(~F.col("_is_new")).drop("_is_new")
+    new_sigs = sigs.filter(F.col("_is_new")).drop("_is_new")
+    cands = (
+        band_rows(new_sigs, "new_id")
+        .join(band_rows(corpus_sigs, "corpus_id"), ["band_id", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sig_n = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, k + 1)],
+    )
+    sig_c = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, k + 1)],
+    )
+    agree = sum(
+        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
+        for i in range(1, k + 1)
+    )
+    scored = (
+        cands.join(sig_n, "new_id")
+        .join(sig_c, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(agree / F.lit(float(k)), 4).alias("est_sim"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_sim").desc(), F.col("corpus_id").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(F.when(F.col("rn") == 1, F.col("corpus_id")))
+            .alias("best_match_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("est_sim")))
+            .alias("best_sim"),
+        )
+    )
+    return (
+        new_sigs.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").cast("long").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).cast("long")
+            .alias("n_candidates"),
+            F.col("best_match_id").cast("long"),
+            F.col("best_sim"),
+            F.coalesce(F.col("best_sim") >= threshold, F.lit(False))
+            .alias("is_neardup"),
+        )
+    )

@@ -318,3 +318,85 @@ def quality_model_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
         (z > 0).alias("keep"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram language-model scoring: per-doc mean log-probability
+    under the corpus's own token distribution — the cheap LM-quality
+    filter (low scores = rare-token noise) used before expensive
+    perplexity models.
+
+    Plan shape: the vocabulary count is a bounded aggregation; the
+    frequency table broadcasts back onto the token stream (vocab ≪
+    corpus), so no wide shuffle of token occurrences ever happens — the
+    per-doc mean is one groupBy(doc) of (id, int) pairs.  Determinism:
+    each token's log-prob quantizes to 1e-6 (exact BIGINT), sums are
+    integer-exact and order-free, matching DuckDB bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    lp_q = F.round(
+        F.log(F.col("cnt") / F.col("total")) * 1e6
+    ).cast("long")
+    scored = toks.join(
+        F.broadcast(freq.crossJoin(F.broadcast(tot))), "tok"
+    ).select(F.col(id_col), lp_q.alias("lp_q"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum("lp_q") / F.count(F.lit(1)) / 1e6, 4
+        ).alias("avg_logprob"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", top: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the standard
+    keyword/topic fingerprint for corpus exploration and clustering
+    features.
+
+    idf quantizes to a 1e-6 BIGINT so the per-term score tf*idf_q stays
+    in exact integer math; ranking ties break lexicographically.  The
+    document-frequency table is vocab-bounded and broadcasts; the only
+    wide operation is the per-doc window, partitioned on the (high
+    cardinality) doc id.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf_q = F.round(
+        F.log(F.col("n_docs") / F.col("df_docs")) * 1e6
+    ).cast("long")
+    scored = tf.join(
+        F.broadcast(docfreq.crossJoin(F.broadcast(n_docs))), "tok"
+    ).select(
+        F.col(id_col),
+        "tok",
+        "tf",
+        (F.col("tf") * idf_q).alias("score_q"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select(
+            F.col(id_col),
+            F.col("rnk"),
+            "tok",
+            "tf",
+            F.round(F.col("score_q") / 1e6, 4).alias("tfidf"),
+        )
+    )

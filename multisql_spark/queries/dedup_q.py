@@ -368,3 +368,85 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_prefilter(
         t["documents"], F.col("doc_id") % 10 == 0, m_bits=4096
     )
+
+
+def _incremental_minhash_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
+    )
+    band_cases = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
+        )
+        band_cases.append(f"WHEN {b} THEN md5({parts})")
+    band_case = "CASE band_id " + " ".join(band_cases) + " END"
+    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
+    agree = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(1, K + 1)
+    )
+    vals = ", ".join(f"({b})" for b in range(BANDS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    flagged AS (SELECT *, doc_id % 10 = 0 AS is_new FROM sigs),
+    bandk AS (
+      SELECT doc_id, is_new, {sig_list}, band_id, {band_case} AS band_key
+      FROM flagged, (VALUES {vals}) AS bb(band_id)
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bandk n
+      JOIN bandk c ON n.band_id = c.band_id AND n.band_key = c.band_key
+      WHERE n.is_new AND NOT c.is_new
+    ),
+    scored AS (
+      SELECT cand.new_id, cand.corpus_id,
+             round(({agree}) / {K}.0, 4) AS est_sim
+      FROM cands cand
+      JOIN sigs a ON a.doc_id = cand.new_id
+      JOIN sigs b ON b.doc_id = cand.corpus_id
+    ),
+    best AS (
+      SELECT new_id, count(*) AS n_candidates,
+             max(CASE WHEN rn = 1 THEN corpus_id END) AS best_match_id,
+             max(CASE WHEN rn = 1 THEN est_sim END) AS best_sim
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY new_id ORDER BY est_sim DESC, corpus_id ASC) AS rn
+        FROM scored
+      ) GROUP BY new_id
+    )
+    SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(b.best_match_id AS BIGINT) AS best_match_id,
+           b.best_sim,
+           coalesce(b.best_sim >= 0.5, FALSE) AS is_neardup
+    FROM flagged f LEFT JOIN best b ON b.new_id = f.doc_id
+    WHERE f.is_new
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=("dedup", "incremental", "lsh"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingestion probe: the new batch (doc_id % 10 = 0) queries
+    the corpus's banded-LSH index and reports its best match by estimated
+    Jaccard. One-sided LSH — the corpus contributes only its band index;
+    work scales with the new batch's collisions, never corpus²."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.incremental_minhash_dedup(
+        t["documents"], F.col("doc_id") % 10 == 0,
+        k=K, bands=BANDS, threshold=0.5,
+    )

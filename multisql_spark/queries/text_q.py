@@ -389,3 +389,65 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at any scale."""
     t = load_tables(spark, sf_dir, ["documents"])
     return textan.quality_model_score(t["documents"])
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) * 1.0 AS total FROM freq),
+    lp AS (
+      SELECT tok, CAST(round(ln(cnt / total) * 1e6) AS BIGINT) AS lp_q
+      FROM freq, tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(lp_q) / count(*) / 1e6, 4) AS avg_logprob
+    FROM toks JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-doc mean log-prob under the
+    corpus's own token distribution. Vocab-bounded aggregation + broadcast
+    join; per-token log-probs quantize to 1e-6 BIGINTs so the order-free
+    integer sum matches DuckDB exactly."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.unigram_logprob(t["documents"])
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    docfreq AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             tf.tf * CAST(round(ln(n_docs / df_docs) * 1e6) AS BIGINT)
+               AS score_q
+      FROM tf JOIN docfreq USING (tok), nd
+    )
+    SELECT doc_id, rnk, tok, tf, round(score_q / 1e6, 4) AS tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, tok ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (exact integer
+    scoring via 1e-6-quantized idf; lexicographic tie-break). The df
+    table is vocab-bounded and broadcasts; the only wide op is the
+    per-doc window on the high-cardinality doc id."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.tfidf_top_terms(t["documents"], top=3)

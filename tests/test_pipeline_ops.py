@@ -339,3 +339,40 @@ def test_domain_mix_rates_and_counts(spark, sf_dir):
         assert r["kept_tokens"] <= r["src_tokens"]
         if r["src_tokens"] > target:
             assert r["keep_rate"] < 1.0
+
+
+def test_incremental_minhash_agrees_with_batch_lsh(spark, sf_dir):
+    """The one-sided ingestion probe must find exactly the (new, corpus)
+    pairs the batch LSH run finds across the same split, with the same
+    estimated similarity."""
+    from multisql_spark.queries import load_all
+
+    reg = load_all()
+    batch = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["est_sim"]
+        for r in reg["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    rows = reg["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r["doc_id"] % 10 == 0)
+        if r["best_match_id"] is not None:
+            key = (
+                min(r["doc_id"], r["best_match_id"]),
+                max(r["doc_id"], r["best_match_id"]),
+            )
+            # the cross-split pair must exist in the batch run too
+            assert key in batch
+            assert abs(batch[key] - r["best_sim"]) < 1e-9
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Mean log-prob is strictly negative and bounded below by ln of the
+    rarest token's probability."""
+    from multisql_spark.queries import load_all
+
+    rows = load_all()["text_unigram_logprob"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert -30.0 < r["avg_logprob"] < 0.0

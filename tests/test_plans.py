@@ -234,3 +234,27 @@ def test_nation_volume_broadcasts_dims(spark):
     shuffling the fact tables on nation keys."""
     df = REGISTRY["tpch_nation_volume"].fn(spark, SF)
     assert plans.uses_broadcast_join(df)
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The bloom-word table must broadcast (it is O(m_bits), not O(corpus)),
+    so probing new docs adds no wide shuffle beyond the word build."""
+    df = REGISTRY["dedup_bloom_prefilter"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_unigram_freq_table_broadcasts(spark):
+    """The vocabulary-frequency table joins back onto the token stream as
+    a broadcast — token occurrences must never shuffle on the token key."""
+    df = REGISTRY["text_unigram_logprob"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_tfidf_window_is_partitioned(spark):
+    """The tf-idf ranking window must partition on doc_id — a global
+    (unpartitioned) sort would single-reduce at scale — and the rnk <= 3
+    filter must push down as WindowGroupLimit (top-k per group, not
+    rank-then-filter)."""
+    plan = plans.formatted_plan(REGISTRY["text_tfidf_topk"].fn(spark, SF))
+    assert "windowspecdefinition(doc_id" in plan
+    assert "WindowGroupLimit" in plan
