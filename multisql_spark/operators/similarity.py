@@ -467,3 +467,131 @@ def lsh_multiprobe_topk(
             "rn",
         )
     )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m_sub: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: an independent deterministic KMeans
+    (same hash seeding + fixed-point Lloyd as :func:`kmeans_fit`) per
+    disjoint subspace of ``dim / m_sub`` components.  Returns one centroid
+    list per subspace.  At 100 TB: fit on a sample; codebooks are
+    m_sub × n_codes × sub_len doubles — kilobytes, broadcast as literals.
+    """
+    sub_len = dim // m_sub
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    books = []
+    for m in range(m_sub):
+        sub = base.select(
+            F.col(id_col),
+            F.slice(F.col("v"), m * sub_len + 1, sub_len).alias("sub"),
+        )
+        books.append(kmeans_fit(sub, n_codes, iters, id_col, "sub"))
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_filter,
+    m_sub: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+    iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) top-k: the corpus is stored as
+    ``m_sub`` one-byte codes per vector (the 100 TB point — a 64-dim
+    float corpus compresses 64×), queries stay uncompressed, and the
+    approximate inner product is the sum of per-subspace lookup-table
+    partials.
+
+    Plan shape: codebooks are literal constants (encode = pure codegen,
+    no shuffle); the per-query LUT (Q × m_sub × n_codes rows) broadcasts
+    onto the long code table; the only wide operation is the
+    (q_id, cand_id) partial-sum aggregation, which carries exact
+    1e-6-quantized BIGINT partials so accumulation order cannot change
+    the result.  In production ADC composes with IVF (probe a list, then
+    ADC-rank inside it); here it ranks the full corpus to keep the
+    oracle exact.
+
+    Returns (q_id, cand_id, approx_dot, rn ≤ k).
+    """
+    from pyspark.sql import Window as W
+
+    sub_len = dim // m_sub
+    books = pq_fit(emb, m_sub, dim, n_codes, iters, id_col, vec_col)
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    # corpus → M codes, exploded long: (cand_id, m, code)
+    code_structs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            _assign_col(
+                F.slice(F.col("v"), m * sub_len + 1, sub_len), books[m]
+            ).alias("code"),
+        )
+        for m in range(m_sub)
+    ]
+    codes = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(F.array(*code_structs)).alias("c"),
+    ).select("cand_id", F.col("c.m").alias("m"), F.col("c.code").alias("code"))
+
+    # per-query lookup table: partial_q[m][cid] = dot(q_sub, centroid)
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    lut_structs = []
+    for m in range(m_sub):
+        qsub = F.slice(F.col("qv"), m * sub_len + 1, sub_len)
+        for cid, cvec in books[m]:
+            lit_c = F.array(*[F.lit(x) for x in cvec])
+            lut_structs.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(cid).alias("cid"),
+                    F.round(dot(qsub, lit_c) * 1e6).cast("long")
+                    .alias("partial_q"),
+                )
+            )
+    lut = q.select(
+        "q_id", F.explode(F.array(*lut_structs)).alias("e")
+    ).select(
+        "q_id",
+        F.col("e.m").alias("m"),
+        F.col("e.cid").alias("cid"),
+        F.col("e.partial_q").alias("partial_q"),
+    )
+
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]),
+        )
+        .groupBy("q_id", "cand_id")
+        .agg(
+            F.round(F.sum("partial_q") / 1e6, 6).alias("approx_dot")
+        )
+        .filter(F.col("q_id") != F.col("cand_id"))
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("approx_dot").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").cast("long"),
+            F.col("cand_id").cast("long"),
+            "approx_dot",
+            "rn",
+        )
+    )

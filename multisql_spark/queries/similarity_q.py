@@ -337,3 +337,114 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_multiprobe_topk(
         t["embeddings"], F.col("vec_id") < 5, n_planes=N_PLANES, dim=DIM, k=5
     )
+
+
+def _pq_oracle(
+    m_sub: int = 4, dim: int = 64, n_codes: int = 8, iters: int = 1, k: int = 5
+) -> str:
+    """SQL replay of the PQ fit + ADC ranking: per-subspace deterministic
+    KMeans (hash seeds, fixed-point means — same contract as
+    `_kmeans_fit_ctes`), code assignment, LUT partials quantized to 1e-6
+    BIGINTs, order-free integer sums."""
+    sub_len = dim // m_sub
+    score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.sv, c.c)"
+    sql = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    for m in range(m_sub):
+        lo = m * sub_len + 1
+        hi = (m + 1) * sub_len
+        sql += f""",
+    sub_{m} AS (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM emb
+    ),
+    c0_{m} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+             sv AS c
+      FROM sub_{m} ORDER BY md5(vec_id::VARCHAR) LIMIT {n_codes}
+    )"""
+        prev = f"c0_{m}"
+        for it in range(1, iters + 1):
+            sql += f""",
+    a{it}_{m} AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT e.vec_id, e.sv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score}, c.cid) AS rn
+        FROM sub_{m} e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    c{it}_{m} AS (
+      SELECT cid, list(mm ORDER BY pos) AS c FROM (
+        SELECT a.cid, t.pos,
+               round(sum(CAST(round(a.sv[t.pos] * 1000000) AS BIGINT))
+                     / count(*)) / 1000000.0 AS mm
+        FROM a{it}_{m} a CROSS JOIN range(1, {sub_len + 1}) t(pos)
+        GROUP BY a.cid, t.pos
+      ) GROUP BY cid
+    )"""
+            prev = f"c{it}_{m}"
+        sql += f""",
+    af_{m} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score}, c.cid) AS rn
+        FROM sub_{m} e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    lut_{m} AS (
+      SELECT q.vec_id AS q_id, c.cid,
+             CAST(round(list_dot_product(
+               list_slice(q.v, {lo}, {hi}), c.c) * 1e6) AS BIGINT)
+               AS partial_q
+      FROM emb q CROSS JOIN {prev} c
+      WHERE q.vec_id < 5
+    )"""
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id AS cand_id, {m} AS m, cid FROM af_{m}"
+        for m in range(m_sub)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT q_id, {m} AS m, cid, partial_q FROM lut_{m}"
+        for m in range(m_sub)
+    )
+    sql += f""",
+    codes AS ({codes_union}),
+    lut AS ({lut_union}),
+    scored AS (
+      SELECT l.q_id, c.cand_id,
+             round(sum(l.partial_q) / 1e6, 6) AS approx_dot
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+      GROUP BY l.q_id, c.cand_id
+      HAVING l.q_id <> c.cand_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           approx_dot, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY approx_dot DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+    return sql
+
+
+@register(
+    "sim_ann_pq",
+    oracle=_pq_oracle(),
+    tags=("similarity", "pq", "ann"),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (ADC) top-k: 4
+    subspaces × 8 codes (the corpus compresses to 4 small ints per
+    vector), per-query lookup tables broadcast onto the code table,
+    exact integer partial sums. Completes the ANN family next to LSH,
+    multi-probe LSH, and KMeans-IVF; at scale ADC ranks inside an IVF
+    list rather than the full corpus."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.pq_topk(
+        t["embeddings"], F.col("vec_id") < 5,
+        m_sub=4, dim=DIM, n_codes=8, iters=1, k=5,
+    )

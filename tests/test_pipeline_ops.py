@@ -376,3 +376,46 @@ def test_unigram_logprob_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_tokens"] > 0
         assert -30.0 < r["avg_logprob"] < 0.0
+
+
+def test_pq_adc_structure(spark, sf_dir):
+    """PQ/ADC top-k: exactly k ranked rows per query, strictly ordered by
+    (approx_dot desc, cand_id), never the query itself; the approximate
+    dot must correlate with the exact one (the top PQ candidate's true
+    dot beats the corpus median)."""
+    from multisql_spark.operators.similarity import as_double, dot
+    from multisql_spark.queries import load_all
+    from multisql_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    rows = load_all()["sim_ann_pq"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert r["cand_id"] != r["q_id"]
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    vecs = {r["vec_id"]: r["v"] for r in emb.collect()}
+
+    def true_dot(a, b):
+        s = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            s += x * y
+        return s
+
+    import statistics
+
+    for q_id, lst in by_q.items():
+        lst.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in lst] == list(range(1, len(lst) + 1))
+        for a, b in zip(lst, lst[1:]):
+            assert (a["approx_dot"], -a["cand_id"]) >= (
+                b["approx_dot"], -b["cand_id"]
+            )
+        # the PQ winner's TRUE dot should beat the median corpus dot
+        med = statistics.median(
+            true_dot(q_id, c) for c in vecs if c != q_id
+        )
+        assert true_dot(q_id, lst[0]["cand_id"]) > med

@@ -258,3 +258,10 @@ def test_tfidf_window_is_partitioned(spark):
     plan = plans.formatted_plan(REGISTRY["text_tfidf_topk"].fn(spark, SF))
     assert "windowspecdefinition(doc_id" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_lut_broadcasts(spark):
+    """The per-query ADC lookup table must broadcast onto the code
+    table — the compressed corpus never shuffles for the join."""
+    df = REGISTRY["sim_ann_pq"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
