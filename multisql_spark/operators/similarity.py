@@ -524,53 +524,14 @@ def pq_topk(
 
     Returns (q_id, cand_id, approx_dot, rn ≤ k).
     """
-    from pyspark.sql import Window as W
-
     sub_len = dim // m_sub
     books = pq_fit(emb, m_sub, dim, n_codes, iters, id_col, vec_col)
     base = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-
-    # corpus → M codes, exploded long: (cand_id, m, code)
-    code_structs = [
-        F.struct(
-            F.lit(m).alias("m"),
-            _assign_col(
-                F.slice(F.col("v"), m * sub_len + 1, sub_len), books[m]
-            ).alias("code"),
-        )
-        for m in range(m_sub)
-    ]
-    codes = base.select(
-        F.col(id_col).alias("cand_id"),
-        F.explode(F.array(*code_structs)).alias("c"),
-    ).select("cand_id", F.col("c.m").alias("m"), F.col("c.code").alias("code"))
-
-    # per-query lookup table: partial_q[m][cid] = dot(q_sub, centroid)
+    codes = _pq_codes(base, books, sub_len, id_col)
     q = base.filter(query_filter).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv")
     )
-    lut_structs = []
-    for m in range(m_sub):
-        qsub = F.slice(F.col("qv"), m * sub_len + 1, sub_len)
-        for cid, cvec in books[m]:
-            lit_c = F.array(*[F.lit(x) for x in cvec])
-            lut_structs.append(
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.lit(cid).alias("cid"),
-                    F.round(dot(qsub, lit_c) * 1e6).cast("long")
-                    .alias("partial_q"),
-                )
-            )
-    lut = q.select(
-        "q_id", F.explode(F.array(*lut_structs)).alias("e")
-    ).select(
-        "q_id",
-        F.col("e.m").alias("m"),
-        F.col("e.cid").alias("cid"),
-        F.col("e.partial_q").alias("partial_q"),
-    )
-
+    lut = _pq_lut(q, books, sub_len)
     scored = (
         codes.join(
             F.broadcast(lut),
@@ -582,6 +543,56 @@ def pq_topk(
         )
         .filter(F.col("q_id") != F.col("cand_id"))
     )
+    return _rank_topk(scored, k)
+
+
+def _pq_codes(base: DataFrame, books, sub_len: int, id_col: str) -> DataFrame:
+    """Corpus → M codes, exploded long: (cand_id, m, code)."""
+    code_structs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            _assign_col(
+                F.slice(F.col("v"), m * sub_len + 1, sub_len), books[m]
+            ).alias("code"),
+        )
+        for m in range(len(books))
+    ]
+    return base.select(
+        F.col(id_col).alias("cand_id"),
+        F.explode(F.array(*code_structs)).alias("c"),
+    ).select("cand_id", F.col("c.m").alias("m"), F.col("c.code").alias("code"))
+
+
+def _pq_lut(q: DataFrame, books, sub_len: int) -> DataFrame:
+    """Per-query ADC lookup table (q_id, m, cid, partial_q) with the
+    partial dot product 1e-6-quantized to an exact BIGINT."""
+    lut_structs = []
+    for m in range(len(books)):
+        qsub = F.slice(F.col("qv"), m * sub_len + 1, sub_len)
+        for cid, cvec in books[m]:
+            lit_c = F.array(*[F.lit(x) for x in cvec])
+            lut_structs.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.lit(cid).alias("cid"),
+                    F.round(dot(qsub, lit_c) * 1e6).cast("long")
+                    .alias("partial_q"),
+                )
+            )
+    return q.select(
+        "q_id", F.explode(F.array(*lut_structs)).alias("e")
+    ).select(
+        "q_id",
+        F.col("e.m").alias("m"),
+        F.col("e.cid").alias("cid"),
+        F.col("e.partial_q").alias("partial_q"),
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(q_id, cand_id, approx_dot) → top-k rows per query with rank."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("q_id").orderBy(
         F.col("approx_dot").desc(), F.col("cand_id")
     )
@@ -595,3 +606,65 @@ def pq_topk(
             "rn",
         )
     )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    query_filter,
+    n_lists: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+    pq_iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC: the production ANN composition — a KMeans coarse quantizer
+    prunes the corpus to the query's inverted list (nprobe=1), then PQ
+    codes rank the survivors by asymmetric distance.
+
+    This is the billion-vector architecture (inverted file + compressed
+    residuals in FAISS terms; codes here are over raw vectors, the
+    simplification is documented): the coarse list id is the partition
+    key, so a probe touches ~n/n_lists of the code table — itself 64×
+    smaller than the vectors — and every per-row step (coarse assign,
+    encode, LUT partials) is literal-constant codegen with exact
+    quantized sums.  Both fits and the full probe replay in the SQL
+    oracle.
+    """
+    sub_len = dim // m_sub
+    coarse = kmeans_fit(emb, n_lists, coarse_iters, id_col, vec_col)
+    books = pq_fit(emb, m_sub, dim, n_codes, pq_iters, id_col, vec_col)
+    base = emb.select(F.col(id_col), as_double(vec_col).alias("v")) \
+        .withColumn("list_id", _assign_col(F.col("v"), coarse))
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("list_id").alias("q_list"),
+    )
+    # candidate pairs: same coarse list only (the IVF prune)
+    cands = (
+        base.join(
+            F.broadcast(q.select("q_id", "q_list")),
+            base["list_id"] == F.col("q_list"),
+        )
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("cand_id"))
+    )
+    codes = _pq_codes(base.select(id_col, "v"), books, sub_len, id_col)
+    lut = _pq_lut(q.select("q_id", "qv"), books, sub_len)
+    scored = (
+        cands.join(codes, "cand_id")
+        .join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"])
+            & (codes["code"] == lut["cid"])
+            & (cands["q_id"] == lut["q_id"]),
+        )
+        .drop(lut["q_id"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.round(F.sum("partial_q") / 1e6, 6).alias("approx_dot"))
+    )
+    return _rank_topk(scored, k)

@@ -339,19 +339,17 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(
-    m_sub: int = 4, dim: int = 64, n_codes: int = 8, iters: int = 1, k: int = 5
+def _pq_fit_ctes(
+    m_sub: int = 4, dim: int = 64, n_codes: int = 8, iters: int = 1
 ) -> str:
-    """SQL replay of the PQ fit + ADC ranking: per-subspace deterministic
-    KMeans (hash seeds, fixed-point means — same contract as
-    `_kmeans_fit_ctes`), code assignment, LUT partials quantized to 1e-6
-    BIGINTs, order-free integer sums."""
+    """CTE fragment (appended after an ``emb`` CTE) replaying the PQ fit:
+    per-subspace deterministic KMeans (hash seeds, fixed-point means —
+    same contract as `_kmeans_fit_ctes`), code assignment ``codes``
+    (cand_id, m, cid) and query LUT ``lut`` (q_id, m, cid, partial_q)
+    with partials quantized to 1e-6 BIGINTs."""
     sub_len = dim // m_sub
     score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.sv, c.c)"
-    sql = """
-    WITH emb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    )"""
+    sql = ""
     for m in range(m_sub):
         lo = m * sub_len + 1
         hi = (m + 1) * sub_len
@@ -412,14 +410,11 @@ def _pq_oracle(
     )
     sql += f""",
     codes AS ({codes_union}),
-    lut AS ({lut_union}),
-    scored AS (
-      SELECT l.q_id, c.cand_id,
-             round(sum(l.partial_q) / 1e6, 6) AS approx_dot
-      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
-      GROUP BY l.q_id, c.cand_id
-      HAVING l.q_id <> c.cand_id
-    )
+    lut AS ({lut_union})"""
+    return sql
+
+
+_PQ_RANKED = """
     SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
            approx_dot, CAST(rn AS BIGINT) AS rn
     FROM (
@@ -428,7 +423,60 @@ def _pq_oracle(
       FROM scored
     ) WHERE rn <= {k}
     """
-    return sql
+
+
+def _pq_oracle(
+    m_sub: int = 4, dim: int = 64, n_codes: int = 8, iters: int = 1, k: int = 5
+) -> str:
+    """PQ fit replay + full-corpus ADC ranking."""
+    return (
+        """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+        + _pq_fit_ctes(m_sub, dim, n_codes, iters)
+        + """,
+    scored AS (
+      SELECT l.q_id, c.cand_id,
+             round(sum(l.partial_q) / 1e6, 6) AS approx_dot
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+      GROUP BY l.q_id, c.cand_id
+      HAVING l.q_id <> c.cand_id
+    )"""
+        + _PQ_RANKED.format(k=k)
+    )
+
+
+def _ivfadc_oracle(
+    n_lists: int = 8,
+    coarse_iters: int = 2,
+    m_sub: int = 4,
+    dim: int = 64,
+    n_codes: int = 8,
+    pq_iters: int = 1,
+    k: int = 5,
+) -> str:
+    """Coarse-KMeans fit replay (`af`: vec_id → list_id) + PQ fit replay
+    + list-pruned ADC ranking — the full IVFADC probe in SQL."""
+    return (
+        _kmeans_fit_ctes(n_lists, coarse_iters)
+        + _pq_fit_ctes(m_sub, dim, n_codes, pq_iters)
+        + """,
+    cand_in_list AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id
+      FROM af q JOIN af c ON c.list_id = q.list_id
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cil.q_id, cil.cand_id,
+             round(sum(l.partial_q) / 1e6, 6) AS approx_dot
+      FROM cand_in_list cil
+      JOIN codes c ON c.cand_id = cil.cand_id
+      JOIN lut l ON l.q_id = cil.q_id AND l.m = c.m AND l.cid = c.cid
+      GROUP BY cil.q_id, cil.cand_id
+    )"""
+        + _PQ_RANKED.format(k=k)
+    )
 
 
 @register(
@@ -447,4 +495,23 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         t["embeddings"], F.col("vec_id") < 5,
         m_sub=4, dim=DIM, n_codes=8, iters=1, k=5,
+    )
+
+
+@register(
+    "sim_ann_ivfadc",
+    oracle=_ivfadc_oracle(),
+    tags=("similarity", "ivf", "pq", "ann"),
+)
+def sim_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production billion-vector composition: KMeans coarse
+    lists prune the corpus to the query's cell (nprobe=1), PQ codes rank
+    the survivors by asymmetric distance. Probe cost ∝ (n / n_lists) rows
+    of the 64×-compressed code table; both fits and the probe replay in
+    the SQL oracle (fixed-point means, quantized LUT partials)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.ivfadc_topk(
+        t["embeddings"], F.col("vec_id") < 5,
+        n_lists=8, coarse_iters=2, m_sub=4, dim=DIM, n_codes=8,
+        pq_iters=1, k=5,
     )

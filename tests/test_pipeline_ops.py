@@ -419,3 +419,23 @@ def test_pq_adc_structure(spark, sf_dir):
             true_dot(q_id, c) for c in vecs if c != q_id
         )
         assert true_dot(q_id, lst[0]["cand_id"]) > med
+
+
+def test_ivfadc_is_list_pruned_pq(spark, sf_dir):
+    """IVFADC results must be exactly the PQ/ADC scores restricted to the
+    query's coarse list: every (q, cand) it returns appears in the
+    full-corpus PQ ranking with the same approx_dot (the prune changes
+    the candidate set, never the scores)."""
+    from multisql_spark.queries import load_all
+
+    reg = load_all()
+    full = {
+        (r["q_id"], r["cand_id"]): r["approx_dot"]
+        for r in reg["sim_ann_pq"].fn(spark, sf_dir).collect()
+    }
+    rows = reg["sim_ann_ivfadc"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        key = (r["q_id"], r["cand_id"])
+        if key in full:  # full run keeps only its own top-5
+            assert abs(full[key] - r["approx_dot"]) < 1e-9

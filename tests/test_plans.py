@@ -265,3 +265,10 @@ def test_pq_lut_broadcasts(spark):
     table — the compressed corpus never shuffles for the join."""
     df = REGISTRY["sim_ann_pq"].fn(spark, SF)
     assert plans.uses_broadcast_join(df)
+
+
+def test_ivfadc_broadcasts_queries_and_lut(spark):
+    """The IVFADC probe must broadcast both the query list map and the
+    ADC lookup table — the corpus/code tables never shuffle for either."""
+    df = REGISTRY["sim_ann_ivfadc"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
