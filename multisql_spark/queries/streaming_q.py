@@ -250,3 +250,31 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit each exactly once — so the output equals the batch table."""
     load_tables(spark, sf_dir, ["events"])
     return streaming.stream_dedup_exactly_once(spark, sf_dir)
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    idx AS (
+      SELECT h, min(doc_id) AS canonical_id
+      FROM hashed WHERE doc_id % 10 <> 0 GROUP BY h
+    )
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           i.canonical_id IS NOT NULL AS is_dup,
+           CAST(i.canonical_id AS BIGINT) AS canonical_id
+    FROM hashed n LEFT JOIN idx i USING (h)
+    WHERE n.doc_id % 10 = 0
+    """,
+    tags=("streaming", "dedup", "ingestion"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: newly ingested documents arrive as a real
+    ``readStream`` and probe the standing corpus's static (hash → min-id)
+    index per microbatch; output must equal the batch `dedup_incremental`
+    query (shared oracle). No watermark state — append-mode resolution
+    on arrival."""
+    load_tables(spark, sf_dir, ["documents"])
+    return streaming.stream_static_incremental_dedup(spark, sf_dir)

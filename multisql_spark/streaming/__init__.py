@@ -416,3 +416,66 @@ def stream_dedup_exactly_once(
         finally:
             q.stop()
     return spark.table("dedup_out")
+
+
+def stream_static_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Stream-static join: a stream of newly ingested documents probes
+    the STANDING corpus's (hash → min-id) index — the streaming face of
+    `operators.dedup.incremental_dedup`.
+
+    The static side is a batch DataFrame re-evaluated per microbatch
+    (Structured Streaming's stream-static join), so in production it can
+    be a bucketed index table that grows between batches without
+    restarting the query.  No watermark/state is needed: each arriving
+    doc resolves against the index immediately (append mode), and the
+    static side broadcasts when small or shuffles only the stream side
+    when keyed — never the corpus text.
+
+    Cites the reference's lack of any streaming surface (SURVEY §2.9);
+    output equals the batch `dedup_incremental` query, which is the
+    shared oracle.
+    """
+    import os
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="docs_ingest_")
+    os.symlink(src, os.path.join(stream_dir, "batch1.parquet"))
+
+    content_hash = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus = spark.read.parquet(src).filter(F.col("doc_id") % 10 != 0)
+    index = (
+        corpus.select(content_hash.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id"), content_hash.alias("h"))
+    )
+    joined = stream.join(index, "h", "left").select(
+        F.col("doc_id").cast("long"),
+        F.col("canonical_id").isNotNull().alias("is_dup"),
+        F.col("canonical_id").cast("long"),
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ingest_dedup_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table("ingest_dedup_out")
