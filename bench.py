@@ -90,6 +90,10 @@ def bench_queries(spark: SparkSession):
         "pipeline_prepare_corpus": "pipeline_prepare_corpus",
         "text_contamination": "text_contamination",
         "shard_layout": "pipeline_shard_layout",
+        "sim_ann_ivfadc": "sim_ann_ivfadc",
+        "bloom_prefilter": "dedup_bloom_prefilter",
+        "unigram_logprob": "text_unigram_logprob",
+        "domain_mix": "sample_domain_mix",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect
