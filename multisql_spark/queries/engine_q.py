@@ -203,3 +203,50 @@ def multi_database_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM lake.nation n JOIN lake.region r"
         " ON n.n_regionkey = r.r_regionkey GROUP BY r_name"
     )
+
+
+@register(
+    "dml_merge_upsert",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_regionkey >= 2 THEN lower(n_name) ELSE n_name END
+             AS n_name,
+           CAST(CASE WHEN n_regionkey >= 2 THEN n_regionkey + 100
+                ELSE n_regionkey END AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 500 AS BIGINT),
+           'new_' || n_name,
+           CAST(-1 AS BIGINT)
+    FROM nation WHERE n_regionkey = 0
+    """,
+    tags=("dml", "merge"),
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (beyond-reference upsert — the ingestion-pipeline DML):
+    matched rows update column-wise from the source, unmatched source
+    rows insert through the validated write path. Oracle ≡ CASE
+    projection UNION the anti-joined inserts."""
+    g = _engine(spark, sf_dir)
+    g.execute("DROP TABLE IF EXISTS mrg_demo")
+    g.execute(
+        "CREATE TABLE mrg_demo AS"
+        " SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    g.execute(
+        "MERGE INTO mrg_demo AS t USING ("
+        " SELECT n_nationkey AS k, lower(n_name) AS nm FROM nation"
+        " WHERE n_regionkey >= 2"
+        " UNION ALL"
+        " SELECT n_nationkey + 500, 'new_' || n_name FROM nation"
+        " WHERE n_regionkey = 0"
+        ") AS s ON t.n_nationkey = s.k"
+        " WHEN MATCHED THEN UPDATE SET n_name = s.nm,"
+        " n_regionkey = t.n_regionkey + 100"
+        " WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)"
+        " VALUES (s.k, s.nm, -1)"
+    )
+    return g.sql(
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+        " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM mrg_demo"
+    )

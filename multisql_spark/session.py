@@ -504,6 +504,8 @@ class MultiSQLSession:
             return self._insert(stmt)
         if kw == "UPDATE":
             return self._update(stmt)
+        if kw == "MERGE":
+            return self._merge(stmt)
         if kw == "DELETE":
             return self._delete(stmt)
         if kw == "TRUNCATE":
@@ -1114,6 +1116,215 @@ class MultiSQLSession:
         if cur:
             parts.append("".join(cur))
         return parts
+
+    def _merge(self, stmt: str) -> Payload:
+        """MERGE INTO (upsert) — beyond-reference DML the ingestion
+        pipelines need (dedup upserts, dimension refresh):
+
+        ``MERGE INTO t [AS a] USING (<subquery>|table) [AS b] ON cond
+        WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE
+        WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)``
+
+        Plan shape: one left join of the target against the source for
+        the matched branch (update/delete resolved column-wise, no
+        per-row loop), one anti join for inserts (validated through the
+        standard insert pipeline: defaults, AUTO_INCREMENT, NOT NULL,
+        UNIQUE).  A target row matching multiple source rows raises, as
+        the SQL standard requires — detected with one aggregation.
+        """
+        m = re.match(
+            r"\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse MERGE: {stmt[:80]}")
+        tname, talias, rest = m.groups()
+        rest = rest.strip()
+        if rest.startswith("("):
+            depth = 0
+            end = None
+            in_str = False
+            for i, ch in enumerate(rest):
+                if ch == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = i
+                            break
+            if end is None:
+                raise EngineError("MERGE: unbalanced USING subquery")
+            src_df = self.sql(rest[1:end])
+            rest = rest[end + 1:]
+            salias_default = "s"
+        else:
+            m2 = re.match(r"([\w.]+)", rest)
+            if not m2:
+                raise EngineError("MERGE: missing USING source")
+            src_name = m2.group(1)
+            src_df = self._table(src_name).df
+            rest = rest[m2.end():]
+            salias_default = src_name.split(".")[-1]
+        m3 = re.match(
+            r"\s*(?:AS\s+)?(\w+)?\s*\bON\b(.*)$", rest, re.IGNORECASE | re.DOTALL
+        )
+        if not m3 or (m3.group(1) and m3.group(1).upper() == "ON"):
+            m3 = re.match(r"\s*ON\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+            if not m3:
+                raise EngineError("MERGE: missing ON condition")
+            salias, tail = None, m3.group(1)
+        else:
+            salias, tail = m3.group(1), m3.group(2)
+        salias = salias or salias_default
+        parts = re.split(
+            r"(?i)\bWHEN\s+(NOT\s+)?MATCHED\s+THEN\s+", tail
+        )
+        on_src = parts[0].strip()
+        upd_sets: str | None = None
+        matched_delete = False
+        ins_clause: str | None = None
+        for neg, action in zip(parts[1::2], parts[2::2]):
+            action = action.strip()
+            if neg:
+                if not re.match(r"(?i)INSERT\b", action):
+                    raise EngineError("MERGE: NOT MATCHED supports INSERT only")
+                ins_clause = action
+            elif re.match(r"(?i)UPDATE\s+SET\b", action):
+                upd_sets = re.sub(r"(?i)^UPDATE\s+SET\s+", "", action)
+            elif re.match(r"(?i)DELETE\b", action):
+                matched_delete = True
+            else:
+                raise EngineError(
+                    "MERGE: MATCHED supports UPDATE SET or DELETE"
+                )
+        if upd_sets is None and not matched_delete and ins_clause is None:
+            raise EngineError("MERGE: no WHEN clause")
+        if self._jdbc_target(tname) is not None:
+            raise EngineError("jdbc databases are insert-only")
+        state = self._table(tname)
+        talias = talias or tname.split(".")[-1]
+        base = state.df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        t = base.alias(talias)
+        s = src_df.withColumn("__m", F.lit(1)).alias(salias)
+        cond = F.expr(self._rewrite_fragment(on_src))
+        joined = t.join(s, cond, "left")
+        matched = F.col(f"{salias}.__m").isNotNull()
+        dup = (
+            joined.groupBy("__rid")
+            .agg(F.coalesce(F.sum("__m"), F.lit(0)).alias("__k"))
+            .filter(F.col("__k") > 1)
+            .count()
+        )
+        if dup:
+            raise EngineError(
+                "MERGE: a target row matches multiple source rows"
+            )
+        n_matched = joined.filter(matched).count()
+
+        assignments: dict[str, object] = {}
+        if upd_sets is not None:
+            for part in self._split_top_level(upd_sets):
+                col, expr = part.split("=", 1)
+                col = col.strip().strip('`"').lower()
+                if col.startswith(talias.lower() + "."):
+                    col = col[len(talias) + 1:]
+                assignments[col] = F.expr(
+                    self._rewrite_fragment(expr.strip())
+                )
+            probe = joined.limit(0)
+            for col, expr in assignments.items():
+                cdef = state.column(col)
+                if cdef is None:
+                    raise ColumnNotFoundError(f"column not found: {col}")
+                ptype = probe.select(expr.alias("_p")).schema[0].dataType
+                _check_write_type(cdef, ptype, state.name)
+
+        new_cols = []
+        for cdef in state.columns:
+            old = F.col(f"{talias}.{cdef.name}")
+            if cdef.name.lower() in assignments:
+                new = (
+                    F.when(matched, assignments[cdef.name.lower()])
+                    .otherwise(old)
+                    .cast(state.df.schema[cdef.name].dataType)
+                )
+                new_cols.append(new.alias(cdef.name))
+            else:
+                new_cols.append(old.alias(cdef.name))
+        result = joined
+        if matched_delete:
+            result = result.filter(~matched)
+        candidate = result.select(*new_cols)
+        # post-update constraint checks in one aggregation (as in _update)
+        checks: list = []
+        for cdef in state.columns:
+            if cdef.name.lower() not in assignments:
+                continue
+            if cdef.not_null:
+                checks.append(
+                    F.coalesce(
+                        F.sum(F.col(cdef.name).isNull().cast("int")), F.lit(0)
+                    ).alias(f"__nn_{cdef.name}")
+                )
+            if cdef.unique:
+                checks.append(
+                    (
+                        F.count(cdef.name)
+                        - F.count_distinct(F.col(cdef.name))
+                    ).alias(f"__uq_{cdef.name}")
+                )
+        if checks:
+            stats = candidate.agg(*checks).collect()[0]
+            for cdef in state.columns:
+                if cdef.name.lower() not in assignments:
+                    continue
+                if cdef.not_null and stats.asDict().get(f"__nn_{cdef.name}"):
+                    raise NotNullViolation(
+                        f"NOT NULL violated for {state.name}.{cdef.name}"
+                    )
+                if cdef.unique and stats.asDict().get(f"__uq_{cdef.name}"):
+                    raise UniqueViolation(
+                        f"UNIQUE violated for {state.name}.{cdef.name}"
+                    )
+        state.df = candidate
+        self._bound_lineage(state)
+        self._register(state)
+
+        n_inserted = 0
+        if ins_clause is not None:
+            mi = re.match(
+                r"(?i)INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$",
+                ins_clause.strip(),
+                re.DOTALL,
+            )
+            if not mi:
+                raise EngineError(f"cannot parse MERGE INSERT: {ins_clause[:60]}")
+            cols_src, vals_src = mi.groups()
+            stated = (
+                [c.strip().strip('`"') for c in cols_src.split(",")]
+                if cols_src
+                else [c.name for c in state.columns]
+            )
+            exprs = self._split_top_level(vals_src)
+            if len(exprs) != len(stated):
+                raise EngineError("MERGE INSERT: column/value count mismatch")
+            anti = src_df.alias(salias).join(
+                base.alias(talias), cond, "left_anti"
+            )
+            ins_df = anti.select(
+                *[
+                    F.expr(self._rewrite_fragment(e.strip())).alias(c)
+                    for c, e in zip(stated, exprs)
+                ]
+            )
+            n_inserted = self._insert_df(state, ins_df, stated).count
+        return Payload.affected("Merge", n_matched + n_inserted)
 
     def _delete(self, stmt: str) -> Payload:
         m = re.match(

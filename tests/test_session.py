@@ -425,3 +425,45 @@ def test_register_udaf_and_udtf(glue):
     assert glue.execute(
         "SELECT word, wlen FROM split_words('scan join agg')"
     ).rows == [("scan", 4), ("join", 4), ("agg", 3)]
+
+
+def test_merge_upsert_delete_and_errors(glue):
+    """MERGE INTO (beyond-reference): matched UPDATE, unmatched INSERT
+    through the validated write path, matched DELETE, standard-mandated
+    error on a target row matching multiple source rows."""
+    import pytest
+
+    from multisql_spark.session import EngineError
+
+    _fresh(glue, "m_t")
+    _fresh(glue, "m_s")
+    glue.execute("CREATE TABLE m_t (id INTEGER, v TEXT NULL, n INTEGER NULL)")
+    glue.execute("INSERT INTO m_t VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+    glue.execute("CREATE TABLE m_s (id INTEGER, v TEXT NULL)")
+    glue.execute("INSERT INTO m_s VALUES (2,'B'),(4,'D')")
+    p = glue.execute(
+        "MERGE INTO m_t USING m_s ON m_t.id = m_s.id"
+        " WHEN MATCHED THEN UPDATE SET v = m_s.v, n = m_t.n + 1"
+        " WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (m_s.id, m_s.v, 0)"
+    )
+    assert p.kind == "Merge" and p.count == 2
+    assert sorted(glue.execute("SELECT * FROM m_t").rows) == [
+        (1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "D", 0),
+    ]
+    glue.execute(
+        "MERGE INTO m_t USING (SELECT 4 AS id) AS s ON m_t.id = s.id"
+        " WHEN MATCHED THEN DELETE"
+    )
+    assert sorted(r[0] for r in glue.execute("SELECT id FROM m_t").rows) \
+        == [1, 2, 3]
+    glue.execute("INSERT INTO m_s VALUES (2,'Z')")
+    with pytest.raises(EngineError, match="multiple source rows"):
+        glue.execute(
+            "MERGE INTO m_t USING m_s ON m_t.id = m_s.id"
+            " WHEN MATCHED THEN UPDATE SET v = m_s.v"
+        )
+    with pytest.raises(EngineError):
+        glue.execute(
+            "MERGE INTO m_t USING m_s ON m_t.id = m_s.id"
+            " WHEN NOT MATCHED THEN DELETE"
+        )
