@@ -278,3 +278,24 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on arrival."""
     load_tables(spark, sf_dir, ["documents"])
     return streaming.stream_static_incremental_dedup(spark, sf_dir)
+
+
+@register(
+    "stream_rollup_sink",
+    oracle=f"""
+    SELECT ({_EPOCH} // 3600) * 3600 AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "sink", "rollup"),
+)
+def stream_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → parquet-table sink via foreachBatch with atomic
+    swap-on-write (idempotent under redelivery); the returned relation is
+    a scan of the materialized table and must equal the batch hourly
+    rollup (shared oracle shape with `events_rollup_hourly`)."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.stream_rollup_to_table(spark, sf_dir, minutes=60)

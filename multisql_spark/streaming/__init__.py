@@ -479,3 +479,75 @@ def stream_static_incremental_dedup(
         finally:
             q.stop()
     return spark.table("ingest_dedup_out")
+
+
+def stream_rollup_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 60,
+) -> DataFrame:
+    """Streaming sink side: hourly rollups land in a PARQUET TABLE via
+    ``foreachBatch`` (not a memory sink) and the function returns a scan
+    of that table — the continuous-aggregate materialization pattern.
+
+    ``foreachBatch`` receives each microbatch's *complete-mode* rollup
+    and overwrites the target atomically (write-then-swap via a temp
+    dir), so redeliveries/retries are idempotent — the exactly-once
+    story for file sinks.  At scale the rollup's group count is bounded
+    (hours × types), so every microbatch write is small regardless of
+    input volume; with update-mode + partitioned overwrite only changed
+    hours would rewrite.
+    """
+    import os
+    import shutil
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_sink_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="rollup_table_")
+
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    rollup = (
+        stream.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tmp = f"{out_dir}.__batch{batch_id}"
+        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{out_dir}.__old{batch_id}"
+        os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            rollup.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(out_dir)
