@@ -1015,3 +1015,37 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("csv_names"),
         )
     )
+
+
+@register(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice,
+                 o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile within priority groups — the
+    distribution-rank window family. Partitioned on o_orderpriority (a
+    bounded set, but each partition's sort is distributed; for a single
+    global distribution at 100 TB use the approx-percentile cutpoint
+    pattern of `window_ntile_quartiles`). Total order via the
+    (o_totalprice, o_orderkey) tie-break keeps ranks engine-identical."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -353,3 +353,59 @@ def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "tpch_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 5)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 15)
+    """,
+    tags=("tpch", "disjunctive"),
+)
+def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brackets over a join.
+    Catalyst extracts the common join key as an equi condition and keeps
+    the OR brackets as a residual, so the plan stays a hash/broadcast
+    join (never a nested loop); the brand/size sides of each bracket
+    that mention only `part` columns are pushed to the part scan as an
+    OR-of-ANDs filter."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    l, p = t["lineitem"], t["part"]
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 15)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -272,3 +272,15 @@ def test_ivfadc_broadcasts_queries_and_lut(spark):
     ADC lookup table — the corpus/code tables never shuffle for either."""
     df = REGISTRY["sim_ann_ivfadc"].fn(spark, SF)
     assert plans.uses_broadcast_join(df)
+
+
+def test_disjunctive_brackets_push_to_both_scans(spark):
+    """Q19-shape OR-of-ANDs: the join must stay hash/broadcast (equi key
+    extracted, brackets as residual) and each side's single-table
+    disjunction must reach its parquet scan — including the derived
+    weakened l_quantity disjunction on lineitem."""
+    df = REGISTRY["tpch_disjunctive_revenue"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert plans.has_pushed_filter(df, "p_brand")
+    assert plans.has_pushed_filter(df, "l_quantity")
