@@ -286,6 +286,39 @@ QUALITY_MODEL = {
 }
 
 
+def quality_logit_expr():
+    """The quality model's quantized logit as a reusable Column over a
+    ``text`` column — shared by the scoring query and the end-to-end
+    corpus-prep pipeline."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / n * 5, F.lit(1.0))
+    w = QUALITY_MODEL
+    return F.round(
+        F.lit(w["bias"])
+        + F.lit(w["len_score"]) * len_score
+        + F.lit(w["diversity"]) * diversity
+        + F.lit(w["stop_score"]) * stop_score,
+        6,
+    )
+
+
+# the same logit in DuckDB SQL, over a relation exposing (text)
+QUALITY_LOGIT_SQL = """
+    round(-1.5 + 2.2 * least(length(text) / 500.0, 1.0)
+              + 1.8 * (len(list_distinct(string_split(text, ' ')))
+                       / (len(string_split(text, ' ')) * 1.0))
+              + 1.2 * least(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and')))
+                    / (len(string_split(text, ' ')) * 1.0) * 5, 1.0), 6)
+"""
+
+
 def quality_model_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixed-weight linear quality model + logistic calibration — the
     cheap learned-filter stage (fastText-style) that gates expensive
@@ -296,22 +329,7 @@ def quality_model_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     determinism: the logit is quantized to 1e-6 BEFORE the exp so both
     engines round the same value, and the keep decision depends only on
     the logit's sign (exact)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks).cast("double")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
-    ).cast("double")
-    diversity = F.size(F.array_distinct(toks)) / n
-    len_score = F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
-    stop_score = F.least(stop_hits / n * 5, F.lit(1.0))
-    w = QUALITY_MODEL
-    z = F.round(
-        F.lit(w["bias"])
-        + F.lit(w["len_score"]) * len_score
-        + F.lit(w["diversity"]) * diversity
-        + F.lit(w["stop_score"]) * stop_score,
-        6,
-    )
+    z = quality_logit_expr()
     return df.select(
         F.col(id_col),
         z.alias("logit"),

@@ -632,3 +632,129 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
     )
+
+
+def _corpus_v2_oracle() -> str:
+    from multisql_spark.operators.textan import QUALITY_LOGIT_SQL
+
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, text, source,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+      FROM documents
+      WHERE {QUALITY_LOGIT_SQL} > 0
+    ),
+    kept AS (
+      SELECT * FROM gated
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5(text))
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs, sum(toks) AS src_tokens
+      FROM kept GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(src_tokens) * 1.0 AS total_tokens,
+             count(*) * 1.0 AS n_sources
+      FROM per_src
+    ),
+    rates AS (
+      SELECT source, n_docs, src_tokens,
+             round(least(1.0,
+                 (total_tokens / n_sources) / src_tokens), 6) AS keep_rate
+      FROM per_src, tot
+    ),
+    sampled AS (
+      SELECT k.source,
+             count(*) FILTER (
+               ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < r.keep_rate) AS n_sampled,
+             sum(k.toks) FILTER (
+               ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 < r.keep_rate) AS sampled_tokens
+      FROM kept k JOIN rates r USING (source)
+      GROUP BY k.source
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_surviving,
+           CAST(r.src_tokens AS BIGINT) AS surviving_tokens,
+           r.keep_rate,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM rates r LEFT JOIN sampled s USING (source)
+    """
+
+
+@register(
+    "pipeline_prepare_corpus_v2",
+    oracle=_corpus_v2_oracle(),
+    tags=("pipeline", "end-to-end", "quality", "mixture"),
+)
+def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep, round 2: learned quality gate (fixed-weight
+    logit > 0, narrow map) → exact dedup (min-id per content hash) →
+    domain-mixture downsampling toward a uniform token share (bounded
+    per-source aggregation broadcast back) → per-source accounting.
+    Total wide operations at any scale: the dedup groupBy(md5), its
+    keep-list semi-join, and two bounded aggregations — the document
+    payload itself shuffles only for dedup."""
+    from multisql_spark.operators.textan import quality_logit_expr
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    gated = (
+        t["documents"]
+        .filter(quality_logit_expr() > 0)
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+        )
+    )
+    keep = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    per_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total_tokens") / F.col("n_sources"))
+                / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    sampled = (
+        kept.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.when(frac < F.col("keep_rate"), 1)).alias("n_sampled"),
+            F.sum(F.when(frac < F.col("keep_rate"), F.col("toks")))
+            .alias("sampled_tokens"),
+        )
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_surviving"),
+        F.col("src_tokens").cast("long").alias("surviving_tokens"),
+        "keep_rate",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("sampled_tokens", F.lit(0)).cast("long")
+        .alias("sampled_tokens"),
+    )
