@@ -758,3 +758,60 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sampled_tokens", F.lit(0)).cast("long")
         .alias("sampled_tokens"),
     )
+
+
+@register(
+    "pipeline_profile_table",
+    oracle="""
+    WITH d AS (SELECT * FROM documents)
+    SELECT 'doc_id' AS col_name,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_v,
+           CAST(max(doc_id) AS VARCHAR) AS max_v
+    FROM d
+    UNION ALL
+    SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM d
+    UNION ALL
+    SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM d
+    UNION ALL
+    SELECT 'source', count(*) - count(source), count(DISTINCT source),
+           min(source), max(source) FROM d
+    """,
+    tags=("pipeline", "profiling"),
+)
+def pipeline_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (null counts, distinct counts,
+    min/max) — the data-quality monitor a pipeline runs per shard/batch.
+    All columns profile in ONE aggregation pass (no per-column jobs);
+    the wide row unpivots to (col_name, stats) rows. At 100 TB swap
+    count_distinct for approx_count_distinct — exact here so the DuckDB
+    oracle hash-matches."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    cols = ["doc_id", "lang", "n_chars", "source"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = d.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_v", "r.max_v"
+    )
