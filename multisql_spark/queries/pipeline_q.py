@@ -815,3 +815,94 @@ def pipeline_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_v", "r.max_v"
     )
+
+
+@register(
+    "sample_fixed_k",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+    tags=("sampling", "reservoir"),
+)
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample (reservoir-equivalent, deterministic):
+    the K smallest md5(key) values. Spark plans ORDER BY+LIMIT as
+    TakeOrderedAndProject — a per-partition top-K heap merged on one
+    reducer over K·partitions candidate rows, never a global sort.
+    Identical sample on any engine, any partitioning, and under
+    re-runs — the property `df.sample`/true reservoirs lack."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "events_outlier_flags",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 1e6) AS BIGINT) AS v_q
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             sum(v_q) / count(*) / 1e6 AS mean_v,
+             sqrt(greatest(
+               CAST(sum(v_q::HUGEINT * v_q) AS DOUBLE) / count(*) / 1e12
+               - (sum(v_q) / count(*) / 1e6) * (sum(v_q) / count(*) / 1e6),
+               0)) AS std_v
+      FROM q GROUP BY event_type
+    )
+    SELECT CAST(q.event_id AS BIGINT) AS event_id,
+           q.event_type,
+           CAST(q.value AS DOUBLE) AS value,
+           abs(q.value - s.mean_v) > 3 * s.std_v AS is_outlier
+    FROM q JOIN stats s USING (event_type)
+    """,
+    tags=("telemetry", "outlier"),
+)
+def events_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flagging per event_type — the telemetry
+    anomaly-screen. Per-type mean/std come from ONE bounded aggregation
+    over 1e-6-quantized integer sums (order-free, so both engines derive
+    bit-identical moments), broadcast back onto the stream: a narrow map
+    plus one tiny join at any scale."""
+    t = load_tables(spark, sf_dir, ["events"])
+    q = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_q"),
+    )
+    n = F.count(F.lit(1))
+    mean_v = F.sum("v_q") / n / 1e6
+    # squares sum as exact DECIMAL(38,0) (mirrors DuckDB's HUGEINT sum) —
+    # BIGINT would overflow at ~1e5 rows of 1e9-scale quantized values
+    sq_sum = F.sum(
+        F.col("v_q").cast("decimal(38,0)") * F.col("v_q")
+    ).cast("double")
+    stats = q.groupBy("event_type").agg(
+        mean_v.alias("mean_v"),
+        F.sqrt(
+            F.greatest(
+                sq_sum / n / 1e12 - mean_v * mean_v,
+                F.lit(0.0),
+            )
+        ).alias("std_v"),
+    )
+    return q.join(F.broadcast(stats), "event_type").select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+        (
+            F.abs(F.col("value") - F.col("mean_v"))
+            > 3 * F.col("std_v")
+        ).alias("is_outlier"),
+    )

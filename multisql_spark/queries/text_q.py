@@ -451,3 +451,79 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc window on the high-cardinality doc id."""
     t = load_tables(spark, sf_dir, ["documents"])
     return textan.tfidf_top_terms(t["documents"], top=3)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'prev': toks[i], 'cur': toks[i + 1]})) AS u
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    pair_cnt AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+    ctx_cnt AS (SELECT prev, sum(c2) AS c1 FROM pair_cnt GROUP BY prev),
+    lp AS (
+      SELECT p.prev, p.cur,
+             CAST(round(ln(p.c2 * 1.0 / c.c1) * 1e6) AS BIGINT) AS lp_q
+      FROM pair_cnt p JOIN ctx_cnt c USING (prev)
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(lp.lp_q) / count(*) / 1e6, 4) AS avg_logprob
+    FROM bg JOIN lp USING (prev, cur)
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm", "bigram"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring: per-doc mean log P(w_i | w_{i-1}) under the
+    corpus's own bigram distribution — one step up the n-gram ladder from
+    `text_unigram_logprob` toward perplexity filtering. The bigram and
+    context tables are vocab-bounded aggregations that broadcast back
+    onto the bigram stream; per-bigram log-probs quantize to 1e-6
+    BIGINTs so the order-free integer sums hash-match DuckDB."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.col("text"), " ")
+    bg = (
+        t["documents"]
+        .filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("prev"),
+                        F.element_at(toks, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"),
+                F.col("b.cur").alias("cur"))
+    )
+    pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_cnt = pair_cnt.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    lp = pair_cnt.join(ctx_cnt, "prev").select(
+        "prev",
+        "cur",
+        F.round(F.log(F.col("c2") / F.col("c1")) * 1e6)
+        .cast("long")
+        .alias("lp_q"),
+    )
+    return (
+        bg.join(F.broadcast(lp), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp_q") / F.count(F.lit(1)) / 1e6, 4)
+            .alias("avg_logprob"),
+        )
+    )
