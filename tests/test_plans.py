@@ -284,3 +284,18 @@ def test_disjunctive_brackets_push_to_both_scans(spark):
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     assert plans.has_pushed_filter(df, "p_brand")
     assert plans.has_pushed_filter(df, "l_quantity")
+
+
+def test_bigram_tables_broadcast(spark):
+    """The bigram log-prob table must broadcast back onto the bigram
+    stream — bigram occurrences never shuffle on the pair key for the
+    scoring join."""
+    df = REGISTRY["text_bigram_logprob"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_fixed_k_sample_is_top_k_not_global_sort(spark):
+    """ORDER BY md5 LIMIT K must plan as TakeOrderedAndProject (per-
+    partition heap), never a global Sort+Limit."""
+    plan = plans.formatted_plan(REGISTRY["sample_fixed_k"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
