@@ -777,7 +777,8 @@ class MultiSQLSession:
     # -- INSERT (reference src/executor/alter_row/insert.rs) ----------------
 
     _INSERT_RE = re.compile(
-        r"\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(.*)$",
+        r"\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+([\w.]+)\s*"
+        r"(?:\(([^)]*)\))?\s*(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -785,9 +786,12 @@ class MultiSQLSession:
         m = self._INSERT_RE.match(stmt)
         if not m:
             raise EngineError(f"cannot parse INSERT: {stmt[:80]}")
-        name, cols_src, source = m.groups()
+        mode, name, cols_src, source = m.groups()
+        overwrite = mode.upper().startswith("OVERWRITE")
         jt = self._jdbc_target(name)
         if jt is not None:
+            if overwrite:
+                raise EngineError("jdbc databases are insert-only (append)")
             return self._insert_jdbc(jt[0], jt[1], cols_src, source)
         state = self._table(name)
         stated = (
@@ -806,6 +810,20 @@ class MultiSQLSession:
         else:
             df = self.sql(src)
             df = df.toDF(*stated)
+        if overwrite:
+            # replace-contents semantics: validate the batch against an
+            # emptied table; restore the old contents if validation fails
+            # (schema, constraints, and the auto-increment counter keep —
+            # OVERWRITE replaces data, TRUNCATE is the counter reset)
+            old_df = state.df
+            state.df = state.df.limit(0)
+            try:
+                out = self._insert_df(state, df, stated)
+            except Exception:
+                state.df = old_df
+                self._register(state)
+                raise
+            return Payload.affected("Insert", out.count)
         return self._insert_df(state, df, stated)
 
     def _insert_jdbc(

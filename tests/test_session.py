@@ -467,3 +467,28 @@ def test_merge_upsert_delete_and_errors(glue):
             "MERGE INTO m_t USING m_s ON m_t.id = m_s.id"
             " WHEN NOT MATCHED THEN DELETE"
         )
+
+
+def test_insert_overwrite_replaces_contents(glue):
+    """INSERT OVERWRITE replaces table data, keeps constraints and the
+    auto-increment counter, and restores the old contents when the
+    incoming batch fails validation."""
+    import pytest
+
+    from multisql_spark.session import EngineError, UniqueViolation
+
+    _fresh(glue, "ow")
+    glue.execute("CREATE TABLE ow (id INTEGER AUTO_INCREMENT, v TEXT UNIQUE)")
+    glue.execute("INSERT INTO ow (v) VALUES ('a'), ('b')")
+    p = glue.execute("INSERT OVERWRITE ow (v) VALUES ('c'), ('d'), ('e')")
+    assert p.count == 3
+    rows = sorted(glue.execute("SELECT id, v FROM ow").rows)
+    # counter continued from 2 — overwrite is not a counter reset
+    assert rows == [(3, "c"), (4, "d"), (5, "e")]
+    with pytest.raises((EngineError, UniqueViolation)):
+        glue.execute("INSERT OVERWRITE ow (v) VALUES ('x'), ('x')")
+    # failed overwrite must not lose the previous contents
+    assert sorted(r[0] for r in glue.execute("SELECT v FROM ow").rows) \
+        == ["c", "d", "e"]
+    glue.execute("INSERT OVERWRITE TABLE ow (v) VALUES ('z')")
+    assert [r[0] for r in glue.execute("SELECT v FROM ow").rows] == ["z"]
