@@ -226,6 +226,7 @@ class MultiSQLSession:
         self.variables: dict[str, str] = {}
         self.tables: dict[str, TableState] = {}
         self.views: dict[str, str] = {}
+        self.matviews: dict[str, str] = {}
         self.databases: dict[str, object] = {}
 
     # -- public API (reference src/glue/mod.rs:161-187) ---------------------
@@ -520,6 +521,8 @@ class MultiSQLSession:
             return self._explain(stmt)
         if kw == "EXECUTE":
             return self._execute_file(stmt)
+        if kw == "REFRESH":
+            return self._refresh_matview(stmt)
         raise UnsupportedError(f"unsupported statement: {stmt[:60]}")
 
     def _select_with_aqe_fallback(self, stmt: str) -> Payload:
@@ -552,6 +555,8 @@ class MultiSQLSession:
 
     def _create(self, stmt: str) -> Payload:
         upper = stmt.upper()
+        if re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW", upper):
+            return self._create_matview(stmt)
         if re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW", upper):
             return self._create_view(stmt)
         if re.match(r"\s*CREATE\s+(UNIQUE\s+)?INDEX", upper):
@@ -712,6 +717,45 @@ class MultiSQLSession:
         df.createOrReplaceTempView(name)
         self.views[name.lower()] = query
         return Payload.success("CreateView")
+
+    def _create_matview(self, stmt: str) -> Payload:
+        """CREATE MATERIALIZED VIEW (beyond reference): the defining query
+        is evaluated ONCE and pinned (localCheckpoint), so readers scan the
+        materialized result instead of re-running the plan — the batch
+        face of a continuous aggregate (`stream_rollup_sink` is the
+        streaming face).  `REFRESH MATERIALIZED VIEW` re-evaluates; reads
+        between refreshes see the stale snapshot, which a test pins."""
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.]+)"
+            r"\s+AS\s+(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE MATERIALIZED VIEW: {stmt[:80]}")
+        replace, name, query = m.groups()
+        if name.lower() in self.matviews and not replace:
+            raise AlreadyExistsError(f"materialized view exists: {name}")
+        df = self.sql(query).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        self.matviews[name.lower()] = query
+        return Payload.success("CreateMaterializedView")
+
+    def _refresh_matview(self, stmt: str) -> Payload:
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse REFRESH: {stmt[:80]}")
+        name = m.group(1)
+        query = self.matviews.get(name.lower())
+        if query is None:
+            raise TableNotFoundError(f"materialized view not found: {name}")
+        df = self.sql(query).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        return Payload.success("RefreshMaterializedView")
 
     def _create_index(self, stmt: str) -> Payload:
         """CREATE [UNIQUE] INDEX — metadata no-op: parquet min/max pushdown
@@ -1379,16 +1423,22 @@ class MultiSQLSession:
 
     def _drop(self, stmt: str) -> Payload:
         m = re.match(
-            r"\s*DROP\s+(TABLE|VIEW|INDEX|SCHEMA|DATABASE)\s+"
-            r"(IF\s+EXISTS\s+)?([\w.]+)",
+            r"\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW|VIEW|INDEX|SCHEMA|DATABASE)"
+            r"\s+(IF\s+EXISTS\s+)?([\w.]+)",
             stmt,
             re.IGNORECASE,
         )
         if not m:
             raise EngineError(f"cannot parse DROP: {stmt[:80]}")
         kind, if_exists, name = m.groups()
-        kind = kind.upper()
+        kind = re.sub(r"\s+", " ", kind.upper())
         key = name.lower()
+        if kind == "MATERIALIZED VIEW":
+            if key not in self.matviews and not if_exists:
+                raise TableNotFoundError(f"materialized view not found: {name}")
+            self.matviews.pop(key, None)
+            self.spark.catalog.dropTempView(name)
+            return Payload.success("DropMaterializedView")
         if kind == "TABLE":
             if key not in self.tables and not if_exists:
                 raise TableNotFoundError(f"table not found: {name}")

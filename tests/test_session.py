@@ -492,3 +492,30 @@ def test_insert_overwrite_replaces_contents(glue):
         == ["c", "d", "e"]
     glue.execute("INSERT OVERWRITE TABLE ow (v) VALUES ('z')")
     assert [r[0] for r in glue.execute("SELECT v FROM ow").rows] == ["z"]
+
+
+def test_materialized_view_refresh_cycle(glue):
+    """Materialized views pin their query's result until REFRESH: reads
+    between refreshes see the stale snapshot; refresh re-evaluates; drop
+    removes it."""
+    import pytest
+
+    from multisql_spark.session import TableNotFoundError
+
+    _fresh(glue, "mv_base")
+    glue.execute("DROP MATERIALIZED VIEW IF EXISTS mv_sum")
+    glue.execute("CREATE TABLE mv_base (a INTEGER)")
+    glue.execute("INSERT INTO mv_base (a) VALUES (1),(2),(3)")
+    glue.execute(
+        "CREATE MATERIALIZED VIEW mv_sum AS"
+        " SELECT COUNT(1) AS n, SUM(a) AS s FROM mv_base"
+    )
+    assert glue.execute("SELECT n, s FROM mv_sum").rows == [(3, 6)]
+    glue.execute("INSERT INTO mv_base (a) VALUES (10)")
+    # stale until refreshed
+    assert glue.execute("SELECT n, s FROM mv_sum").rows == [(3, 6)]
+    glue.execute("REFRESH MATERIALIZED VIEW mv_sum")
+    assert glue.execute("SELECT n, s FROM mv_sum").rows == [(4, 16)]
+    glue.execute("DROP MATERIALIZED VIEW mv_sum")
+    with pytest.raises(TableNotFoundError):
+        glue.execute("REFRESH MATERIALIZED VIEW mv_sum")
