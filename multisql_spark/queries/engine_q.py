@@ -250,3 +250,36 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
         " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM mrg_demo"
     )
+
+
+@register(
+    "dml_matview_refresh",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           COUNT(*) AS n
+    FROM (
+      SELECT n_regionkey FROM nation
+      UNION ALL
+      SELECT 9 AS n_regionkey
+    ) GROUP BY n_regionkey
+    """,
+    tags=("dml", "matview"),
+)
+def dml_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view lifecycle through the engine: snapshot a rollup,
+    mutate the base, REFRESH, read the re-evaluated result. Oracle ≡ the
+    rollup over the mutated base."""
+    g = _engine(spark, sf_dir)
+    g.execute("DROP TABLE IF EXISTS mvr_base")
+    g.execute("DROP MATERIALIZED VIEW IF EXISTS mvr_roll")
+    g.execute("CREATE TABLE mvr_base AS SELECT n_regionkey FROM nation")
+    g.execute(
+        "CREATE MATERIALIZED VIEW mvr_roll AS"
+        " SELECT n_regionkey, COUNT(1) AS n FROM mvr_base GROUP BY n_regionkey"
+    )
+    g.execute("INSERT INTO mvr_base (n_regionkey) VALUES (9)")
+    g.execute("REFRESH MATERIALIZED VIEW mvr_roll")
+    return g.sql(
+        "SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+        " CAST(n AS BIGINT) AS n FROM mvr_roll"
+    )
