@@ -527,3 +527,75 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.idx AS BIGINT) AS chunk_idx,
+           md5(u.chunk) AS chunk_md5,
+           CAST(u.n AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(0,
+                      greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT) + 1),
+                    1),
+                    i -> {'idx': i,
+                          'chunk': array_to_string(
+                              toks[i*24 + 1 : i*24 + 32], ' '),
+                          'n': len(toks[i*24 + 1 : i*24 + 32])}))
+               AS u
+      FROM t
+    ) WHERE u.n > 0
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (window 32 tokens, stride 24
+    → 8-token overlap) — the RAG/training text-splitting step. Pure
+    array algebra (sequence + slice, no UDF): a narrow map whose output
+    is keyed (doc_id, chunk_idx), ready to shard. Chunk text is emitted
+    as md5 so the driver canonicalizer stays string-typed."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.col("text"), " ")
+    window, stride = 32, 24
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - (window - stride)) / float(stride)).cast("int")
+        + F.lit(0),
+    )
+    # number of stride-starts covering the token list, matching the
+    # oracle's ceil((len-overlap)/stride)+1 window count minus the final
+    # empty ones (filtered by n > 0 on both sides)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.lit(0),
+                F.ceil((F.size(toks) - (window - stride)) / float(stride))
+                .cast("int"),
+            ),
+        ),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, window)
+            ).alias("chunk"),
+            F.size(F.slice(toks, i * stride + 1, window)).alias("n"),
+        ),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .filter(F.col("c.n") > 0)
+        .select(
+            "doc_id",
+            F.col("c.idx").cast("long").alias("chunk_idx"),
+            F.md5(F.col("c.chunk")).alias("chunk_md5"),
+            F.col("c.n").cast("long").alias("n_tokens"),
+        )
+    )
