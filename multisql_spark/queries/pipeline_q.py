@@ -906,3 +906,49 @@ def events_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3 * F.col("std_v")
         ).alias("is_outlier"),
     )
+
+
+@register(
+    "events_rolling_window",
+    oracle=f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           {_EPOCH} AS ts_sec,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH}
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("temporal", "window", "range-frame"),
+)
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregates via a RANGE frame (each event
+    sees its user's trailing hour, including simultaneous events) — the
+    feature-engineering window for per-entity rate/velocity features.
+    Partitioned on the high-cardinality user_id: each user's timeline
+    sorts locally after one shuffle, and the frame is O(events in the
+    hour) per row. Decimal sums keep the frame aggregation exact."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ts_sec = F.unix_timestamp("ts").cast("long")
+    base = t["events"].select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        ts_sec.alias("ts_sec"),
+        F.col("value").cast("decimal(18,2)").alias("v_dec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.sum("v_dec").over(w).cast("double").alias("sum_prev_hour"),
+    )
