@@ -58,3 +58,56 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the subsample-before-shuffle pattern)."""
     t = load_tables(spark, sf_dir, ["documents"])
     return mm.frame_sample(mm.attach_blobs(t["documents"]), every=4)
+
+
+@register(
+    "mm_align_doc_embedding",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+        round(-1.5 + 2.2 * least(length(text) / 500.0, 1.0)
+              + 1.8 * (len(list_distinct(string_split(text, ' ')))
+                       / (len(string_split(text, ' ')) * 1.0))
+              + 1.2 * least(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and')))
+                    / (len(string_split(text, ' ')) * 1.0) * 5, 1.0), 6)
+          AS logit
+      FROM documents
+    )
+    SELECT e.label,
+           COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (q.logit > 0) AS n_keep,
+           round(sum(CAST(round(q.logit * 1e6) AS BIGINT)) / count(*)
+                 / 1e6, 4) AS avg_logit
+    FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+    GROUP BY e.label
+    """,
+    tags=("multimodal", "alignment"),
+)
+def mm_align_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment: join the text table to its embedding table
+    on the shared id and aggregate text-quality stats per embedding
+    cluster — the text↔vector linkage every multimodal curation pipeline
+    performs. Equi join on the id (bucketable/co-locatable at scale);
+    quality mean via 1e-6-quantized integer sums (order-free exact)."""
+    from multisql_spark.operators.textan import quality_logit_expr
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    q = t["documents"].select(
+        "doc_id", quality_logit_expr().alias("logit")
+    )
+    e = t["embeddings"].select("vec_id", "label")
+    return (
+        q.join(e, q.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("logit") > 0, 1)).alias("n_keep"),
+            F.round(
+                F.sum(F.round(F.col("logit") * 1e6).cast("long"))
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("avg_logit"),
+        )
+    )
