@@ -952,3 +952,68 @@ def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_prev_hour"),
         F.sum("v_dec").over(w).cast("double").alias("sum_prev_hour"),
     )
+
+
+@register(
+    "events_user_sequence",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_events,
+           array_to_string(list_slice(
+             list(event_type ORDER BY {_EPOCH} DESC, event_id DESC), 1, 5),
+             ',') AS last5_types,
+           CAST(max({_EPOCH}) - min({_EPOCH}) AS BIGINT) AS span_sec,
+           round((max({_EPOCH}) - min({_EPOCH}))
+                 / greatest(COUNT(*) - 1, 1) / 60.0, 4) AS avg_gap_min
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("temporal", "sequence", "features"),
+)
+def events_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity event-sequence features (behavior-model training prep):
+    most-recent event-type sequence, activity span, mean inter-event gap.
+    One groupBy(user_id) — the ordered sequence is built with an
+    order-tagged collect + array sort inside the aggregation (no window
+    pass), so each user's history shuffles once as (type, ts) pairs."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    tagged = t["events"].select(
+        "user_id",
+        "event_type",
+        F.struct(
+            ts.alias("ts_sec"), F.col("event_id").alias("eid")
+        ).alias("ord"),
+        ts.alias("ts_sec"),
+    )
+    # sort_array on (ts, eid, type) structs ascending, reverse for
+    # most-recent-first, then take 5 type fields
+    ev = F.struct(
+        F.col("ord.ts_sec").alias("ts_sec"),
+        F.col("ord.eid").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    return (
+        tagged.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.transform(
+                        F.reverse(F.sort_array(F.collect_list(ev))),
+                        lambda s: s["et"],
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("last5_types"),
+            (F.max("ts_sec") - F.min("ts_sec")).alias("span_sec"),
+            F.round(
+                (F.max("ts_sec") - F.min("ts_sec"))
+                / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+                / 60.0,
+                4,
+            ).alias("avg_gap_min"),
+        )
+    )
