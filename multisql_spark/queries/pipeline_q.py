@@ -1017,3 +1017,56 @@ def events_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_min"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN {_EPOCH} END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN {_EPOCH} END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN {_EPOCH} END)
+               AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after,
+           COUNT(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+             AS n_converted
+    FROM per_user
+    """,
+    tags=("telemetry", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): first-touch
+    times per stage come from ONE conditional aggregation per user (no
+    joins, no window), then the ordering predicates count stage-to-stage
+    conversions in a second bounded aggregation. Two shuffles total at
+    any scale — the standard product-analytics query the reference
+    cannot express."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+
+    def first(et):
+        return F.min(F.when(F.col("event_type") == et, ts))
+
+    per_user = t["events"].groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_clicked_after"),
+        F.count(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
