@@ -237,11 +237,16 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
+    # materialize the edge list ONCE — pairs is typically the output of
+    # the full LSH pipeline (signatures + band join); without this every
+    # propagation round would re-execute that upstream plan
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -249,15 +254,14 @@ def connected_components(
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter("new_label != label")
-            .count()
-        )
+        # labels only ever decrease, so the total strictly drops while any
+        # node still changes — one scalar aggregate replaces the per-round
+        # change-detection join
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels.select("node", "label")
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
