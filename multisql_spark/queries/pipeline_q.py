@@ -1070,3 +1070,66 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted"),
     )
+
+
+@register(
+    "monitor_lang_drift",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    src_tot AS (SELECT source, sum(n) AS n_src FROM per GROUP BY source),
+    corpus AS (
+      SELECT lang, sum(n) * 1.0 / (SELECT sum(n) FROM per) AS p_corpus
+      FROM per GROUP BY lang
+    )
+    SELECT s.source,
+           CAST(s.n_src AS BIGINT) AS n_docs,
+           round(sum(abs(
+             CAST(round(coalesce(p.n, 0) * 1e6 / s.n_src) AS BIGINT)
+             - CAST(round(c.p_corpus * 1e6) AS BIGINT))) / 2e6, 4)
+             AS l1_drift
+    FROM src_tot s
+    CROSS JOIN corpus c
+    LEFT JOIN per p ON p.source = s.source AND p.lang = c.lang
+    GROUP BY s.source, s.n_src
+    """,
+    tags=("monitoring", "drift"),
+)
+def monitor_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-source total-variation distance
+    (half the L1) between the source's language mix and the corpus-wide
+    mix — the batch-acceptance gate that catches a crawler or feed
+    suddenly shifting composition. Everything derives from ONE bounded
+    (source, lang) aggregation; per-lang proportions quantize to 1e-6
+    integers so the distance is engine-exact."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    per = t["documents"].groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    src_tot = per.groupBy("source").agg(F.sum("n").alias("n_src"))
+    total = per.agg(F.sum("n").cast("double").alias("n_all"))
+    corpus = (
+        per.groupBy("lang")
+        .agg(F.sum("n").alias("n_lang"))
+        .crossJoin(F.broadcast(total))
+        .select("lang", (F.col("n_lang") / F.col("n_all")).alias("p_corpus"))
+    )
+    p_src_q = F.round(
+        F.coalesce(F.col("n"), F.lit(0)) * 1e6 / F.col("n_src")
+    ).cast("long")
+    p_cor_q = F.round(F.col("p_corpus") * 1e6).cast("long")
+    return (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .join(per, ["source", "lang"], "left")
+        .groupBy("source", "n_src")
+        .agg(
+            F.round(F.sum(F.abs(p_src_q - p_cor_q)) / 2e6, 4)
+            .alias("l1_drift")
+        )
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs"),
+            "l1_drift",
+        )
+    )
