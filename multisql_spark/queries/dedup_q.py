@@ -450,3 +450,128 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], F.col("doc_id") % 10 == 0,
         k=K, bands=BANDS, threshold=0.5,
     )
+
+
+def _ensemble_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
+    )
+    band_cases = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
+        )
+        band_cases.append(f"WHEN {b} THEN md5({parts})")
+    band_case = "CASE band_id " + " ".join(band_cases) + " END"
+    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
+    agree = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(1, K + 1)
+    )
+    vals = ", ".join(f"({b})" for b in range(BANDS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    bandk AS (
+      SELECT doc_id, band_id, {band_case} AS band_key
+      FROM sigs, (VALUES {vals}) AS bb(band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandk a
+      JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b, round(({agree}) / {K}.0, 4) AS est_sim
+      FROM pairs p
+      JOIN sigs a ON a.doc_id = p.doc_a
+      JOIN sigs b ON b.doc_id = p.doc_b
+    ),
+    tsets AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    hashes AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sh AS (
+      SELECT doc_id, CAST({dedup.simhash_bit_sql()} AS BIGINT) AS simhash
+      FROM hashes GROUP BY doc_id
+    )
+    SELECT CAST(e.doc_a AS BIGINT) AS doc_a,
+           CAST(e.doc_b AS BIGINT) AS doc_b,
+           e.est_sim,
+           round(len(list_intersect(ta.ts, tb.ts)) * 1.0
+                 / len(list_distinct(ta.ts || tb.ts)), 4) AS jaccard,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+             AS hamming,
+           (CASE WHEN e.est_sim >= 0.5 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_intersect(ta.ts, tb.ts)) * 1.0
+                        / len(list_distinct(ta.ts || tb.ts)) >= 0.5
+                   THEN 1 ELSE 0 END
+            + CASE WHEN bit_count(xor(sa.simhash, sb.simhash)) <= 4
+                   THEN 1 ELSE 0 END) >= 2 AS is_dup
+    FROM est e
+    JOIN tsets ta ON ta.doc_id = e.doc_a
+    JOIN tsets tb ON tb.doc_id = e.doc_b
+    JOIN sh sa ON sa.doc_id = e.doc_a
+    JOIN sh sb ON sb.doc_id = e.doc_b
+    """
+
+
+@register(
+    "dedup_ensemble_verdict",
+    oracle=_ensemble_oracle(),
+    tags=("dedup", "ensemble"),
+)
+def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup verdict over LSH candidate pairs: MinHash
+    estimate, exact token Jaccard, and SimHash Hamming distance each
+    vote; 2-of-3 declares a duplicate. Candidates come from the banded
+    index (never all-pairs); the three scores are keyed id-joins on the
+    candidate list, so verification cost ∝ candidates. This is the
+    precision stage a production dedup pipeline runs before deletion —
+    single-signal verdicts over-fire on boilerplate."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    sigs = dedup.minhash_signatures(docs, k=K)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    tsets = docs.select(
+        F.col("doc_id"), dedup.tokens_col("text").alias("ts")
+    )
+    sh = dedup.simhash(docs)
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("ts_a", "ts_b"))
+        / F.size(F.array_union("ts_a", "ts_b")).cast("double"),
+        4,
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    votes = (
+        F.when(F.col("est_sim") >= 0.5, 1).otherwise(0)
+        + F.when(jac >= 0.5, 1).otherwise(0)
+        + F.when(ham <= 4, 1).otherwise(0)
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            "est_sim",
+            jac.alias("jaccard"),
+            ham.alias("hamming"),
+            (votes >= 2).alias("is_dup"),
+        )
+    )
