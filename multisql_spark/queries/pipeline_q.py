@@ -1133,3 +1133,59 @@ def monitor_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l1_drift",
         )
     )
+
+
+@register(
+    "pipeline_budget_select",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+             round(-1.5 + 2.2 * least(length(text) / 500.0, 1.0)
+                   + 1.8 * (len(list_distinct(string_split(text, ' ')))
+                            / (len(string_split(text, ' ')) * 1.0))
+                   + 1.2 * least(len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and')))
+                         / (len(string_split(text, ' ')) * 1.0) * 5, 1.0), 6)
+               AS logit
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, toks, logit,
+             sum(toks) OVER (ORDER BY logit DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, toks, logit,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 5000
+    """,
+    tags=("pipeline", "selection", "budget"),
+)
+def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data selection: take the highest-quality
+    documents (by the learned logit) until a token budget is exhausted —
+    the quality-ranked selection step of curated-corpus construction.
+    The running total uses a global quality-ordered window; at 100 TB
+    the same cut computes without a global sort by histogramming quality
+    into approx-percentile buckets and cutting at the bucket boundary
+    (the `window_ntile_quartiles` pattern) — parity-exact form here so
+    the oracle hash-matches."""
+    from multisql_spark.operators.textan import quality_logit_expr
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t["documents"].select(
+        "doc_id",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+        quality_logit_expr().alias("logit"),
+    )
+    w = (
+        W.orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("toks").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 5000)
+        .select(F.col("doc_id").cast("long"), "toks", "logit", "cum_tokens")
+    )

@@ -599,3 +599,77 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "text_keyword_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    docfreq AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+    q AS (SELECT unnest(['spark', 'join', 'fast']) AS tok),
+    matched AS (
+      SELECT tf.doc_id,
+             count(*) AS n_matched,
+             sum(tf.tf * CAST(round(ln(n_docs / df_docs) * 1e6) AS BIGINT))
+               AS score_q
+      FROM tf JOIN q USING (tok) JOIN docfreq USING (tok), nd
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(score_q / 1e6, 4) AS score,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY score_q DESC, doc_id ASC) AS rn
+      FROM matched
+    ) WHERE rn <= 10
+    """,
+    tags=("text", "search", "retrieval"),
+)
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword search: rank documents for a fixed query
+    term set by summed tf-idf. The query-term list broadcasts onto the
+    (doc, term, tf) posting table — at scale the postings are the
+    inverted index, bucketed by term, and only matching postings move.
+    Integer-quantized idf keeps scores engine-exact; the global top-10 is
+    a TakeOrdered heap, not a sort."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = t["documents"].agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    q = spark.createDataFrame([("spark",), ("join",), ("fast",)], ["tok"])
+    idf_q = F.round(
+        F.log(F.col("n_docs") / F.col("df_docs")) * 1e6
+    ).cast("long")
+    matched = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(docfreq.crossJoin(F.broadcast(n_docs))), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.col("tf") * idf_q).alias("score_q"),
+        )
+    )
+    w = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        matched.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_matched").cast("long"),
+            F.round(F.col("score_q") / 1e6, 4).alias("score"),
+            "rn",
+        )
+    )
