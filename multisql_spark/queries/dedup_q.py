@@ -575,3 +575,68 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             (votes >= 2).alias("is_dup"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS toks,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                 ' ')) AS blk
+      FROM documents
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(a.toks), 4) AS a_in_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(b.toks), 4) AS b_in_a
+    FROM base a JOIN base b ON a.blk = b.blk
+    WHERE a.doc_id < b.doc_id
+      AND greatest(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks),
+                   len(list_intersect(a.toks, b.toks)) * 1.0 / len(b.toks))
+          >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (|A∩B| / |A| and / |B|) within blocking
+    buckets — catches excerpt/quote duplication that symmetric Jaccard
+    misses: a short doc fully contained in a long one scores high on one
+    side only. Same keyed-block join discipline as the Jaccard verify
+    (never all-pairs)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].select(
+        F.col("doc_id"),
+        dedup.tokens_col("text").alias("toks"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+        ).alias("blk"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "blk"
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "blk"
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    a_in_b = F.round(inter / F.size("toks_a"), 4)
+    b_in_a = F.round(inter / F.size("toks_b"), 4)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.greatest(
+                inter / F.size("toks_a"), inter / F.size("toks_b")
+            )
+            >= 0.8
+        )
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            a_in_b.alias("a_in_b"),
+            b_in_a.alias("b_in_a"),
+        )
+    )

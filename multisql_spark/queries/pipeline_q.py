@@ -1189,3 +1189,49 @@ def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 5000)
         .select(F.col("doc_id").cast("long"), "toks", "logit", "cum_tokens")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min({_EPOCH} // 1800) AS cohort_bucket
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, {_EPOCH} // 1800 AS bucket
+      FROM events e
+    )
+    SELECT CAST(u.cohort_bucket * 1800 AS BIGINT) AS cohort_start,
+           CAST(a.bucket - u.cohort_bucket AS BIGINT) AS periods_later,
+           count(DISTINCT a.user_id) AS n_active
+    FROM u JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("telemetry", "cohort", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen time bucket, counted
+    in each subsequent bucket they were active — the standard retention
+    triangle. Two bounded aggregations and one keyed join on user_id;
+    the distinct (user, bucket) activity set is the only wide state and
+    it is O(users × active buckets), not O(events)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = (F.unix_timestamp("ts") / 1800).cast("long")
+    u = t["events"].groupBy("user_id").agg(
+        F.min(bucket).alias("cohort_bucket")
+    )
+    activity = t["events"].select(
+        "user_id", bucket.alias("bucket")
+    ).distinct()
+    return (
+        u.join(activity, "user_id")
+        .groupBy(
+            (F.col("cohort_bucket") * 1800).cast("long").alias("cohort_start"),
+            (F.col("bucket") - F.col("cohort_bucket"))
+            .cast("long")
+            .alias("periods_later"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
