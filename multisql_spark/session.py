@@ -1268,7 +1268,10 @@ class MultiSQLSession:
         if self._jdbc_target(tname) is not None:
             raise EngineError("jdbc databases are insert-only")
         state = self._table(tname)
-        talias = talias or tname.split(".")[-1]
+        # default alias = the resolved internal name: the dialect rewrites
+        # dotted refs (`db.t.col` -> `db__t.col`), so aliasing the target
+        # the same way keeps qualified ON/SET references resolvable
+        talias = talias or state.name
         base = state.df.withColumn(
             "__rid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=True)

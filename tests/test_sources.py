@@ -232,3 +232,37 @@ def test_jdbc_scan_and_insert_roundtrip(spark, tmp_path):
         g.execute("UPDATE remote.rt SET b = 'q'")
     with _pytest.raises(EngineError):
         g.execute("DELETE FROM remote.rt")
+
+
+def test_merge_write_back_attached_database(spark, tmp_path):
+    """MERGE INTO a dotted attached-database table: qualified ON/SET
+    references resolve (regression: the default target alias must match
+    the dialect's rewritten internal name), and the merged result
+    persists to the parquet directory for a fresh session."""
+    from multisql_spark.session import MultiSQLSession
+
+    d = str(tmp_path / "mdb")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE md LOCATION '{d}/'")
+    g.execute("CREATE TABLE md.t (id INTEGER, v TEXT NULL)")
+    g.execute("INSERT INTO md.t VALUES (1,'a'),(2,'b')")
+    g.execute(
+        "MERGE INTO md.t USING ("
+        " SELECT 2 AS id, 'B' AS v UNION ALL SELECT 3, 'c') AS s"
+        " ON md.t.id = s.id"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+        " WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v)"
+    )
+    assert sorted(g.execute("SELECT * FROM md.t").rows) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    g2 = MultiSQLSession(spark.newSession())
+    g2.execute(f"CREATE DATABASE md2 LOCATION '{d}/'")
+    assert sorted(g2.execute("SELECT * FROM md2.t").rows) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    g.execute("DROP DATABASE md")
+    g2.execute("DROP DATABASE md2")
