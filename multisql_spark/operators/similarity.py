@@ -408,6 +408,54 @@ def kmeans_cluster_stats(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the deterministic KMeans fit, compare embeddings
+    pairwise ONLY within a cluster, and drop the higher-id member of any
+    pair with cosine ≥ ``threshold``.  Returns the survivors as
+    ``(vec_id, list_id)``.
+
+    The cluster id is the blocking key, so the self-join is keyed — work
+    is ∝ Σ cluster_size², never corpus².  At 100 TB you raise ``n_lists``
+    to ~√N (bounding expected cluster size), fit on a sample, and the
+    within-cluster join shuffles each side once on ``list_id``; skewed
+    (over-dense) clusters split under AQE or an extra LSH sub-bucket.
+    Complements :func:`embedding_neardup_pairs` (hyperplane blocking):
+    KMeans blocks by global topic structure, hyperplanes by random
+    projection."""
+    centroids = kmeans_fit(emb, n_lists, iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("list_id", _assign_col(F.col("v"), centroids))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "list_id"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "list_id"
+    )
+    drops = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(drops, id_col, "left_anti")
+        .select(
+            F.col(id_col).cast("long"),
+            F.col("list_id").cast("int"),
+        )
+    )
+
+
 def lsh_multiprobe_topk(
     emb: DataFrame,
     query_filter,

@@ -1235,3 +1235,88 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             ({_EPOCH} // 3600) * 3600 AS hour_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(hour_start) AS mn, max(hour_start) AS mx
+      FROM r GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS hour_start
+      FROM span
+    )
+    SELECT g.event_type,
+           CAST(g.hour_start AS BIGINT) AS hour_start,
+           COALESCE(r.n, 0) AS n,
+           last_value(r.total_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_total
+    FROM grid g
+    LEFT JOIN r ON r.event_type = g.event_type
+               AND r.hour_start = g.hour_start
+    """,
+    tags=("temporal", "gapfill"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    densify the hourly rollup to every hour in each event type's span
+    (missing hours get n=0) and carry the last non-empty hour's total
+    forward — the hypertable `time_bucket_gapfill + locf` shape.
+
+    Scale: the grid is generated FROM THE ROLLUP (bounded: types x
+    hours), never from raw events — `sequence`/`explode` runs on the
+    per-type span row, so densification is O(output). The LOCF window
+    partitions by event_type over that bounded series; raw events are
+    touched exactly once by the rollup aggregation (map-side partial).
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    r = (
+        t["events"]
+        .groupBy("event_type", bucket.alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    grid = (
+        r.groupBy("event_type")
+        .agg(F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(3600).cast("long"))
+            ).alias("hour_start"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(r, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            F.col("hour_start").cast("long"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.last("total_value", ignorenulls=True).over(w).alias(
+                "filled_total"
+            ),
+        )
+    )

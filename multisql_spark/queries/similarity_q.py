@@ -275,6 +275,32 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle=_kmeans_fit_ctes()
+    + f""",
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM af a JOIN af b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.9
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(e.list_id AS INT) AS list_id
+    FROM af e ANTI JOIN drops d ON d.vec_id = e.vec_id
+    """,
+    tags=("similarity", "dedup", "kmeans"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: KMeans-cluster blocking + within-cluster cosine ≥ 0.9
+    drops the higher id of each near-dup pair; survivors returned with
+    their semantic cluster. Fully hash-checked via the SQL fit replay."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.semantic_dedup(
+        t["embeddings"], threshold=0.9, n_lists=8, iters=2
+    )
+
+
+@register(
     "sim_kmeans_cluster_stats",
     oracle=_kmeans_fit_ctes()
     + f""",
