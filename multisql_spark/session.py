@@ -474,6 +474,8 @@ class MultiSQLSession:
             writer.option("header", True).csv(tmp)
         elif state.persist_kind == "json":
             writer.json(tmp)
+        elif state.persist_kind == "orc":
+            writer.orc(tmp)
         else:
             raise EngineError(
                 f"unwritable backend: {state.persist_kind}"
@@ -490,6 +492,8 @@ class MultiSQLSession:
             state.df = self.spark.read.csv(
                 state.persist_path, header=True, inferSchema=True
             )
+        elif state.persist_kind == "orc":
+            state.df = self.spark.read.orc(state.persist_path)
         else:
             state.df = self.spark.read.json(state.persist_path)
         state.df.createOrReplaceTempView(state.name)
@@ -797,7 +801,7 @@ class MultiSQLSession:
             raise AlreadyExistsError(f"database exists: {name}")
         db = attach_database(self.spark, name, path)
         self.databases[name] = db
-        if db.kind in ("parquet", "csv", "json", "xlsx"):
+        if db.kind in ("parquet", "csv", "json", "xlsx", "orc"):
             # writable backends (reference DBMut): DML on db.table routes
             # through the managed-table pipeline and flushes back to disk
             for tname, df in db.tables.items():

@@ -47,6 +47,8 @@ def attach_database(
         return _attach_json(spark, name, path)
     if path.endswith(".xlsx"):
         return _attach_xlsx(spark, name, path)
+    if path.endswith(".orc"):
+        return _attach_orc(spark, name, path)
     if path.endswith(".xls"):
         raise NotImplementedError(
             "legacy .xls (BIFF) is unsupported; save as .xlsx "
@@ -94,6 +96,20 @@ def _attach_csv(spark: SparkSession, name: str, path: str) -> SourceDatabase:
     # (src/databases/csv/discern.rs:16-100); Spark's inferSchema is the
     # built-in equivalent
     df = spark.read.csv(path, header=True, inferSchema=True)
+    df.createOrReplaceTempView(f"{name}__{tname}")
+    db.tables[tname] = df
+    return db
+
+
+def _attach_orc(spark: SparkSession, name: str, path: str) -> SourceDatabase:
+    """Single-table ORC database (attach-by-extension, like csv/json).
+
+    ORC is Spark-native columnar with the same predicate-pushdown and
+    min/max-stripe pruning story as parquet — at 100 TB it behaves like
+    the parquet backend, not the row formats."""
+    db = SourceDatabase(name=name, path=path, kind="orc")
+    tname = os.path.splitext(os.path.basename(path))[0]
+    df = spark.read.orc(path)
     df.createOrReplaceTempView(f"{name}__{tname}")
     db.tables[tname] = df
     return db

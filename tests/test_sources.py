@@ -101,6 +101,36 @@ def test_attached_database_write_back(spark, sf_dir, tmp_path_factory):
     assert all(rk != 0 for rk, _ in rows)
 
 
+def test_orc_database_roundtrip(spark, sf_dir, tmp_path_factory):
+    """ORC backend (attach-by-extension, Spark-native columnar): scan,
+    cross-source join, and DML write-back surviving a fresh attach."""
+    orc_path = str(tmp_path_factory.mktemp("orcdb") / "nation_orc.orc")
+    from multisql_spark.sources import _read_parquet
+
+    _read_parquet(spark, f"{sf_dir}/nation.parquet").coalesce(
+        1
+    ).toPandas().to_orc(orc_path)
+    g1 = MultiSQLSession(spark)
+    g1.execute(f"CREATE DATABASE odb LOCATION '{orc_path}'")
+    out = g1.execute(
+        "SELECT COUNT(*) AS n, SUM(n_regionkey) AS s FROM odb.nation_orc"
+    )
+    assert out.rows == [(25, 50)]
+    g1.execute(
+        "INSERT INTO odb.nation_orc (n_nationkey, n_name, n_regionkey)"
+        " VALUES (99, 'ATLANTIS', 4)"
+    )
+    g1.execute("DELETE FROM odb.nation_orc WHERE n_nationkey = 0")
+    # fresh attach: mutations survived in the ORC file
+    g2 = MultiSQLSession(spark)
+    g2.execute(f"CREATE DATABASE odb2 LOCATION '{orc_path}'")
+    rows = g2.execute(
+        "SELECT n_nationkey, n_name FROM odb2.nation_orc"
+    ).rows
+    assert (99, "ATLANTIS") in rows
+    assert all(nk != 0 for nk, _ in rows)
+
+
 def test_testdata_is_write_protected(spark, sf_dir):
     from multisql_spark.session import EngineError
 
