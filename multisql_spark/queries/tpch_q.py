@@ -409,3 +409,110 @@ def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                  AS DECIMAL(18,4)) AS volume,
+             s.s_nationkey
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN s_nationkey = 1 THEN volume
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           round(CAST(SUM(CASE WHEN s_nationkey = 1 THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    tags=("tpch", "market-share", "conditional-agg"),
+)
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: the target nation's share of STANDARD-part revenue per
+    order year. One conditional aggregation over the joined fact — the
+    share is numerator/denominator of the SAME decimal-exact sums, so no
+    second pass; part/supplier broadcast, lineitem-orders shuffle once."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "part", "supplier"]
+    )
+    l, o, p, s = t["lineitem"], t["orders"], t["part"], t["supplier"]
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    nation_vol = F.sum(
+        F.when(F.col("s_nationkey") == 1, vol).otherwise(zero)
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")),
+              l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+            F.round(nation_vol / total_vol, 6).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "tpch_wealthy_inactive",
+    oracle="""
+    WITH cutoff AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def tpch_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders, counted
+    per nation. The positive-balance average is a 1-row broadcast
+    (scalar-subquery pattern), the no-orders test is a LEFT ANTI join on
+    o_custkey — both scale-safe; nothing but customer/orders shuffles."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c, o = t["customer"], t["orders"]
+    cutoff = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
