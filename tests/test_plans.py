@@ -299,3 +299,55 @@ def test_fixed_k_sample_is_top_k_not_global_sort(spark):
     partition heap), never a global Sort+Limit."""
     plan = plans.formatted_plan(REGISTRY["sample_fixed_k"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_joins_are_keyed(spark):
+    """SemDeDup's within-cluster self-join must be an equi-join on
+    list_id (the blocking key) and the survivor filter a keyed left-anti
+    — never an all-pairs nested loop."""
+    df = REGISTRY["dedup_semantic"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_grid_from_rollup_not_raw(spark):
+    """The gap-fill grid must be exploded from the bounded per-type span
+    aggregate (types x hours), and the LOCF window must be partitioned
+    by event_type — no single-partition global Window."""
+    df = REGISTRY["events_gapfill_locf"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "Generate explode" in plan or "Generate" in plan
+    # a partitioned window sorts on (event_type, hour_start); a global
+    # window would show an empty partition spec in the Window operator
+    assert "Window" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in m.group(1)
+
+
+def test_market_share_single_aggregation(spark):
+    """Q8 share comes from ONE conditional aggregation (numerator and
+    denominator in the same HashAggregate) with part/supplier broadcast."""
+    df = REGISTRY["tpch_market_share"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_wealthy_inactive_anti_join(spark):
+    """Q22's no-orders test must plan as a (broadcast or shuffled) hash
+    LEFT ANTI join, and the cutoff as a broadcast of a 1-row aggregate."""
+    import re as _re
+
+    plan = plans.formatted_plan(
+        REGISTRY["tpch_wealthy_inactive"].fn(spark, SF)
+    )
+    assert "LeftAnti" in plan
+    # the only nested-loop allowed is the Inner join against the
+    # broadcast 1-row cutoff aggregate (the scalar-subquery pattern);
+    # the anti join itself must be a hash join
+    for m in _re.finditer(r"BroadcastNestedLoopJoin (\w+) \(?(\w+)", plan):
+        assert "Anti" not in m.group(0)
+    assert _re.search(r"(Broadcast|ShuffledHash|SortMerge)\w*Join LeftAnti", plan)
