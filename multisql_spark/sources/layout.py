@@ -1,0 +1,154 @@
+"""Physical-layout operators: multi-dimensional clustering (Z-order) and
+small-file compaction.
+
+These are write-time primitives, the complement of `write_bucketed`
+(sources/__init__.py): bucketing co-locates a JOIN key; Z-ordering
+co-locates *range predicates over several columns at once* so parquet
+row-group/file min-max stats prune scans on ANY of the clustered
+dimensions (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea, built from
+public bit-interleaving math). Compaction bounds file count for
+incrementally-appended tables (e.g. the streaming foreachBatch sink) so
+scan task scheduling stays O(data), not O(commits).
+
+At 100 TB:
+- ``write_zordered`` costs one range-shuffle of the data (the same price
+  as any global sort) and pays it back on every subsequent selective
+  scan against any clustered dimension;
+- per-dimension min/max come from ONE bounded aggregation, broadcast as
+  literals into the key expression — no second scan;
+- ``compact_dir`` is one coalesce-write of the affected directory; run
+  it per partition-directory, not per table, to bound the rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list, mins: list[float], maxs: list[float], bits: int = 16):
+    """Interleaved-bit (Morton) key over ``cols``.
+
+    Each column is affinely scaled to an integer in [0, 2^bits) using the
+    provided min/max (broadcast literals), then the bits of all columns
+    are interleaved — column j's bit i lands at position
+    ``i * n_cols + j``. Values near each other in ANY dimension get
+    nearby keys, which is what makes per-file min/max stats selective on
+    every dimension after a range-partitioned write.
+
+    Pure codegen arithmetic (shifts, masks, adds) — no UDF, no shuffle.
+    """
+    n = len(cols)
+    scaled = []
+    top = (1 << bits) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        s = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(float(top))
+        ).cast("long")
+        # clamp (max value maps to top, guard rounding)
+        s = F.least(F.greatest(s, F.lit(0)), F.lit(top))
+        scaled.append(s)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * n + j)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``.
+
+    One aggregation computes per-column min/max (broadcast into the key
+    as literals), then a range repartition + within-partition sort on the
+    interleaved key gives every output file a narrow key range — and
+    therefore narrow min/max envelopes on EVERY clustered column, which
+    is exactly what engines consult to skip files/row-groups.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"mn_{i}"] for i in range(len(cols))]
+    maxs = [stats[f"mx_{i}"] for i in range(len(cols))]
+    key = zorder_key(cols, mins, maxs, bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax(path: str, column: str) -> list[tuple[float, float]]:
+    """Per-file (min, max) of ``column`` from parquet footer statistics —
+    the exact metadata a scan consults for file/row-group skipping."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.startswith("part-"):
+            continue
+        md = pq.read_metadata(os.path.join(path, fname))
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out.append((lo, hi))
+    return out
+
+
+def skipped_fraction(path: str, column: str, value: float) -> float:
+    """Fraction of files whose [min, max] envelope EXCLUDES ``value`` —
+    i.e. the files an equality/point scan would skip on stats alone."""
+    ranges = file_minmax(path, column)
+    if not ranges:
+        return 0.0
+    skipped = sum(1 for lo, hi in ranges if not (lo <= value <= hi))
+    return skipped / len(ranges)
+
+
+def compact_dir(spark, path: str, n_files: int = 1) -> int:
+    """Compact a parquet directory to ``n_files`` files (OPTIMIZE shape).
+
+    Incremental writers (microbatch sinks, per-batch appends) accumulate
+    many small files; scan cost then scales with file count, not bytes.
+    Rewrite-in-place via a temp directory + atomic directory swap, same
+    crash-safety pattern as the streaming sink's swap-on-write.
+    Returns the resulting file count.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="msql_compact_")
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = tempfile.mkdtemp(prefix="msql_compact_old_")
+    for f in os.listdir(path):
+        shutil.move(os.path.join(path, f), os.path.join(old, f))
+    for f in os.listdir(tmp):
+        shutil.move(os.path.join(tmp, f), os.path.join(path, f))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return len(glob.glob(os.path.join(path, "part-*")))

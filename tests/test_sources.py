@@ -296,3 +296,55 @@ def test_merge_write_back_attached_database(spark, tmp_path):
     ]
     g.execute("DROP DATABASE md")
     g2.execute("DROP DATABASE md2")
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory):
+    """Z-ordered files must have narrow min/max envelopes on BOTH
+    clustered columns: a point predicate on either dimension prunes most
+    files on footer stats alone — while a single-column sort layout can
+    only prune on its sort column."""
+    from pyspark.sql import functions as F
+
+    from multisql_spark.sources import _read_parquet
+    from multisql_spark.sources.layout import skipped_fraction, write_zordered
+
+    # sf0.01 for realistic user-id cardinality (sf0.001 has only 15 users,
+    # which can't produce narrow per-file envelopes)
+    ev = _read_parquet(
+        spark, "/root/testdata/sf0.01/events.parquet"
+    ).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch"), "value"
+    )
+    zdir = str(tmp_path_factory.mktemp("zorder") / "ev_z")
+    write_zordered(ev, zdir, ["user_id", "epoch"], n_files=16)
+
+    # baseline: sorted by epoch only
+    sdir = str(tmp_path_factory.mktemp("zorder") / "ev_s")
+    ev.repartitionByRange(16, "epoch").sortWithinPartitions("epoch").write.parquet(sdir)
+
+    stats = ev.agg(
+        F.expr("percentile(user_id, 0.5)"), F.expr("percentile(epoch, 0.5)")
+    ).collect()[0]
+    mid_user, mid_epoch = float(stats[0]), float(stats[1])
+
+    # both dims prune well under z-order…
+    assert skipped_fraction(zdir, "user_id", mid_user) >= 0.5
+    assert skipped_fraction(zdir, "epoch", mid_epoch) >= 0.5
+    # …but the epoch-sorted layout cannot prune on user_id at all
+    assert skipped_fraction(sdir, "user_id", mid_user) == 0.0
+    assert skipped_fraction(sdir, "epoch", mid_epoch) >= 0.8
+    # layout change must not change the data
+    assert spark.read.parquet(zdir).count() == ev.count()
+
+
+def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path_factory):
+    from multisql_spark.sources import _read_parquet
+    from multisql_spark.sources.layout import compact_dir
+
+    d = str(tmp_path_factory.mktemp("compact") / "many")
+    ev = _read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev.repartition(32).write.parquet(d)
+    before = ev.count()
+    n = compact_dir(spark, d, n_files=2)
+    assert n == 2
+    assert spark.read.parquet(d).count() == before
