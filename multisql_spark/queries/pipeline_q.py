@@ -1320,3 +1320,168 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM events
+    )
+    SELECT CAST(LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 32.0))
+                      AS INT), 31) AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS bin_total
+    FROM events e, bounds b
+    GROUP BY 1
+    """,
+    tags=("monitoring", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 32-bin histogram of the value distribution — the
+    monitoring primitive behind drift dashboards. Global min/max is a
+    1-row broadcast (scalar-subquery pattern); the binning expression is
+    pure codegen and the aggregation collapses map-side to ≤32 groups, so
+    the shuffle is constant-size regardless of input."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    bounds = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 32.0)
+        ).cast("int"),
+        F.lit(31),
+    ).cast("int")
+    return (
+        e.join(F.broadcast(bounds))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_total"),
+        )
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             {_EPOCH} AS ts_s,
+             lead({_EPOCH}) OVER (
+               PARTITION BY user_id, event_type ORDER BY {_EPOCH}, event_id
+             ) AS next_ts
+      FROM events
+    ),
+    weighted AS (
+      SELECT user_id, event_type,
+             SUM(CAST(round(value * (next_ts - ts_s) * 1e6) AS BIGINT))
+               AS wsum_q,
+             SUM(next_ts - ts_s) AS dt_sum
+      FROM seq WHERE next_ts IS NOT NULL
+      GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n_users,
+           round(SUM(CAST(round(wsum_q / dt_sum) AS BIGINT)) / COUNT(*)
+                 / 1e6, 6) AS mean_user_twa
+    FROM weighted WHERE dt_sum > 0
+    GROUP BY event_type
+    """,
+    tags=("temporal", "twa"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over irregular samples (the hypertable
+    `time_weight('locf')` shape): each observation is weighted by its
+    holding time (delta to the entity's next event), averaged per
+    (user, type), then summarized per type.
+
+    Scale: the lead() window partitions on (user_id, event_type) — high
+    cardinality, bounded per-partition row counts — never a global or
+    per-type-only sort. All sums are 1e-6 fixed-point BIGINTs, so both
+    aggregation levels are order-independent and exactly hash-matchable.
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ts_s = F.unix_timestamp("ts").cast("long")
+    w = W.partitionBy("user_id", "event_type").orderBy(ts_s, F.col("event_id"))
+    seq = t["events"].select(
+        "user_id", "event_type", "value",
+        ts_s.alias("ts_s"),
+        F.lead(ts_s).over(w).alias("next_ts"),
+    )
+    weighted = (
+        seq.filter(F.col("next_ts").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("value") * (F.col("next_ts") - F.col("ts_s")) * 1e6
+                ).cast("long")
+            ).alias("wsum_q"),
+            F.sum(F.col("next_ts") - F.col("ts_s")).alias("dt_sum"),
+        )
+    )
+    return (
+        weighted.filter(F.col("dt_sum") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(
+                    F.round(F.col("wsum_q") / F.col("dt_sum")).cast("long")
+                )
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("mean_user_twa"),
+        )
+    )
+
+
+@register(
+    "monitor_expectations",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS v_empty_text,
+      CAST(SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS v_nonpositive_chars,
+      CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0
+          END) AS BIGINT) AS v_unknown_lang,
+      CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+        AS v_chars_mismatch,
+      COUNT(*) - COUNT(DISTINCT doc_id) AS v_duplicate_ids
+    FROM documents
+    """,
+    tags=("monitoring", "expectations"),
+)
+def monitor_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-expectation checks (dbt-test / Great-Expectations
+    shape): every rule is a conditional count folded into ONE aggregation
+    pass over the table — N rules cost one scan, not N. The only
+    non-codegen term is the duplicate-id check (count distinct), which
+    Spark runs as a partial+final expand — still a single job; at 100 TB
+    swap it for approx_count_distinct and alert on the delta."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("text").isNull() | (F.length("text") == 0)).alias(
+            "v_empty_text"
+        ),
+        flag(F.col("n_chars") <= 0).alias("v_nonpositive_chars"),
+        flag(~F.col("lang").isin("en", "de", "fr", "es", "zh")).alias(
+            "v_unknown_lang"
+        ),
+        flag(F.col("n_chars") != F.length("text")).alias("v_chars_mismatch"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias(
+            "v_duplicate_ids"
+        ),
+    )
