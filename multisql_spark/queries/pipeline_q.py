@@ -1485,3 +1485,47 @@ def monitor_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_duplicate_ids"
         ),
     )
+
+
+@register(
+    "sample_group_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split, source
+    """,
+    tags=("sampling", "split", "leakage"),
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the GROUP key (source
+    domain), not the document id, so every document of a group lands in
+    the same split — near-duplicates and templated pages from one domain
+    can never straddle train and test. The per-(split, source) summary
+    is the audit artifact: each source appears under exactly one split.
+
+    Same narrow-map/no-RNG discipline as `sample_hash_split`; the group
+    key hash is computed per row with no join against a group table."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = F.substring(F.md5(F.col("source")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

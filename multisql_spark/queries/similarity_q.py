@@ -541,3 +541,76 @@ def sim_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8, coarse_iters=2, m_sub=4, dim=DIM, n_codes=8,
         pq_iters=1, k=5,
     )
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM emb WHERE vec_id < 5),
+    bf AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q.q_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_COS.format(a="q.qv", b="c.v")} DESC, c.vec_id)
+                 AS rn
+        FROM q, emb c WHERE c.vec_id <> q.q_id
+      ) WHERE rn <= 5
+    ),
+    ann AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q.q_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_COS.format(a="q.qv", b="c.v")} DESC, c.vec_id)
+                 AS rn
+        FROM q JOIN emb c ON c.bucket = q.q_bucket
+        WHERE c.vec_id <> q.q_id
+      ) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT bf.q_id, COUNT(ann.cand_id) AS n_hits
+      FROM bf LEFT JOIN ann
+        ON ann.q_id = bf.q_id AND ann.cand_id = bf.cand_id
+      GROUP BY bf.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           n_hits,
+           round(n_hits / 5.0, 2) AS recall_at_5
+    FROM hits
+    """,
+    tags=("similarity", "ann", "evaluation"),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucket ANN against the exact brute-force
+    top-5 — the evaluation harness that justifies an ANN config before
+    it replaces exact search in a pipeline. Both sides are keyed joins;
+    the comparison itself is a join on (query, candidate) + one bounded
+    aggregation. At 100 TB you run this on a query SAMPLE (it is an
+    estimate of recall, not a per-corpus-row computation)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    bf = sim.brute_force_topk(
+        t["embeddings"], F.col("vec_id") < 5, k=5
+    ).select("q_id", "cand_id")
+    ann = sim.lsh_bucketed_topk(
+        t["embeddings"], F.col("vec_id") < 5, n_planes=N_PLANES, dim=DIM, k=5
+    ).select(F.col("q_id").alias("a_qid"), F.col("cand_id").alias("a_cid"))
+    return (
+        bf.join(
+            ann,
+            (F.col("q_id") == F.col("a_qid"))
+            & (F.col("cand_id") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("a_cid").alias("n_hits"))
+        .select(
+            F.col("q_id").cast("long"),
+            "n_hits",
+            F.round(F.col("n_hits") / 5.0, 2).alias("recall_at_5"),
+        )
+    )
