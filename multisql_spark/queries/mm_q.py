@@ -111,3 +111,45 @@ def mm_align_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logit"),
         )
     )
+
+
+@register(
+    "mm_content_dedup",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id,
+             unhex(md5(text) || md5('x' || text)) AS blob
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, md5(hex(blob)) AS content_key FROM assets
+    )
+    SELECT content_key,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM keyed
+    GROUP BY content_key
+    HAVING COUNT(*) > 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup for multimodal assets: hash the blob BYTES
+    (md5 over the hex encoding — the cross-engine contract), group, keep
+    the smallest id. The shuffle carries only (32-byte key, id) per
+    asset regardless of blob size, and the blob column itself is never
+    shuffled — the same discipline as document exact-dedup applied to
+    the binary column family."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    assets = mm.attach_blobs(t["documents"])
+    keyed = assets.select(
+        "doc_id", F.md5(F.hex("blob")).alias("content_key")
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1529,3 +1529,138 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "monitor_value_drift_ks",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(value) AS mn, max(value) AS mx FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    binned AS (
+      SELECT e.event_type,
+             LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 32.0))
+                   AS INT), 31) AS bin,
+             COUNT(*) AS n
+      FROM events e, bounds b
+      WHERE e.event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.bin
+      FROM (VALUES ('click'), ('view')) t(event_type)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS bin) g
+    ),
+    cdf AS (
+      SELECT g.event_type, g.bin,
+             SUM(COALESCE(b.n, 0)) OVER (
+               PARTITION BY g.event_type ORDER BY g.bin
+             ) * 1.0
+             / SUM(COALESCE(b.n, 0)) OVER (PARTITION BY g.event_type)
+               AS f
+      FROM grid g LEFT JOIN binned b
+        ON b.event_type = g.event_type AND b.bin = g.bin
+    )
+    SELECT 'click' AS type_a, 'view' AS type_b,
+           round(MAX(abs(a.f - v.f)), 6) AS ks_stat
+    FROM cdf a JOIN cdf v ON a.bin = v.bin
+    WHERE a.event_type = 'click' AND v.event_type = 'view'
+    """,
+    tags=("monitoring", "drift", "ks"),
+)
+def monitor_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and view
+    value distributions, computed on a 32-bin empirical CDF — the
+    distribution-drift alarm for pipeline monitoring.
+
+    Scale: raw events collapse map-side into ≤ 2×32 bin counts (constant
+    shuffle); the CDF windows and the final max run on that constant-size
+    grid. CDF ratios are integer-count divisions — deterministic across
+    engines — and only the final statistic is rounded."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].filter(F.col("event_type").isin("click", "view"))
+    bounds = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 32.0)
+        ).cast("int"),
+        F.lit(31),
+    )
+    binned = (
+        e.join(F.broadcast(bounds))
+        .groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        spark.createDataFrame([("click",), ("view",)], "event_type string")
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bin"))
+    )
+    cum_w = W.partitionBy("event_type").orderBy("bin")
+    tot_w = W.partitionBy("event_type")
+    cdf = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type", "bin",
+            (
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).over(cum_w) * 1.0
+                / F.sum(F.coalesce(F.col("n"), F.lit(0))).over(tot_w)
+            ).alias("f"),
+        )
+    )
+    a = cdf.filter(F.col("event_type") == "click").select(
+        "bin", F.col("f").alias("fa")
+    )
+    v = cdf.filter(F.col("event_type") == "view").select(
+        "bin", F.col("f").alias("fv")
+    )
+    return (
+        a.join(v, "bin")
+        .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fv"))), 6).alias("ks_stat"))
+        .select(
+            F.lit("click").alias("type_a"),
+            F.lit("view").alias("type_b"),
+            "ks_stat",
+        )
+    )
+
+
+@register(
+    "monitor_stale_entities",
+    oracle=f"""
+    WITH mx AS (SELECT max({_EPOCH}) AS now_s FROM events),
+    last_seen AS (
+      SELECT user_id, max({_EPOCH}) AS last_s FROM events GROUP BY user_id
+    )
+    SELECT l.user_id,
+           CAST(l.last_s AS BIGINT) AS last_seen_epoch,
+           CAST((m.now_s - l.last_s) // 3600 AS BIGINT) AS hours_stale
+    FROM last_seen l, mx m
+    WHERE l.last_s < m.now_s - 7200
+    """,
+    tags=("monitoring", "staleness"),
+)
+def monitor_stale_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection: entities whose last event is older than 2 hours
+    relative to the stream head — the heartbeat/liveness monitor. One
+    bounded per-user aggregation plus a broadcast 1-row max; output is
+    O(users), and at 100 TB the per-user max comes from the hourly
+    rollup, not raw events."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts_s = F.unix_timestamp("ts").cast("long")
+    mx = t["events"].agg(F.max(ts_s).alias("now_s"))
+    last_seen = t["events"].groupBy("user_id").agg(F.max(ts_s).alias("last_s"))
+    return (
+        last_seen.join(F.broadcast(mx))
+        .filter(F.col("last_s") < F.col("now_s") - 7200)
+        .select(
+            "user_id",
+            F.col("last_s").alias("last_seen_epoch"),
+            F.floor((F.col("now_s") - F.col("last_s")) / 3600)
+            .cast("long")
+            .alias("hours_stale"),
+        )
+    )
