@@ -603,3 +603,56 @@ def incremental_minhash_dedup(
             .alias("is_neardup"),
         )
     )
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected pair graph, in 1e-9
+    fixed-point integer arithmetic so every engine computes bit-identical
+    ranks (floating accumulation order never enters the result).
+
+    Per iteration: one keyed join (edge × rank) + one groupBy(v) —
+    shuffles carry (node, rank_q) longs only. ``iters`` is fixed (not
+    run-to-convergence) because centrality ordering stabilizes in a few
+    rounds on dense near-dup clusters; at 100 TB each round is a
+    self-contained shuffle pair and the edge list is checkpointed once.
+    Returns (node, degree, pr_q) with pr_q = rank × 1e9 as BIGINT.
+    """
+    edges = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()
+    base_q = F.lit(round((1.0 - damping) * 1e9 / n)).cast("long")
+    rank = deg.select(
+        F.col("u").alias("node"),
+        F.lit(round(1e9 / n)).cast("long").alias("rq"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.floor(F.col("rq") / F.col("d")).cast("long").alias("c"),
+            )
+        )
+        rank = contrib.groupBy("node").agg(
+            (
+                base_q
+                + F.round(F.lit(damping) * F.sum("c")).cast("long")
+            ).alias("rq")
+        )
+    return (
+        rank.join(deg.withColumnRenamed("u", "node"), "node")
+        .select("node", F.col("d").alias("degree"), F.col("rq").alias("pr_q"))
+    )

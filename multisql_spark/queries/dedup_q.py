@@ -640,3 +640,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_in_a.alias("b_in_a"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """SQL replay of the fixed-point PageRank: same 1e-9 integer units,
+    same floor-divided contributions, same per-iteration rounding — the
+    chained-CTE unrolling of the Spark loop."""
+    sql = f"""
+    WITH simpairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM simpairs WHERE est_sim >= 0.5
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT u AS node, CAST(round(1000000000.0 / nn.n) AS BIGINT) AS rq
+      FROM deg, nn
+    )"""
+    prev = "r0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    r{it} AS (
+      SELECT e.v AS node,
+             CAST(round({(1.0 - damping)} * 1000000000.0 / nn.n) AS BIGINT)
+             + CAST(round({damping} * SUM(r.rq // d.d)) AS BIGINT) AS rq
+      FROM edges e
+      JOIN {prev} r ON r.node = e.u
+      JOIN deg d ON d.u = e.u, nn
+      GROUP BY e.v, nn.n
+    )"""
+        prev = f"r{it}"
+    sql += f"""
+    SELECT CAST(r.node AS BIGINT) AS node,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(r.rq AS BIGINT) AS pr_q
+    FROM {prev} r JOIN deg d ON d.u = r.node
+    """
+    return sql
+
+
+@register(
+    "dedup_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("dedup", "graph", "pagerank", "iterative"),
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph (LSH pairs ≥ 0.5):
+    ranks the most-connected documents so cluster representatives can be
+    chosen by centrality instead of min-id. Three fixed iterations in
+    1e-9 fixed-point integer math — bit-identical across engines, proven
+    by the chained-CTE SQL replay. Each round is one keyed join + one
+    groupBy carrying (node, rank) longs only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+        F.col("est_sim") >= 0.5
+    )
+    return dedup.pagerank_fixed(pairs, iters=3, damping=0.85)
