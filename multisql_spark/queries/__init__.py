@@ -144,6 +144,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY) and return
     them with the driver-checked window fronted (see _DRIVER_WINDOW)."""
     from multisql_spark.queries import (  # noqa: F401
+        analytics_q,
         core,
         dedup_q,
         engine_q,
