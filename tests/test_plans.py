@@ -351,3 +351,58 @@ def test_wealthy_inactive_anti_join(spark):
     for m in _re.finditer(r"BroadcastNestedLoopJoin (\w+) \(?(\w+)", plan):
         assert "Anti" not in m.group(0)
     assert _re.search(r"(Broadcast|ShuffledHash|SortMerge)\w*Join LeftAnti", plan)
+
+
+def test_frame_windows_never_single_partition(spark):
+    """Both window passes in window_frame_stats partition by o_custkey —
+    the plan must contain no single-partition exchange or unpartitioned
+    window (the 100 TB failure mode for window queries)."""
+    plan = plans.formatted_plan(REGISTRY["window_frame_stats"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap-sessionization's two window passes and final groupBy all key on
+    user_id: Catalyst must reuse ONE hash exchange for the whole chain."""
+    import re
+
+    plan = plans.formatted_plan(
+        REGISTRY["events_sessionize_batch"].fn(spark, SF)
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_anomaly_mad_broadcasts_group_stats(spark):
+    """The per-type median/MAD tables (|event_type| rows) must broadcast
+    back onto the event stream — the raw events never shuffle for the
+    scoring joins."""
+    df = REGISTRY["events_anomaly_mad"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_quantized_topk_is_group_limit(spark):
+    """Quantized top-k must plan the per-query heap (WindowGroupLimit)
+    and broadcast the query set; the quantized corpus never shuffles
+    before scoring."""
+    plan = plans.formatted_plan(REGISTRY["sim_quantized_topk"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_per_group_cap_is_group_limit(spark):
+    plan = plans.formatted_plan(
+        REGISTRY["sample_per_group_cap"].fn(spark, SF)
+    )
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_small_qty_revenue_broadcasts(spark):
+    """Q17 decorrelation: the brand-part set and the per-part average
+    both broadcast; lineitem is scanned without a shuffle join."""
+    df = REGISTRY["tpch_small_qty_revenue"].fn(spark, SF)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
