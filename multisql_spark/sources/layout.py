@@ -152,3 +152,28 @@ def compact_dir(spark, path: str, n_files: int = 1) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     return len(glob.glob(os.path.join(path, "part-*")))
+
+
+def write_day_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", part_col: str = "p_day"
+) -> None:
+    """Write ``df`` as a hive-style date-partitioned parquet table.
+
+    The canonical 100 TB fact-table layout: one directory per day means
+    (a) static partition pruning — a ``WHERE p_day = X`` scan lists one
+    directory, not the table; (b) *dynamic* partition pruning — a join
+    whose other side is filtered broadcasts the surviving day set into
+    this table's partition filter at runtime (Spark's DPP), so only the
+    joined days are read; (c) retention/compaction operate per-directory.
+
+    Rows are hash-repartitioned on the day column before the write so
+    each day is produced by one task → one file per day, not
+    ``tasks × days`` small files.
+    """
+    out = df.withColumn(part_col, F.to_date(F.col(ts_col)))
+    (
+        out.repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

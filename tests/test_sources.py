@@ -348,3 +348,56 @@ def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path_factor
     n = compact_dir(spark, d, n_files=2)
     assert n == 2
     assert spark.read.parquet(d).count() == before
+
+
+def test_day_partitioned_layout_prunes(spark, sf_dir, tmp_path_factory):
+    """Hive-style day partitioning: a point-date predicate must resolve to
+    partition-directory pruning (PartitionFilters on p_day, one directory
+    listed), and a join against a filtered day dimension must attach a
+    runtime dynamicpruning subquery to the fact scan (Spark DPP)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from multisql_spark.plans import formatted_plan
+    from multisql_spark.sources.layout import write_day_partitioned
+
+    path = str(tmp_path_factory.mktemp("daypart") / "events")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    write_day_partitioned(events, path, ts_col="ts")
+
+    days = sorted(
+        d.split("=")[1]
+        for d in os.listdir(path)
+        if d.startswith("p_day=")
+    )
+    assert len(days) > 1  # the testdata spans multiple days
+    # one file per day directory (repartition-by-day write)
+    first = os.path.join(path, f"p_day={days[0]}")
+    assert len([f for f in os.listdir(first) if f.startswith("part-")]) == 1
+
+    fact = spark.read.parquet(path)
+
+    # (a) static pruning: the predicate lands in PartitionFilters, and the
+    # scan's partition count is 1 of N
+    point = fact.filter(F.col("p_day") == days[0])
+    plan = formatted_plan(point)
+    assert "PartitionFilters" in plan and "p_day" in plan
+    assert point.count() == events.filter(
+        F.to_date("ts") == days[0]
+    ).count()
+
+    # (b) dynamic partition pruning: join on the partition column with a
+    # selective filter on the dim side injects a runtime subquery filter
+    dim = spark.createDataFrame(
+        [(d, 1 if i == 0 else 0) for i, d in enumerate(days)],
+        "day string, keep int",
+    ).select(F.col("day").cast("date").alias("day"), "keep")
+    joined = fact.join(dim.filter(F.col("keep") == 1), fact.p_day == dim.day)
+    jplan = formatted_plan(joined)
+    assert "dynamicpruning" in jplan
+    assert joined.count() == point.count()
