@@ -416,3 +416,370 @@ def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_yearly")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity linear trend (regr_slope/regr_intercept over exact integer sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id,
+             {_EPOCH} - 1700000000 AS x,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             sum(x) AS sx, sum(yq) AS sy,
+             sum(x * x) AS sxx, sum(x * yq) AS sxy
+      FROM q GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n,
+      CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        THEN 0.0
+        ELSE round(
+          CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+               AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                 AS DOUBLE) / 1000000.0 * 3600.0, 6)
+      END AS slope_per_hour
+    FROM s WHERE n >= 3
+    """,
+    tags=("temporal", "regression", "features"),
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time (least-squares
+    slope, units per hour).
+
+    Drift-per-entity feature for behavior models.  The normal-equation
+    sums (Σx, Σy, Σxy, Σx²) accumulate as exact integers (value
+    quantized to 1e-6, time as epoch-second offsets), so the slope is a
+    single exact-rational division — bit-identical across engines and
+    partitionings, unlike a float covariance accumulation whose result
+    depends on summation order.  One groupBy(user_id); the wide products
+    go through DECIMAL(38,0) (DuckDB HUGEINT) to avoid BIGINT overflow."""
+    t = load_tables(spark, sf_dir, ["events"])
+    x = (F.unix_timestamp("ts").cast("long") - F.lit(1700000000)).alias("x")
+    yq = F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("yq")
+    q = t["events"].select("user_id", x, yq)
+    s = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sy").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    return (
+        s.filter(F.col("n") >= 3)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n",
+            F.when(den == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    num.cast("double")
+                    / den.cast("double")
+                    / 1000000.0
+                    * 3600.0,
+                    6,
+                )
+            )
+            .alias("slope_per_hour"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence drift (source × language contingency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_lang_chisq",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, sum(o) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT lang, sum(o) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM cell),
+    term AS (
+      SELECT cell.source,
+        CAST(floor(
+          (cell.o - rt.r * ct.c * 1.0 / tot.n)
+          * (cell.o - rt.r * ct.c * 1.0 / tot.n)
+          / (rt.r * ct.c * 1.0 / tot.n) * 1000000 + 0.5) AS BIGINT) AS tq
+      FROM cell, rt, ct, tot
+      WHERE cell.source = rt.source AND cell.lang = ct.lang
+    )
+    SELECT source, round(sum(tq) / 1000000.0, 4) AS chisq_contrib
+    FROM term GROUP BY source
+    """,
+    tags=("monitor", "drift", "chisq"),
+)
+def monitor_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square contribution against the corpus-wide
+    source⊥language independence hypothesis.
+
+    The classical contingency drift test, complementing the
+    total-variation monitor: a source whose language mix diverges from
+    the corpus shows a large Σ(O−E)²/E.  The contingency table
+    (|source|×|lang| cells) is one bounded aggregation; margins
+    broadcast back onto it; each cell's term is quantized to 1e-6
+    before the final integer sum so the statistic is addition-order
+    independent."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    cell = t["documents"].groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = cell.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    tq = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + 0.5
+    ).cast("long")
+    return (
+        cell.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select("source", tq.alias("tq"))
+        .groupBy("source")
+        .agg(F.round(F.sum("tq") / 1000000.0, 4).alias("chisq_contrib"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of each source's token distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_source_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    cnt AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY 1),
+    term AS (
+      SELECT cnt.source,
+        CAST(floor(-(c * 1.0 / t) * ln(c * 1.0 / t) * 1000000 + 0.5)
+             AS BIGINT) AS hq
+      FROM cnt JOIN tot ON cnt.source = tot.source
+    )
+    SELECT source, round(sum(hq) / 1000000.0, 4) AS entropy_nats
+    FROM term GROUP BY source
+    """,
+    tags=("monitor", "entropy", "text"),
+)
+def monitor_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution — a
+    one-number health metric: collapsed/templated sources score low,
+    natural text high.
+
+    Token counts are one explode + groupBy (the same shuffle shape as
+    the vocabulary build); per-source totals broadcast back; each
+    −p·ln p term is quantized to 1e-6 before the integer sum, making the
+    entropy independent of float addition order at any partitioning."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "source", F.explode(F.split("text", " ")).alias("tk")
+    )
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    hq = F.floor(-p * F.log(p) * 1000000 + 0.5).cast("long")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .select("source", hq.alias("hq"))
+        .groupBy("source")
+        .agg(F.round(F.sum("hq") / 1000000.0, 4).alias("entropy_nats"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly latency-style percentile bands (P50/P95/P99 per hour × type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_percentile_bands_hourly",
+    oracle=f"""
+    SELECT ({_EPOCH} // 3600) * 3600 AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "percentiles", "observability"),
+)
+def events_percentile_bands_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """P50/P95/P99 value bands per hour × event type — the SLO/latency
+    rollup shape.
+
+    One groupBy on (hour, type); Spark's exact ``percentile`` with a
+    probability array computes all three bands in a single aggregation
+    buffer (one pass, one shuffle).  Exact percentiles hold to the
+    hourly grain because each group is bounded (one hour of one type);
+    the all-time variant at 100 TB is ``approx_percentile`` — the same
+    swap documented for the MAD screen."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("hour_start")
+    g = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("pct"),
+    )
+    return g.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round(F.col("pct")[0], 6).alias("p50"),
+        F.round(F.col("pct")[1], 6).alias("p95"),
+        F.round(F.col("pct")[2], 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (market-basket over per-user histories)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           round(n_ab * 1.0 * nu / (ta.c * tb.c), 6) AS lift
+    FROM pair, n_users
+    JOIN tc ta ON ta.event_type = type_a
+    JOIN tc tb ON tb.event_type = type_b
+    """,
+    tags=("cooccurrence", "basket"),
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift over per-user histories
+    (market-basket association strength).
+
+    The (user, type) distinct set shuffles once; the pair self-join is
+    keyed on user_id (bounded by types-per-user², with |types| tiny) —
+    never an all-pairs product over users.  Type marginals and the user
+    count broadcast onto the pair counts; lift = P(ab)/(P(a)P(b)) as an
+    exact integer ratio rounded at 1e-6."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ut = t["events"].select("user_id", "event_type").distinct()
+    nu = ut.select("user_id").distinct().count()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    tb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(float(nu)) / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) into fixed-width count vectors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_feature_hashing",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(event_type ||
+               json_extract_string(props, '$.k')), 1, 8)) AS BIGINT)
+               % 16 AS bucket
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(bucket AS INT) AS bucket,
+           COUNT(*) AS cnt
+    FROM f GROUP BY 1, 2
+    """,
+    tags=("features", "hashing"),
+)
+def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical (event_type, props.k) features
+    hashed into a fixed 16-bucket count vector per user.
+
+    Unbounded-vocabulary categorical features become fixed-width
+    vectors with no dictionary build, no second pass, and no driver
+    state — md5 is the shared deterministic hash (same bytes on both
+    engines).  One groupBy(user_id, bucket); emitted long-form (one row
+    per non-zero bucket), the sparse layout that survives 100 TB."""
+    t = load_tables(spark, sf_dir, ["events"])
+    feat = F.concat(
+        F.col("event_type"), F.get_json_object("props", "$.k")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long") % 16
+    ).cast("int")
+    return (
+        t["events"]
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
