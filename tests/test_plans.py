@@ -406,3 +406,45 @@ def test_small_qty_revenue_broadcasts(spark):
     df = REGISTRY["tpch_small_qty_revenue"].fn(spark, SF)
     assert plans.uses_broadcast_join(df)
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_value_trend_is_partial_aggregable(spark):
+    """The normal-equation sums must partial-aggregate (map-side combine)
+    before the exchange — one shuffle of per-partition sums only."""
+    import re
+
+    plan = plans.formatted_plan(REGISTRY["events_value_trend"].fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_chisq_and_entropy_broadcast_margins(spark):
+    """Contingency margins / per-source totals must broadcast back onto
+    the cell/count tables — the distributions never reshuffle."""
+    assert plans.uses_broadcast_join(
+        REGISTRY["monitor_lang_chisq"].fn(spark, SF)
+    )
+    assert plans.uses_broadcast_join(
+        REGISTRY["monitor_source_entropy"].fn(spark, SF)
+    )
+
+
+def test_cooccurrence_pair_join_is_keyed(spark):
+    """The pair self-join must be an equi-join on user_id (plus the
+    type inequality as residual) — never a cartesian product."""
+    plan = plans.formatted_plan(
+        REGISTRY["events_cooccurrence_lift"].fn(spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_percentile_bands_single_aggregation(spark):
+    """All three bands must come from ONE aggregation pass (a single
+    percentile buffer), not three separate shuffles."""
+    import re
+
+    plan = plans.formatted_plan(
+        REGISTRY["events_percentile_bands_hourly"].fn(spark, SF)
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
