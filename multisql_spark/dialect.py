@@ -1166,6 +1166,70 @@ def _strip_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+_QUALIFY_TAIL_KWS = {"ORDER", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+                     "INTERSECT"}
+
+
+def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Rewrite a top-level ``QUALIFY <pred>`` (window-filter sugar, as in
+    DuckDB/BigQuery/Snowflake — Spark has no QUALIFY) into a nested
+    select:
+
+        SELECT <items> FROM ... QUALIFY <pred> [ORDER/LIMIT ...]
+        →
+        SELECT * EXCEPT (__qualify) FROM (
+          SELECT <items>, (<pred>) AS __qualify FROM ...
+        ) __qualify_sub WHERE __qualify [ORDER/LIMIT ...]
+
+    Window functions are legal in the inner select list, and Spark's
+    lateral column aliases (3.4+) let the predicate reference sibling
+    select-item aliases (``QUALIFY rn = 1``).  Depth-0 only; the tail
+    ORDER BY/LIMIT stays on the outer query so it orders the filtered
+    rows."""
+    depth = 0
+    qidx = from_idx = None
+    for i, (kind, text) in enumerate(tokens):
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident":
+            up = text.upper()
+            if up == "FROM" and from_idx is None:
+                from_idx = i
+            elif up == "QUALIFY":
+                qidx = i
+                break
+    if qidx is None or from_idx is None or from_idx > qidx:
+        return tokens
+    # predicate runs to the first depth-0 tail keyword (or end)
+    pend = len(tokens)
+    depth = 0
+    for i in range(qidx + 1, len(tokens)):
+        kind, text = tokens[i]
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "ident" \
+                and text.upper() in _QUALIFY_TAIL_KWS:
+            pend = i
+            break
+    pred = tokens[qidx + 1:pend]
+    inner = (
+        tokens[:from_idx]
+        + [("op", ","), ("op", "(")]
+        + pred
+        + [("op", ")"), ("ident", "AS"), ("ident", "__qualify")]
+        + tokens[from_idx:qidx]
+    )
+    out = tokenize("SELECT * EXCEPT (__qualify) FROM (")
+    out += inner
+    out += tokenize(") __qualify_sub WHERE __qualify")
+    out += tokens[pend:]
+    return out
+
+
 def rewrite(
     sql: str,
     variables: dict[str, str] | None = None,
@@ -1175,6 +1239,7 @@ def rewrite(
     """Rewrite a MultiSQL-dialect query into Spark SQL."""
     tokens = tokenize(sql)
     tokens = _strip_top(tokens)
+    tokens = _rewrite_qualify(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
     tokens = _rewrite_cast_timestamp(tokens)

@@ -519,3 +519,33 @@ def test_materialized_view_refresh_cycle(glue):
     glue.execute("DROP MATERIALIZED VIEW mv_sum")
     with pytest.raises(TableNotFoundError):
         glue.execute("REFRESH MATERIALIZED VIEW mv_sum")
+
+
+def test_qualify_window_filter(glue):
+    """QUALIFY (DuckDB/BigQuery-style window-filter sugar) rewrites into
+    a nested windowed select; predicates may reference select-item
+    aliases or inline window functions, and tail ORDER/LIMIT applies to
+    the filtered rows."""
+    glue.execute("CREATE TABLE Ql (grp INTEGER NULL, v INTEGER NULL)")
+    glue.execute(
+        "INSERT INTO Ql VALUES (1, 10), (1, 20), (2, 5), (2, 7), (2, 3)"
+    )
+    assert sorted(
+        glue.execute(
+            "SELECT grp, v, ROW_NUMBER() OVER "
+            "(PARTITION BY grp ORDER BY v DESC) AS rn "
+            "FROM Ql QUALIFY rn = 1"
+        ).rows
+    ) == [(1, 20, 1), (2, 7, 1)]
+    assert sorted(
+        glue.execute(
+            "SELECT grp, v FROM Ql QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY grp ORDER BY v DESC) <= 2 "
+            "ORDER BY grp, v LIMIT 3"
+        ).rows
+    ) == [(1, 10), (1, 20), (2, 5)]
+    assert glue.execute(
+        "SELECT grp, SUM(v) AS s FROM Ql GROUP BY grp "
+        "QUALIFY RANK() OVER (ORDER BY SUM(v) DESC) = 1"
+    ).rows == [(1, 30)]
+    glue.execute("DROP TABLE Ql")
