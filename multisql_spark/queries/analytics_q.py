@@ -783,3 +783,115 @@ def pipeline_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (SCD type-1): last-writer-wins snapshot from a changelog
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+      SELECT CAST(user_id AS BIGINT) AS k,
+             {_EPOCH} AS seq_ts, event_id AS seq_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY {_EPOCH} DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT k AS user_id, value AS last_value, seq_ts AS last_ts_sec,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM log WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("cdc", "scd1", "lakehouse"),
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → SCD-type-1 snapshot: last-writer-wins per key,
+    with deletes ('error' rows) tombstoning the key.
+
+    The Delta/iceberg change-data-feed apply shape built from plain
+    window algebra: one shuffle on the key, row_number over the total
+    (seq_ts, seq_id) change order, keep rn=1 unless it's a delete.
+    WindowGroupLimit turns rn=1 into a per-partition heap — only each
+    key's candidate head moves through the final stages."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    log = t["events"].select(
+        F.col("user_id").cast("long").alias("k"),
+        ts.alias("seq_ts"),
+        F.col("event_id").alias("seq_id"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    w = W.partitionBy("k").orderBy(F.desc("seq_ts"), F.desc("seq_id"))
+    snap = (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes", F.count(F.lit(1)).over(W.partitionBy("k"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+    )
+    return snap.select(
+        F.col("k").alias("user_id"),
+        F.col("value").alias("last_value"),
+        F.col("seq_ts").alias("last_ts_sec"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build (validity intervals from a changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_scd2_history",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_id,
+           value,
+           {_EPOCH} AS valid_from,
+           coalesce(lead({_EPOCH}) OVER (
+             PARTITION BY user_id ORDER BY {_EPOCH}, event_id),
+             32503680000) AS valid_to,
+           CASE WHEN lead({_EPOCH}) OVER (
+             PARTITION BY user_id ORDER BY {_EPOCH}, event_id) IS NULL
+           THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("cdc", "scd2", "lakehouse"),
+)
+def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: every change becomes a
+    [valid_from, valid_to) version row; the open version carries the
+    far-future sentinel and is_current=1.
+
+    One window pass per key (lead over the change order) — the
+    warehouse history-table build, no joins.  Filter pushdown sends the
+    event_type predicate to the scan."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    e = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        "value",
+        ts.alias("valid_from"),
+    )
+    w = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "valid_from",
+        F.coalesce(nxt, F.lit(32503680000)).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -299,3 +299,29 @@ def stream_rollup_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (shared oracle shape with `events_rollup_hourly`)."""
     load_tables(spark, sf_dir, ["events"])
     return streaming.stream_rollup_to_table(spark, sf_dir, minutes=60)
+
+
+@register(
+    "stream_upsert_sink",
+    oracle=f"""
+    SELECT user_id, last_ts_sec, last_event_id, last_value, last_type
+    FROM (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             {_EPOCH} AS last_ts_sec,
+             event_id AS last_event_id,
+             value AS last_value,
+             event_type AS last_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY {_EPOCH} DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "sink", "upsert", "cdc"),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-upsert sink: per-user latest state merged into a
+    parquet table by ``foreachBatch`` (update mode — only changed keys
+    flow), hash-matched against the batch last-writer-wins snapshot."""
+    load_tables(spark, sf_dir, ["events"])
+    return streaming.stream_upsert_to_table(spark, sf_dir)

