@@ -895,3 +895,68 @@ def pipeline_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(32503680000)).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-aggregate maintenance (merge == recompute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "matview_incremental_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("matview", "incremental"),
+)
+def matview_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: the standing rollup state
+    (events up to a watermark id) merged with the new batch's delta
+    aggregation must equal a from-scratch recompute — which is exactly
+    what the oracle computes.
+
+    COUNT/SUM/MIN/MAX are algebraic (mergeable) aggregates, so the
+    refresh costs O(delta + |state|), never O(history): the delta
+    map-side combines into per-type partials, and the state merge is
+    one keyed outer join over the tiny group set (operators/
+    incremental.py)."""
+    from multisql_spark.operators.incremental import (
+        aggregate_state,
+        merge_agg_state,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+    aggs = {
+        "n": ("count", F.lit(1)),
+        "total_value": ("sum", F.col("value_dec")),
+        "min_value": ("min", F.col("value")),
+        "max_value": ("max", F.col("value")),
+    }
+    split = 600  # standing state vs newly-arrived delta
+    state = aggregate_state(
+        e.filter(F.col("event_id") < split), ["event_type"], aggs
+    )
+    delta = aggregate_state(
+        e.filter(F.col("event_id") >= split), ["event_type"], aggs
+    )
+    merged = merge_agg_state(state, delta, ["event_type"], aggs)
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

@@ -177,3 +177,63 @@ def write_day_partitioned(
         .partitionBy(part_col)
         .parquet(path)
     )
+
+
+# -- snapshot versioning (time travel) --------------------------------------
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot version of ``df`` under ``path``.
+
+    Minimal time-travel layout (the Delta/Iceberg snapshot idea without
+    a manifest format): each write lands in ``path/v=<K>`` with K one
+    past the latest; readers resolve a version directory, so old
+    versions stay readable until vacuumed, writers never mutate a
+    published version, and concurrent readers are isolated for free.
+    Returns the new version number.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    version = max(snapshot_versions(path), default=-1) + 1
+    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+    return version
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All published snapshot versions under ``path``, ascending."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=")[1].isdigit()
+    )
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot table as of ``version`` (default: latest)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    return spark.read.parquet(f"{path}/v={version}")
+
+
+def vacuum_snapshots(path: str, keep: int = 1) -> list[int]:
+    """Drop all but the newest ``keep`` versions; returns those removed.
+    The retention knob that bounds storage: at 100 TB each snapshot only
+    costs the *changed* files if writers use per-partition snapshotting,
+    but time travel still needs an explicit horizon."""
+    import shutil
+
+    versions = snapshot_versions(path)
+    doomed = versions[:-keep] if keep > 0 else versions
+    for v in doomed:
+        shutil.rmtree(f"{path}/v={v}", ignore_errors=True)
+    return doomed

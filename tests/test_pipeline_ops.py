@@ -454,3 +454,67 @@ def test_outlier_flags_rate_is_small(spark, sf_dir):
     for t, lst in by_type.items():
         n_out = sum(1 for r in lst if r["is_outlier"])
         assert n_out / len(lst) < 0.05, t
+
+
+def test_incremental_merge_equals_recompute(spark, sf_dir):
+    """merge(agg(old), agg(delta)) must be bit-identical to agg(full) for
+    every mergeable aggregate, including keys present on one side only."""
+    from pyspark.sql import functions as F
+
+    from multisql_spark.operators.incremental import (
+        aggregate_state,
+        merge_agg_state,
+    )
+    from multisql_spark.tables import load_tables
+
+    e = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    aggs = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", F.col("v")),
+        "mn": ("min", F.col("v")),
+        "mx": ("max", F.col("v")),
+    }
+    # split so some types exist only in the delta ('error' arrives late)
+    old = e.filter((F.col("event_id") < 500) & (F.col("event_type") != "error"))
+    delta = e.filter((F.col("event_id") >= 500) | (F.col("event_type") == "error"))
+    merged = merge_agg_state(
+        aggregate_state(old, ["event_type"], aggs),
+        aggregate_state(delta, ["event_type"], aggs),
+        ["event_type"],
+        aggs,
+    )
+    full = aggregate_state(e, ["event_type"], aggs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_snapshot_time_travel(spark, sf_dir, tmp_path_factory):
+    """Snapshot versions are immutable and independently readable; vacuum
+    drops only the configured horizon."""
+    import pytest
+
+    from multisql_spark.sources.layout import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+    from multisql_spark.tables import load_tables
+
+    path = str(tmp_path_factory.mktemp("snap") / "nation")
+    n = load_tables(spark, sf_dir, ["nation"])["nation"]
+    assert write_snapshot(n, path) == 0
+    assert write_snapshot(n.limit(3), path) == 1
+    assert write_snapshot(n.limit(1), path) == 2
+    assert snapshot_versions(path) == [0, 1, 2]
+    assert read_snapshot(spark, path, 0).count() == n.count()
+    assert read_snapshot(spark, path, 1).count() == 3
+    assert read_snapshot(spark, path).count() == 1  # latest
+    assert vacuum_snapshots(path, keep=2) == [0]
+    assert snapshot_versions(path) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 0)
