@@ -960,3 +960,138 @@ def matview_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / WAU) via contribution explode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+             {_EPOCH} // 86400 AS day
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS wday
+      FROM ud
+    ),
+    wau AS (
+      SELECT wday AS day, COUNT(*) AS wau FROM contrib GROUP BY wday
+    )
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    JOIN bounds ON dau.day BETWEEN bounds.lo AND bounds.hi
+    """,
+    tags=("temporal", "active-users"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day (the product-analytics
+    headline metric pair; MAU is the same shape with a 30-day fan-out).
+
+    Rolling *distinct* counts can't merge across windows, so the
+    scale-standard trick is contribution fan-out: each (user, active
+    day) pair contributes to 7 target days, and WAU(d) is a plain
+    distinct count per target day.  Cost is O(7·|user-days|) rows into
+    one distinct + one count — no per-day re-scan, no giant window
+    state.  At extreme scale the distinct swaps to per-day HLL sketches
+    merged across the window (`approx_sketches`)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ud = (
+        t["events"]
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            (F.unix_timestamp("ts").cast("long") / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .select(F.col("day").cast("long").alias("day"), "dau", "wau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending event types: hour-over-hour delta ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_trending_types",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS hour_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT hour_start, event_type, n,
+             n - coalesce(lag(n) OVER (
+               PARTITION BY event_type ORDER BY hour_start), 0) AS dlt
+      FROM hourly
+    )
+    SELECT hour_start, event_type, n, dlt FROM (
+      SELECT hour_start, event_type, n, dlt,
+             row_number() OVER (
+               PARTITION BY hour_start
+               ORDER BY dlt DESC, event_type) AS rk
+      FROM delta
+    ) WHERE rk <= 3
+    """,
+    tags=("temporal", "trending"),
+)
+def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per hour by hour-over-hour count
+    delta — the feed-ranking / alerting shape.
+
+    Runs entirely on the bounded hourly rollup (hours × types rows),
+    so after the one rollup aggregation every window/tie-break is
+    near-free; the per-hour top-3 plans as WindowGroupLimit."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("hour_start")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lagw = W.partitionBy("event_type").orderBy("hour_start")
+    delta = hourly.withColumn(
+        "dlt",
+        F.col("n") - F.coalesce(F.lag("n").over(lagw), F.lit(0)),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("hour_start").orderBy(
+            F.desc("dlt"), F.asc("event_type")
+        )
+    )
+    return (
+        delta.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("hour_start", "event_type", "n", "dlt")
+    )
