@@ -1095,3 +1095,208 @@ def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("hour_start", "event_type", "n", "dlt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor: per-label centroid shift vs corpus centroid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_embedding_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    lc AS (
+      SELECT label, dim,
+             CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY label, dim
+    ),
+    gc AS (
+      SELECT dim,
+             CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY dim
+    )
+    SELECT lc.label,
+           CAST(max(lc.n) AS BIGINT) AS n,
+           round(sum(CAST(floor(
+             (lc.s / lc.n - gc.s / gc.n) * (lc.s / lc.n - gc.s / gc.n)
+             * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0, 6)
+             AS centroid_shift2
+    FROM lc JOIN gc ON lc.dim = gc.dim
+    GROUP BY lc.label
+    """,
+    tags=("monitor", "embeddings", "drift"),
+)
+def monitor_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: squared L2 shift of each label's centroid
+    from the corpus centroid — the embedding analogue of the language
+    TV-distance monitor (a collapsed or shifted slice shows up as a
+    large centroid displacement).
+
+    Centroid numerators accumulate as exact DECIMAL(18,9) sums per
+    (label, dim) — one posexplode + partial-aggregated groupBy, the
+    vectors themselves never re-shuffle.  Per-dim squared differences
+    quantize to 1e-9 integers before the final sum, so the statistic is
+    addition-order-free.  The global centroid (64 rows) broadcasts."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    comp = t["embeddings"].select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding")).alias("dim", "vf"),
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    lc = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("decimal(18,9)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gc = comp.groupBy("dim").agg(
+        F.sum(F.col("v").cast("decimal(18,9)")).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    d = F.col("s") / F.col("n") - F.col("gs") / F.col("gn")
+    term = F.floor(d * d * 1000000000 + 0.5).cast("long")
+    return (
+        lc.join(F.broadcast(gc), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.sum(term) / 1000000000.0, 6).alias(
+                "centroid_shift2"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-agreement evaluation (classifier eval on the int8 path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_knn_label_eval",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+               ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INT) END) AS qv
+      FROM emb
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS true_label, qv AS qq
+           FROM q8 WHERE vec_id < 20),
+    scored AS (
+      SELECT q_id, true_label, c.label AS cand_label,
+             c.vec_id AS cand_id,
+             CAST(list_sum(list_transform(range(1, len(qq) + 1),
+               i -> qq[i] * c.qv[i])) AS BIGINT) AS qdot
+      FROM qs, q8 c WHERE c.vec_id <> q_id
+    ),
+    topk AS (
+      SELECT q_id, true_label, cand_label FROM (
+        SELECT q_id, true_label, cand_label,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY qdot DESC, cand_id) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    votes AS (
+      SELECT q_id, true_label, cand_label, COUNT(*) AS votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT q_id, true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           votes,
+           CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+      SELECT q_id, true_label, cand_label AS pred_label, votes,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY votes DESC, cand_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=("similarity", "knn", "eval"),
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation: majority label among the int8 top-10
+    neighbors vs the query's true label (vec_id < 20 query sample).
+
+    The label-agreement harness that qualifies an embedding space for
+    similarity-based curation: low kNN accuracy means clusters don't
+    respect labels.  Runs entirely on the quantized integer path, so
+    neighbor sets — and therefore the verdict — are bit-stable across
+    engines and partitionings.  Same broadcast/WindowGroupLimit shape
+    as `sim_quantized_topk`; the majority vote is a tiny per-query
+    aggregation with a deterministic (votes DESC, label) tie-break."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x))
+        ).alias("mx"),
+    )
+    q8 = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+                F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int")
+            ),
+        ).alias("qv"),
+    )
+    qs = q8.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qq"),
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("cand_label"),
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("cand_id"))
+    )
+    topk = scored.withColumn("rk", rk).filter(F.col("rk") <= 10)
+    votes = topk.groupBy("q_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vr = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("cand_label"))
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("cand_label").cast("long").alias("pred_label"),
+            "votes",
+            F.when(F.col("cand_label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+    )
