@@ -1,6 +1,8 @@
 """Storage-conformance matrix: the SAME smoke content runs against every
-backend (reference tests/databases/{memory,sled,csv,sheet}.rs — identical
-test body per backend; SURVEY §5).
+backend — identical test body per backend, mirroring the reference's
+registry in tests/databases/memory.rs, tests/databases/sled.rs,
+tests/databases/csv.rs, tests/databases/sheet.rs (each submits the
+shared suite with a per-backend exception list; SURVEY §5).
 
 Backends here: managed temp-view (= memory), parquet directory (= sled,
 the native store), CSV file, JSON-lines file, XLSX workbook. Each gets

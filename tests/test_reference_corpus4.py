@@ -390,6 +390,13 @@ def test_index_create_corpus(glue):
 
 
 def test_values_set_operations(glue):
+    """Ported from:
+    tests/functionality/statement/data_query/set_operation/union.rs
+    tests/functionality/statement/data_query/set_operation/except.rs
+    tests/functionality/statement/data_query/set_operation/intersect.rs
+    — VALUES operands on both sides of every set operator, with
+    unnamed_{i} labels intact (intended-distinct semantics, not the
+    reference's adjacent-dedup; DIVERGENCES)."""
     # union.rs: VALUES as both operands, unnamed_{i} labels survive
     out = glue.execute(
         "VALUES ('Test', 1), ('Test2', 2) UNION VALUES ('Test3', 3)"

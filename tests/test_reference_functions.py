@@ -195,6 +195,7 @@ def test_convert(glue):
 
 
 def test_func_timestamp(glue):
+    # tests/query/function/func_timestamp.rs
     assert one(
         glue,
         "VALUES (CONVERT('TEXT', DATEFROMPARTS(2001,2,3), '%Y-%m-%d'))",
