@@ -549,3 +549,33 @@ def test_qualify_window_filter(glue):
         "QUALIFY RANK() OVER (ORDER BY SUM(v) DESC) = 1"
     ).rows == [(1, 30)]
     glue.execute("DROP TABLE Ql")
+
+
+def test_recursive_cte(glue):
+    """WITH RECURSIVE passes through the dialect to Spark 4's native
+    recursive-CTE execution (beyond reference — the reference has plain
+    CTEs only, tests/query/with.rs).  Bounded recursion: series
+    generation and a DAG hierarchy rollup.  (Cycle-safe UNION recursion
+    is not yet in Spark; cyclic graphs use the iterative semi-naive
+    loop in operators/dedup.py::connected_components instead.)"""
+    rows = glue.execute(
+        "WITH RECURSIVE r (n) AS ("
+        " SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 5"
+        ") SELECT n FROM r ORDER BY n"
+    ).rows
+    assert rows == [(1,), (2,), (3,), (4,), (5,)]
+
+    glue.execute("CREATE TABLE OrgR (id INTEGER, mgr INTEGER NULL)")
+    glue.execute(
+        "INSERT INTO OrgR VALUES (1, NULL), (2, 1), (3, 1), (4, 2), (5, 2)"
+    )
+    rows = glue.execute(
+        "WITH RECURSIVE chain (id, depth) AS ("
+        " SELECT id, 0 FROM OrgR WHERE mgr IS NULL"
+        " UNION ALL"
+        " SELECT o.id, c.depth + 1 FROM OrgR o JOIN chain c ON o.mgr = c.id"
+        ") SELECT depth, COUNT(*) AS n FROM chain GROUP BY depth"
+        " ORDER BY depth"
+    ).rows
+    assert rows == [(0, 1), (1, 2), (2, 2)]
+    glue.execute("DROP TABLE OrgR")
