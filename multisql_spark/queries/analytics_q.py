@@ -1300,3 +1300,119 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: hash assignment + Welch z from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_ab_experiment",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS arm,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, arm, COUNT(*) AS n,
+             sum(CAST(yq AS HUGEINT)) AS sy,
+             sum(CAST(yq AS HUGEINT) * yq) AS syy
+      FROM assigned GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.sy AS DOUBLE) / a.n / 1000000.0 AS mean_a,
+             CAST(b.sy AS DOUBLE) / b.n / 1000000.0 AS mean_b,
+             (CAST(a.syy AS DOUBLE)
+              - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE) / a.n)
+               / (a.n - 1) / 1000000000000.0 AS var_a,
+             (CAST(b.syy AS DOUBLE)
+              - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE) / b.n)
+               / (b.n - 1) / 1000000000000.0 AS var_b
+      FROM m a JOIN m b
+        ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a,
+           round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS welch_z
+    FROM w
+    """,
+    tags=("monitor", "experiment", "ab"),
+)
+def monitor_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    two arms, per-metric Welch z-statistic between arms.
+
+    The experimentation primitive on the training-pipeline's own
+    idioms: assignment is md5-parity (stable across reruns and joins —
+    no assignment table to keep consistent), and each arm's mean and
+    variance come from exact quantized integer moment sums
+    (DECIMAL(38,0)/HUGEINT) — one aggregation over the metric stream,
+    then a tiny arm×metric join.  The z arithmetic happens on ≤|metrics|
+    rows of exact sums, so the statistic is bit-stable at any
+    parallelism."""
+    t = load_tables(spark, sf_dir, ["events"])
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    yq = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    assigned = t["events"].select(
+        "event_type", arm.alias("arm"), yq.alias("yq")
+    )
+    m = assigned.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("yq").cast(dec)).alias("sy"),
+        F.sum(F.col("yq").cast(dec) * F.col("yq")).alias("syy"),
+    )
+    a = m.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sy").alias("sy_a"),
+        F.col("syy").alias("syy_a"),
+    )
+    b = m.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sy").alias("sy_b"),
+        F.col("syy").alias("syy_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("sy_a").cast("double") / F.col("n_a") / 1000000.0
+    mean_b = F.col("sy_b").cast("double") / F.col("n_b") / 1000000.0
+    var_a = (
+        F.col("syy_a").cast("double")
+        - F.col("sy_a").cast("double")
+        * F.col("sy_a").cast("double")
+        / F.col("n_a")
+    ) / (F.col("n_a") - 1) / 1.0e12
+    var_b = (
+        F.col("syy_b").cast("double")
+        - F.col("sy_b").cast("double")
+        * F.col("sy_b").cast("double")
+        / F.col("n_b")
+    ) / (F.col("n_b") - 1) / 1.0e12
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        ).alias("welch_z"),
+    )
