@@ -1416,3 +1416,218 @@ def monitor_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset version diff (added / removed / changed by key + row hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN md5(text || '!') ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT
+      CASE
+        WHEN v1.doc_id IS NULL THEN 'added'
+        WHEN v2.doc_id IS NULL THEN 'removed'
+        WHEN v1.h <> v2.h THEN 'changed'
+        ELSE 'unchanged'
+      END AS change,
+      COUNT(*) AS n,
+      min(coalesce(v1.doc_id, v2.doc_id)) AS sample_id
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+    tags=("versioning", "diff"),
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two dataset versions by key + row hash: added / removed /
+    changed / unchanged counts with a sample key each.
+
+    The audit companion to `write_snapshot` time travel: comparing two
+    snapshots costs one keyed full-outer join of (key, md5(row))
+    digests — rows themselves never move, only 2-column digests
+    shuffle; at 100 TB both sides prune to key+hash at the scan.  The
+    two versions here are deterministic filter/perturbation views of
+    `documents` so the oracle reproduces them exactly."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    v2 = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("!"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    a = v1.select(
+        F.col("doc_id").alias("id1"), F.col("h").alias("h1")
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id2"), F.col("h").alias("h2")
+    )
+    j = a.join(b, a.id1 == b.id2, "full_outer")
+    change = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change.alias("change"),
+            F.coalesce(F.col("id1"), F.col("id2")).alias("k"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("sample_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (weekday × hour activity matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality_profile",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+           CAST({_EPOCH} // 3600 % 24 AS INT) AS hour_of_day,
+           COUNT(*) AS n,
+           round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                 / COUNT(*) / 1000000.0, 6) AS mean_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "seasonality"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day activity/value profile — the seasonality
+    matrix behind load forecasting and anomaly baselines.
+
+    One bounded aggregation (≤168 cells) with quantized-integer value
+    sums; at any scale this is a single map-side-combinable pass."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        % 24
+    ).cast("int")
+    yq = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    return (
+        t["events"]
+        .select(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            hour.alias("hour_of_day"),
+            yq.alias("yq"),
+        )
+        .groupBy("dow", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("yq") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartile scores)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT))
+               AS last_ts,
+             COUNT(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(freq, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med,
+             quantile_cont(last_ts, 0.5) AS r_med
+      FROM base
+    )
+    SELECT
+      CASE WHEN last_ts > r_med THEN 'recent' ELSE 'stale' END AS recency,
+      CASE WHEN freq > f_med THEN 'frequent' ELSE 'rare' END AS frequency,
+      CASE WHEN monetary > m_med THEN 'big' ELSE 'small' END AS monetary,
+      COUNT(*) AS n_customers,
+      CAST(round(sum(CAST(monetary AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS segment_revenue
+    FROM base, cuts
+    GROUP BY 1, 2, 3
+    """,
+    tags=("rfm", "segmentation"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers bucketed by median splits on
+    recency / frequency / monetary, with per-segment revenue.
+
+    The classical marketing-analytics rollup, scale-shaped: one
+    groupBy(customer) builds the per-customer base; the three split
+    points are ONE exact-percentile aggregation over that bounded base
+    (approx_percentile at extreme scale), broadcast back as a 1-row
+    cross join; segment assignment is then pure codegen comparison."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = t["orders"].groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate").cast("long")).alias(
+            "last_ts"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    cuts = base.agg(
+        F.expr("percentile(freq, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+        F.expr("percentile(last_ts, 0.5)").alias("r_med"),
+    )
+    j = base.crossJoin(F.broadcast(cuts))
+    return (
+        j.select(
+            F.when(F.col("last_ts") > F.col("r_med"), "recent")
+            .otherwise("stale")
+            .alias("recency"),
+            F.when(F.col("freq") > F.col("f_med"), "frequent")
+            .otherwise("rare")
+            .alias("frequency"),
+            F.when(F.col("monetary") > F.col("m_med"), "big")
+            .otherwise("small")
+            .alias("monetary_band"),
+            "monetary",
+        )
+        .groupBy(
+            "recency",
+            F.col("frequency"),
+            F.col("monetary_band").alias("monetary"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("monetary").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+    )
