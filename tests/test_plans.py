@@ -448,3 +448,57 @@ def test_percentile_bands_single_aggregation(spark):
         REGISTRY["events_percentile_bands_hourly"].fn(spark, SF)
     )
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cdc_apply_single_exchange(spark):
+    """Both window passes (head pick + change count) share the entity-key
+    partitioning: ONE exchange, never a single-partition window.  (No
+    WindowGroupLimit here by design — n_changes needs the full
+    partition, so the head can't be pre-pruned.)"""
+    import re
+
+    plan = plans.formatted_plan(REGISTRY["pipeline_cdc_apply"].fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" not in plan
+
+
+def test_active_users_no_cartesian(spark):
+    """The WAU fan-out must stay a keyed explode + distinct; the bounds
+    row broadcasts (BroadcastNestedLoopJoin on a 1-row side is fine) —
+    no CartesianProduct anywhere."""
+    plan = plans.formatted_plan(REGISTRY["events_active_users"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_ab_experiment_partial_aggregation(spark):
+    """Arm moments must map-side combine; the arm×metric join runs over
+    ≤|metrics| rows."""
+    plan = plans.formatted_plan(
+        REGISTRY["monitor_ab_experiment"].fn(spark, SF)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_broadcasts_cutpoints(spark):
+    """The three median cutpoints are a 1-row aggregate broadcast back
+    onto the customer base — the base never reshuffles for scoring."""
+    df = REGISTRY["orders_rfm_segments"].fn(spark, SF)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_eval_group_limit_and_broadcast(spark):
+    plan = plans.formatted_plan(REGISTRY["sim_knn_label_eval"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dataset_diff_shuffles_digests_only(spark):
+    """The version-diff join must move (key, digest) pairs, not rows:
+    both join inputs project exactly two columns."""
+    df = REGISTRY["pipeline_dataset_diff"].fn(spark, SF)
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+    plan = plans.formatted_plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan
