@@ -1631,3 +1631,91 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (last-touch within a lookback window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value,
+        {_EPOCH} - 1700000000 AS ts_sec,
+        max(CASE WHEN event_type IN ('view', 'click')
+            THEN ({_EPOCH} - 1700000000) * 10000000000 + event_id
+            END) OVER (
+          PARTITION BY user_id ORDER BY {_EPOCH}, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS touch_key,
+        max(CASE WHEN event_type IN ('view', 'click')
+            THEN event_type END) OVER (
+          PARTITION BY user_id ORDER BY {_EPOCH}, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) IS NOT NULL AS has_touch
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_id AS purchase_id,
+           value AS purchase_value,
+           CASE WHEN touch_key IS NULL THEN -1
+                ELSE CAST(touch_key % 10000000000 AS BIGINT)
+           END AS touch_event_id,
+           CASE WHEN touch_key IS NULL THEN 0
+                WHEN ts_sec - touch_key // 10000000000 <= 7200 THEN 1
+                ELSE 0 END AS within_window
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    tags=("temporal", "attribution"),
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the most
+    recent preceding view/click by the same user, flagged whether it
+    fell inside a 2-hour lookback window.
+
+    The ad-analytics attribution shape as pure window algebra: a
+    running conditional MAX over (ts, event_id) packed into one sortable
+    key finds the latest touch WITHOUT a self-join — one shuffle on
+    user_id, one window pass, the purchase filter afterwards.  (The
+    join formulation would shuffle events twice and explode on
+    high-activity users.)"""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long") - F.lit(1700000000)
+    is_touch = F.col("event_type").isin("view", "click")
+    touch_key = F.when(
+        is_touch, ts * F.lit(10000000000) + F.col("event_id")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = t["events"].select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        "event_type",
+        "value",
+        ts.alias("ts_sec"),
+        touch_key.alias("tk"),
+    )
+    seq = seq.withColumn("touch_key", F.max("tk").over(w))
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.when(F.col("touch_key").isNull(), F.lit(-1))
+        .otherwise((F.col("touch_key") % 10000000000).cast("long"))
+        .alias("touch_event_id"),
+        F.when(F.col("touch_key").isNull(), 0)
+        .when(
+            F.col("ts_sec") - F.floor(F.col("touch_key") / 10000000000)
+            <= 7200,
+            1,
+        )
+        .otherwise(0)
+        .alias("within_window"),
+    )
