@@ -251,3 +251,43 @@ def test_expression_parity(engines, exprs):
     got = canon_rows(payload.labels, payload.rows)
     want = canon_rows(cols, duck_rows)
     assert got == want, f"\nMS:  {ms_items}\nDK:  {dk_items}"
+
+
+# --- QUALIFY equivalence: engine rewrite vs DuckDB native QUALIFY ----------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"]),
+    part=st.sampled_from(["b", "j % 2", ""]),
+    order=st.sampled_from(["i", "j DESC", "s"]),
+    k=st.integers(1, 4),
+)
+def test_qualify_parity(engines, fn, part, order, k):
+    """The engine's QUALIFY rewrite (nested windowed select) must agree
+    with DuckDB's native QUALIFY for random window predicates.  The
+    ORDER BY carries no total tie-break on purpose for RANK/DENSE_RANK
+    (ties produce identical rank sets on both engines); ROW_NUMBER gets
+    the tie-break to keep it deterministic."""
+    # Spark and DuckDB disagree on default NULL placement (ASC: NULLS
+    # FIRST vs LAST), so the generator pins it explicitly — that
+    # divergence is Spark-vs-DuckDB, not the QUALIFY rewrite under test
+    order = f"{order} NULLS LAST"
+    if fn == "ROW_NUMBER()":
+        order += (
+            ", i NULLS LAST, j NULLS LAST, s NULLS LAST"
+        )
+    pb = f"PARTITION BY {part} " if part else ""
+    sql = (
+        f"SELECT i, j, s, b FROM prop "
+        f"QUALIFY {fn} OVER ({pb}ORDER BY {order}) <= {k}"
+    )
+    glue, duck = engines
+    cols = ["i", "j", "s", "b"]
+    ours = canon_rows(cols, glue.execute(sql).rows)
+    theirs = canon_rows(cols, duck.execute(sql).fetchall())
+    assert ours == theirs
