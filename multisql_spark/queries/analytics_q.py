@@ -1719,3 +1719,60 @@ def events_attribution_last_touch(
         .otherwise(0)
         .alias("within_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnostic report (the advisor in front of salting/AQE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_skew_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(cnt) AS n, COUNT(*) AS n_keys,
+                   max(cnt) AS max_cnt FROM keyed)
+    SELECT k, cnt,
+           round(cnt * 1.0 / n, 6) AS share,
+           CASE WHEN cnt * n_keys > 10 * n THEN 1 ELSE 0 END
+             AS salt_recommended
+    FROM (
+      SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k) AS rk
+      FROM keyed
+    ), tot
+    WHERE rk <= 10
+    """,
+    tags=("monitor", "skew", "advisor"),
+)
+def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg skew advisor: the 10 heaviest keys with their share of
+    the table and a salting recommendation (key >10× the mean load).
+
+    The diagnostic to run BEFORE a big keyed join: per-key counts are
+    one map-side-combinable aggregation; the top-10 is a
+    TakeOrderedAndProject heap (never a global sort); totals broadcast.
+    Feeds the `agg_salted_skew`/`join_skew_salted` remediations and the
+    AQE skew-join threshold choice."""
+    t = load_tables(spark, sf_dir, ["events"])
+    keyed = t["events"].groupBy(
+        F.col("user_id").cast("long").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = keyed.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = keyed.orderBy(F.desc("cnt"), F.asc("k")).limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        F.when(
+            F.col("cnt") * F.col("n_keys") > 10 * F.col("n"), 1
+        )
+        .otherwise(0)
+        .alias("salt_recommended"),
+    )
