@@ -518,3 +518,95 @@ def test_snapshot_time_travel(spark, sf_dir, tmp_path_factory):
     assert snapshot_versions(path) == [1, 2]
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, 0)
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of exactly 1800 s continues the session; 1801 s starts a new
+    one (strict > in the flag)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multisql_spark.queries.analytics_q import events_sessionize_batch
+    from multisql_spark.queries import REGISTRY  # noqa: F401
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, base, "view", 0.0, "{}"),
+        (2, 7, base + dt.timedelta(seconds=1800), "view", 0.0, "{}"),
+        (3, 7, base + dt.timedelta(seconds=3601), "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sessedge_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        (r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in events_sessionize_batch(spark, d).collect()
+    }
+    assert out == {1: (2, 1800), 2: (1, 0)}
+
+
+def test_cdc_apply_delete_tombstone(spark):
+    """A key whose LAST change is a delete must vanish from the
+    snapshot; earlier deletes are overridden by later upserts."""
+    import datetime as dt
+    import tempfile
+
+    from multisql_spark.queries.analytics_q import pipeline_cdc_apply
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: upsert then delete → gone
+        (1, 1, base, "view", 1.0, "{}"),
+        (2, 1, base + dt.timedelta(hours=1), "error", 0.0, "{}"),
+        # user 2: delete then upsert → present with the later value
+        (3, 2, base, "error", 0.0, "{}"),
+        (4, 2, base + dt.timedelta(hours=1), "click", 9.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="cdcedge_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    snap = {
+        r["user_id"]: (r["last_value"], r["n_changes"])
+        for r in pipeline_cdc_apply(spark, d).collect()
+    }
+    assert snap == {2: (9.5, 2)}
+
+
+def test_attribution_window_edge(spark):
+    """A touch exactly 7200 s before the purchase is inside the window;
+    7201 s is outside; a purchase with no prior touch gets -1."""
+    import datetime as dt
+    import tempfile
+
+    from multisql_spark.queries.analytics_q import (
+        events_attribution_last_touch,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, base, "click", 0.0, "{}"),
+        (2, 1, base + dt.timedelta(seconds=7200), "purchase", 5.0, "{}"),
+        (3, 2, base, "view", 0.0, "{}"),
+        (4, 2, base + dt.timedelta(seconds=7201), "purchase", 6.0, "{}"),
+        (5, 3, base, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="attredge_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["purchase_id"]: (r["touch_event_id"], r["within_window"])
+        for r in events_attribution_last_touch(spark, d).collect()
+    }
+    assert out == {2: (1, 1), 4: (3, 0), 5: (-1, 0)}
