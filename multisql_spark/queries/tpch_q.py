@@ -516,3 +516,169 @@ def tpch_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "tpch_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+           CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT)
+             AS orderdate_sec,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2024-03-15'
+      AND l_shipdate > TIMESTAMP '2024-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate_sec, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "q3", "topk"),
+)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape (shipping priority): top-10 unshipped orders by revenue
+    for one market segment.
+
+    Both date predicates and the segment filter push into their parquet
+    scans; customer (segment-filtered) broadcasts onto orders, the
+    aggregation partial-combines on l_orderkey, and the top-10 is a
+    TakeOrderedAndProject heap — never a global sort of the revenue
+    table.  Total (revenue, date, orderkey) tie-break keeps the limit
+    deterministic."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = t["orders"].filter(F.col("o_orderdate") < "2024-03-15").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > "2024-03-15").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.unix_timestamp("o_orderdate")
+            .cast("long")
+            .alias("orderdate_sec"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("orderdate_sec"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+             AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+      AND l_shipdate < TIMESTAMP '2025-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "q6", "scan-agg"),
+)
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecasting revenue change): one filtered scan, one
+    global sum — the canonical pushdown showcase.  Every predicate
+    (date range, discount band, quantity cap) reaches the parquet scan
+    as PushedFilters; the sum partial-aggregates per file split, so a
+    single 8-byte partial crosses the exchange per task."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "2024-01-01")
+        & (F.col("l_shipdate") < "2025-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue_delta")
+    )
+
+
+@register(
+    "tpch_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '2024-01-01'
+      AND o_orderdate < TIMESTAMP '2024-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "q10", "returned"),
+)
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned item reporting): top-20 customers by revenue
+    lost to returns in a half-year window.
+
+    The returnflag and date filters push to the scans; nation (25 rows)
+    broadcasts; the customer-grain aggregation partial-combines; top-20
+    is a TakeOrderedAndProject heap with a c_custkey tie-break."""
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "2024-01-01")
+        & (F.col("o_orderdate") < "2024-07-01")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(t["customer"], o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

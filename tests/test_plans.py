@@ -502,3 +502,15 @@ def test_dataset_diff_shuffles_digests_only(spark):
         assert set(cols) <= {"doc_id", "text"}
     plan = plans.formatted_plan(df)
     assert "FullOuter" in plan or "full_outer" in plan
+
+
+def test_q6_full_pushdown_and_heap_topk(spark):
+    """Q6: every predicate reaches the scan; Q3/Q10: the limit plans as
+    a TakeOrderedAndProject heap, not Sort+Limit."""
+    df = REGISTRY["tpch_forecast_revenue"].fn(spark, SF)
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    assert plans.has_pushed_filter(df, "l_discount")
+    assert plans.has_pushed_filter(df, "l_quantity")
+    for name in ("tpch_shipping_priority", "tpch_returned_items"):
+        plan = plans.formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan
