@@ -94,6 +94,10 @@ def bench_queries(spark: SparkSession):
         "bloom_prefilter": "dedup_bloom_prefilter",
         "unigram_logprob": "text_unigram_logprob",
         "domain_mix": "sample_domain_mix",
+        "sessionize_batch": "events_sessionize_batch",
+        "cdc_apply": "pipeline_cdc_apply",
+        "active_users": "events_active_users",
+        "quantized_topk": "sim_quantized_topk",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect
