@@ -1776,3 +1776,62 @@ def pipeline_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("salt_recommended"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark advisor: event-lateness profile per stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_lateness_profile",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             max({_EPOCH}) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - {_EPOCH} AS late_sec
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(max(late_sec) AS BIGINT) AS max_late_sec,
+           round(quantile_cont(late_sec, 0.5), 4) AS p50_late,
+           round(quantile_cont(late_sec, 0.95), 4) AS p95_late,
+           CAST(sum(CASE WHEN late_sec > 600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_10min
+    FROM seq GROUP BY event_type
+    """,
+    tags=("streaming", "watermark", "advisor"),
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark advisor: per-stream event-lateness distribution
+    (running max event time in *arrival* order minus each event's own
+    time).
+
+    This is the measurement that justifies a watermark choice: p95/max
+    lateness bound the state horizon the streaming operators
+    (`stream_*`) must keep, and n_over_10min counts the rows a
+    10-minute watermark would drop.  Arrival order is event_id (the
+    ingestion sequence); one window pass per stream key + one bounded
+    aggregation."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    seq = t["events"].select(
+        "event_type", "event_id", ts.alias("ts_sec")
+    ).withColumn("late_sec", F.max("ts_sec").over(w) - F.col("ts_sec"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_sec").cast("long").alias("max_late_sec"),
+        F.round(F.expr("percentile(late_sec, 0.5)"), 4).alias("p50_late"),
+        F.round(F.expr("percentile(late_sec, 0.95)"), 4).alias("p95_late"),
+        F.sum(F.when(F.col("late_sec") > 600, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_10min"),
+    )
