@@ -401,3 +401,64 @@ def test_day_partitioned_layout_prunes(spark, sf_dir, tmp_path_factory):
     jplan = formatted_plan(joined)
     assert "dynamicpruning" in jplan
     assert joined.count() == point.count()
+
+
+def test_incremental_ingest_ledger(spark, sf_dir, tmp_path_factory):
+    """Only unseen files are processed per batch; re-running with no new
+    files is a no-op; the ledger survives and the target accumulates
+    exactly one copy of every source row."""
+    import os
+    import shutil
+
+    from multisql_spark.sources.ingest import (
+        ingest_new_files,
+        list_new_files,
+    )
+
+    root = tmp_path_factory.mktemp("ingest")
+    src, ledger, out = str(root / "src"), str(root / "ledger"), str(
+        root / "out"
+    )
+    os.makedirs(src)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.limit(10).coalesce(1).write.parquet(f"{src}/__b1")
+    f1 = [f for f in os.listdir(f"{src}/__b1") if f.endswith(".parquet")][0]
+    shutil.move(f"{src}/__b1/{f1}", f"{src}/batch1.parquet")
+    shutil.rmtree(f"{src}/__b1")
+
+    n_files, n_rows = ingest_new_files(spark, src, ledger, out)
+    assert (n_files, n_rows) == (1, 10)
+    # idempotent re-run
+    assert ingest_new_files(spark, src, ledger, out) == (0, 0)
+
+    # second arrival
+    nation.limit(15).coalesce(1).write.parquet(f"{src}/__b2")
+    f2 = [f for f in os.listdir(f"{src}/__b2") if f.endswith(".parquet")][0]
+    shutil.move(f"{src}/__b2/{f2}", f"{src}/batch2.parquet")
+    shutil.rmtree(f"{src}/__b2")
+    assert list_new_files(spark, src, ledger) == ["batch2.parquet"]
+    n_files, n_rows = ingest_new_files(spark, src, ledger, out)
+    assert (n_files, n_rows) == (1, 15)
+    assert spark.read.parquet(out).count() == 25
+
+
+def test_snapshot_schema_evolution(spark, sf_dir, tmp_path_factory):
+    """A later snapshot may add columns; mergeSchema reads across
+    versions, and a single-version read sees exactly its own schema."""
+    from pyspark.sql import functions as F
+
+    from multisql_spark.sources.layout import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("snapevo") / "t")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_snapshot(n, path)
+    write_snapshot(n.withColumn("extra", F.lit(1)), path)
+    assert "extra" not in read_snapshot(spark, path, 0).columns
+    assert "extra" in read_snapshot(spark, path, 1).columns
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "extra" in merged.columns and "v" in [
+        c for c in merged.columns if c == "v"
+    ]
