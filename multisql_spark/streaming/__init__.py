@@ -144,6 +144,8 @@ def stateful_sessionize(
     )
     pq.write_table(sentinel, os.path.join(stream_dir, "sentinel.parquet"))
 
+    out_dir = tempfile.mkdtemp(prefix="upsert_table_")
+
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -553,7 +555,12 @@ def stream_rollup_to_table(
     return spark.read.parquet(out_dir)
 
 
-def stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_upsert_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    n_source_files: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming keyed-upsert sink (CDC / SCD-type-1 materialization):
     per-user latest state maintained in a parquet table via
     ``foreachBatch`` MERGE.
@@ -575,10 +582,22 @@ def stream_upsert_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_upsert_src_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    if n_source_files <= 1:
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    else:
+        # split the source so maxFilesPerTrigger yields REAL multi-batch
+        # execution — later batches must override earlier keys through
+        # the foreachBatch merge, not within one aggregation
+        spark.read.parquet(src).repartition(n_source_files).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+
     out_dir = tempfile.mkdtemp(prefix="upsert_table_")
 
-    stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")

@@ -610,3 +610,20 @@ def test_attribution_window_edge(spark):
         for r in events_attribution_last_touch(spark, d).collect()
     }
     assert out == {2: (1, 1), 4: (3, 0), 5: (-1, 0)}
+
+
+def test_stream_upsert_multibatch_merge(spark, sf_dir, duck):
+    """The keyed-upsert sink must converge to the batch last-writer-wins
+    snapshot even when the stream executes as MULTIPLE microbatches —
+    later batches override earlier keys through the foreachBatch merge
+    path, not inside a single aggregation."""
+    from multisql_spark.queries import load_all
+    from multisql_spark.streaming import stream_upsert_to_table
+    from multisql_spark.testing import compare
+
+    out = stream_upsert_to_table(
+        spark, sf_dir, n_source_files=3, max_files_per_trigger=1
+    )
+    oracle = load_all()["stream_upsert_sink"].oracle
+    result = compare(out, duck, oracle)
+    assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
