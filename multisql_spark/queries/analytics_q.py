@@ -1835,3 +1835,64 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_10min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast baseline: seasonal-naive prediction + MAE evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_baseline",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT cur.event_type, cur.h, cur.n,
+             prev.n AS predicted
+      FROM hourly cur JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.h = cur.h - 86400
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(sum(abs(n - predicted)) AS BIGINT) AS total_abs_err,
+           round(sum(abs(n - predicted)) * 1.0 / COUNT(*), 4) AS mae,
+           round(sum(abs(n - predicted)) * 1.0 / sum(n), 6)
+             AS wape
+    FROM joined GROUP BY event_type
+    """,
+    tags=("temporal", "forecast", "baseline"),
+)
+def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    count with the same hour yesterday, report MAE and WAPE per stream.
+
+    The baseline every real forecasting model must beat — and the
+    pattern for backtesting any of them at scale: the hourly rollup is
+    one bounded aggregation, the lag join is a self-equi-join on
+    (type, hour−24h) over that bounded table, and the error rollup is
+    exact integer arithmetic."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("h")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prev = hourly.select(
+        F.col("event_type"),
+        (F.col("h") + 86400).alias("h"),
+        F.col("n").alias("predicted"),
+    )
+    joined = hourly.join(prev, ["event_type", "h"])
+    err = F.abs(F.col("n") - F.col("predicted"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(err).cast("long").alias("total_abs_err"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
+        F.round(F.sum(err) / F.sum("n"), 6).alias("wape"),
+    )
