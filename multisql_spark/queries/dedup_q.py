@@ -699,3 +699,115 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_sim") >= 0.5
     )
     return dedup.pagerank_fixed(pairs, iters=3, damping=0.85)
+
+
+def _minhash_calibration_oracle() -> str:
+    cand = _minhash_oracle()
+    return f"""
+    WITH cand AS ({cand}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.est_sim,
+        CAST(floor(c.est_sim * 1000000 + 0.5) AS BIGINT) AS est_q,
+        CAST(floor(coalesce(i.ni, 0) * 1000000.0
+             / (sa.nt + sb.nt - coalesce(i.ni, 0)) + 0.5) AS BIGINT)
+          AS jac_q
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT est_sim,
+           COUNT(*) AS n_pairs,
+           round(sum(jac_q) / COUNT(*) / 1000000.0, 6) AS mean_exact_jac,
+           round(sum(abs(est_q - jac_q)) / COUNT(*) / 1000000.0, 6)
+             AS mean_abs_err
+    FROM scored GROUP BY est_sim
+    """
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    tags=("dedup", "minhash", "calibration"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration harness: per signature-agreement level, the
+    mean EXACT token Jaccard of the LSH candidate pairs and the mean
+    estimation error — the measurement that picks (k, bands) and the
+    delete threshold before any mass dedup run.
+
+    The dedup twin of `sim_ann_recall`: exact Jaccard is computed only
+    for LSH candidates (keyed token joins bounded by the candidate
+    count, never all-pairs), and the error aggregation is quantized
+    integer arithmetic.  At 100 TB, run on a document sample — the
+    harness cost is decoupled from corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    sigs = dedup.minhash_signatures(docs, k=K)
+    cand = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    tok = docs.select(
+        "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nt").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb")
+    )
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "est_sim",
+            F.floor(F.col("est_sim") * 1000000 + 0.5)
+            .cast("long")
+            .alias("est_q"),
+            F.floor(
+                F.coalesce(F.col("ni"), F.lit(0))
+                * 1000000.0
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("ni"), F.lit(0))
+                )
+                + 0.5
+            )
+            .cast("long")
+            .alias("jac_q"),
+        )
+    )
+    return scored.groupBy("est_sim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("jac_q") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_exact_jac"),
+        F.round(
+            F.sum(F.abs(F.col("est_q") - F.col("jac_q")))
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_abs_err"),
+    )
