@@ -1896,3 +1896,175 @@ def events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(err) / F.count(F.lit(1)), 4).alias("mae"),
         F.round(F.sum(err) / F.sum("n"), 6).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Process mining: event-transition matrix per user journey
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY {_EPOCH}, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT coalesce(prev_type, '_start') AS from_type,
+           event_type AS to_type,
+           COUNT(*) AS n,
+           CASE WHEN coalesce(prev_type, '_start') = '_start'
+                 AND event_type = 'purchase' THEN 1 ELSE 0 END
+             AS suspicious
+    FROM seq GROUP BY 1, 2
+    """,
+    tags=("temporal", "process-mining"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining transition matrix: counts of (previous event →
+    event) per user journey, with journey starts as '_start' and a flag
+    on suspicious first steps (a purchase with no preceding activity).
+
+    One user-keyed window pass (lag) + one bounded aggregation
+    (|types|² cells) — the journey-audit primitive behind funnel
+    debugging and bot screening."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_id", "event_type", ts.alias("ts_sec")
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    from_type = F.coalesce(F.col("prev_type"), F.lit("_start"))
+    return (
+        seq.select(
+            from_type.alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "suspicious",
+            F.when(
+                (F.col("from_type") == "_start")
+                & (F.col("to_type") == "purchase"),
+                1,
+            ).otherwise(0),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style two-stage retrieval: prefix-dim coarse + full re-rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_prefix_rerank_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+               ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INT) END) AS qv
+      FROM emb
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS qq FROM q8 WHERE vec_id < 5),
+    coarse AS (
+      SELECT q_id, c.vec_id AS cand_id, c.qv,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> qq[i] * c.qv[i])) AS BIGINT) AS cscore
+      FROM qs, q8 c WHERE c.vec_id <> q_id
+    ),
+    shortlist AS (
+      SELECT q_id, cand_id, qv FROM (
+        SELECT q_id, cand_id, qv,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY cscore DESC, cand_id) AS rk
+        FROM coarse
+      ) WHERE rk <= 50
+    ),
+    rerank AS (
+      SELECT s.q_id, s.cand_id,
+             CAST(list_sum(list_transform(range(1, len(q.qq) + 1),
+               i -> q.qq[i] * s.qv[i])) AS BIGINT) AS fscore
+      FROM shortlist s JOIN qs q ON q.q_id = s.q_id
+    )
+    SELECT q_id, cand_id, fscore FROM (
+      SELECT q_id, cand_id, fscore,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY fscore DESC, cand_id) AS rk
+      FROM rerank
+    ) WHERE rk <= 10
+    """,
+    tags=("similarity", "matryoshka", "rerank"),
+)
+def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval in the Matryoshka style: coarse scoring on
+    the first 16 embedding dimensions shortlists 50 candidates per
+    query, full-dimension scoring re-ranks to the final top-10.
+
+    At 100 TB the coarse stage reads a 4× narrower slice of every
+    vector (prefix dims can even live in their own parquet column for
+    pure column pruning), and the expensive full-width arithmetic runs
+    on 50 rows per query instead of the corpus.  All arithmetic is on
+    the shared int8 quantization, so both stages are bit-stable;
+    both top-k cuts plan as WindowGroupLimit heaps."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x))
+        ).alias("mx"),
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+                F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int")
+            ),
+        ).alias("qv"),
+    )
+    qs = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        q8.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            "qv",
+            dot(F.slice("qq", 1, 16), F.slice("qv", 1, 16)).alias(
+                "cscore"
+            ),
+        )
+    )
+    rk1 = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.desc("cscore"), F.asc("cand_id"))
+    )
+    shortlist = coarse.withColumn("rk", rk1).filter(F.col("rk") <= 50)
+    rerank = shortlist.join(F.broadcast(qs), "q_id").select(
+        "q_id", "cand_id", dot(F.col("qq"), F.col("qv")).alias("fscore")
+    )
+    rk2 = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.desc("fscore"), F.asc("cand_id"))
+    )
+    return (
+        rerank.withColumn("rk", rk2)
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "cand_id", "fscore")
+    )
