@@ -2068,3 +2068,163 @@ def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("q_id", "cand_id", "fscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: one-row corpus summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, md5(text) AS h, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT h) AS n_unique,
+           round(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6)
+             AS dup_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(sum(n_chars) * 1.0 / COUNT(*), 4) AS mean_chars
+    FROM per_doc
+    """,
+    tags=("pipeline", "dataset-card"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, exact-dup rate, token total,
+    language/source diversity, length envelope — the summary block at
+    the top of a dataset release.
+
+    Everything folds into ONE aggregation pass over per-doc features
+    (count-distinct of 32-byte digests stands in for content identity);
+    at 100 TB the two COUNT(DISTINCT)s swap to approx_count_distinct
+    and the card stays a single job."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_doc = t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("h") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias(
+            "mean_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration: Gini coefficient + top-decile share of event volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_concentration_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT CAST(user_id AS BIGINT) AS u, COUNT(*) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, u) AS rk
+      FROM per_user
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, sum(cnt) AS s,
+             sum(CAST(rk AS HUGEINT) * cnt) AS rs
+      FROM ranked
+    ),
+    decile AS (
+      SELECT sum(cnt) AS top_cnt FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, u) AS drk
+        FROM per_user
+      ), tot WHERE drk <= greatest(n // 10, 1)
+    )
+    SELECT n AS n_users,
+           CAST(s AS BIGINT) AS n_events,
+           round(CAST(2 * rs AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+                 - (n + 1.0) / n, 6) AS gini,
+           round(top_cnt * 1.0 / s, 6) AS top_decile_share
+    FROM tot, decile
+    """,
+    tags=("monitor", "concentration", "gini"),
+)
+def events_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-concentration report: Gini coefficient of per-user event
+    counts plus the top-decile share — the inequality measure behind
+    "10% of users produce 80% of traffic" findings (and the skew early
+    warning for any per-user keyed operation).
+
+    Gini comes from the rank-sum identity (2·Σrᵢxᵢ)/(n·Σxᵢ) − (n+1)/n —
+    exact integer rank sums (HUGEINT/DECIMAL(38,0)), one ranking window
+    over the BOUNDED per-user aggregate, not the event stream."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = t["events"].groupBy(
+        F.col("user_id").cast("long").alias("u")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # rank-sum over TIE GROUPS: users sharing a count occupy a
+    # consecutive rank block, and the block's Σrank is closed-form —
+    # so the only ordered pass runs over the DISTINCT count values
+    # (a tiny table at any scale), never the per-user rows.  The
+    # per-user rank order among ties is arbitrary but the rank-sum is
+    # tie-order independent, so this is exactly the naive ranking.
+    per_cnt = per_user.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+    dec = "decimal(38,0)"
+    asc = W.orderBy("cnt").rowsBetween(W.unboundedPreceding, -1)
+    grouped = per_cnt.withColumn(
+        "lower", F.coalesce(F.sum("k").over(asc), F.lit(0))
+    )
+    blk = F.col("cnt").cast(dec) * (
+        F.col("k").cast(dec) * F.col("lower").cast(dec)
+        + (F.col("k").cast(dec) * (F.col("k") + 1)) / 2
+    )
+    tot = grouped.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("cnt").cast(dec) * F.col("k")).alias("s"),
+        F.sum(blk).alias("rs"),
+    )
+    # top-decile share from the same tie-group table: descending
+    # cumulative user counts, full blocks + the boundary block's
+    # partial contribution (tie-order independent again)
+    desc_w = W.orderBy(F.desc("cnt")).rowsBetween(W.unboundedPreceding, -1)
+    dgrouped = per_cnt.withColumn(
+        "before", F.coalesce(F.sum("k").over(desc_w), F.lit(0))
+    ).crossJoin(F.broadcast(tot.select("n")))
+    m = F.greatest(F.floor(F.col("n") / 10), F.lit(1))
+    take = F.least(F.col("k").cast("long"), m - F.col("before"))
+    decile = dgrouped.filter(F.col("before") < m).agg(
+        F.sum(F.col("cnt") * take).alias("top_cnt")
+    )
+    return tot.crossJoin(F.broadcast(decile)).select(
+        F.col("n").alias("n_users"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(
+            (F.lit(2) * F.col("rs")).cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_cnt") / F.col("s"), 6).alias(
+            "top_decile_share"
+        ),
+    )
