@@ -2228,3 +2228,155 @@ def events_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: hourly-rate z-screen per stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burst_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nh,
+             sum(n) AS sn, sum(CAST(n AS HUGEINT) * n) AS snn
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.h AS hour_start, h.n,
+           round((h.n - sn * 1.0 / nh)
+                 / sqrt((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nh)
+                        / (nh - 1)), 4) AS rate_z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE (h.n - sn * 1.0 / nh)
+          / sqrt((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nh)
+                 / (nh - 1)) > 3
+    """,
+    tags=("monitor", "burst"),
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detector: hours whose event RATE exceeds the stream's mean
+    hourly rate by >3σ (the traffic-spike complement of the per-value
+    outlier screens).
+
+    Runs entirely on the bounded hourly rollup; per-stream moments are
+    exact integer sums broadcast back onto it."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("h")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).alias("snn"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("sn") / F.col("nh")
+    var = (
+        F.col("snn").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / F.col("nh")
+    ) / (F.col("nh") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return j.filter(z > 3).select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        "n",
+        F.round(z, 4).alias("rate_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection: CUSUM peak per stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nh, sum(n) AS sn
+      FROM hourly GROUP BY event_type
+    ),
+    walk AS (
+      SELECT h.event_type, h.h,
+        sum(CAST(h.n AS HUGEINT) * nh - sn) OVER (
+          PARTITION BY h.event_type ORDER BY h.h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cusum_scaled
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    )
+    SELECT event_type, h AS change_hour,
+           round(CAST(abs(cusum_scaled) AS DOUBLE)
+                 / (SELECT nh FROM stats s2
+                    WHERE s2.event_type = walk.event_type), 4)
+             AS cusum_peak
+    FROM walk
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY abs(cusum_scaled) DESC, h) = 1
+    """,
+    tags=("monitor", "changepoint", "cusum"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector: the hour where each stream's
+    cumulative deviation from its mean rate peaks — the classical
+    single-changepoint location estimate for a level shift.
+
+    The walk Σ(xᵢ−μ) is computed in SCALED integers (xᵢ·nh − Σx, exact
+    DECIMAL/HUGEINT — no float drift along the cumulative sum); one
+    window pass over the bounded hourly rollup, peak pick per stream is
+    a WindowGroupLimit head."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("h")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("n").alias("sn")
+    )
+    wsum = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(
+            F.col("n").cast(dec) * F.col("nh") - F.col("sn")
+        ).over(wsum),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.desc(F.abs(F.col("cusum_scaled"))), F.asc("h")
+        )
+    )
+    return (
+        walk.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            F.round(
+                F.abs(F.col("cusum_scaled")).cast("double")
+                / F.col("nh"),
+                4,
+            ).alias("cusum_peak"),
+        )
+    )
