@@ -2380,3 +2380,160 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical percent-of-parent rollup (nation → region → total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_share_hierarchy",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(sum(rev) OVER (PARTITION BY region)
+                 / sum(rev) OVER (), 6) AS region_share_of_total
+    FROM nat
+    """,
+    tags=("rollup", "hierarchy", "share"),
+)
+def orders_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's revenue share of
+    its region and each region's share of the total, in one result.
+
+    The BI drill-path shape: ONE fact aggregation to the leaf grain
+    (nation), then window sums over the BOUNDED aggregate supply both
+    parent totals — the fact table is scanned and shuffled exactly
+    once, and exact decimal sums make the shares engine-identical."""
+    t = load_tables(
+        spark, sf_dir, ["orders", "customer", "nation", "region"]
+    )
+    nat = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["orders"].o_custkey == t["customer"].c_custkey,
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("rev").over(wr) / F.sum("rev").over(wt), 6
+        ).alias("region_share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: log-log slope of the token rank/frequency curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+      FROM cnt
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(rk) * 1000000000 + 0.5) AS BIGINT) AS lx,
+             CAST(floor(ln(c) * 1000000000 + 0.5) AS BIGINT) AS ly
+      FROM ranked WHERE rk <= 200
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, sum(CAST(lx AS HUGEINT)) AS sx,
+             sum(CAST(ly AS HUGEINT)) AS sy,
+             sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+             sum(CAST(lx AS HUGEINT) * ly) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE),
+                 4) AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "zipf", "corpus-stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: least-squares slope of log(frequency) vs log(rank)
+    over the top-200 tokens — natural corpora sit near −1; templated or
+    synthetic text deviates, making this a one-number corpus-health
+    check alongside entropy.
+
+    The token count is the standard explode+groupBy; only the top-200
+    ranks feed the regression (a TakeOrderedAndProject heap), and the
+    normal-equation sums run on 1e-9-quantized log values as exact
+    integers — the same order-independent regression scheme as
+    `events_value_trend`."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    cnt = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(200)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    lx = F.floor(F.log(F.col("rk")) * 1000000000 + 0.5).cast("long")
+    ly = F.floor(F.log(F.col("c")) * 1000000000 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    pts = ranked.select(lx.alias("lx"), ly.alias("ly"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx").cast(dec) * F.col("ly")).alias("sxy"),
+    )
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias(
+            "zipf_slope"
+        ),
+    )
