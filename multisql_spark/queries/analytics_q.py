@@ -2537,3 +2537,97 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sampling allocation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS nh,
+             sum(CAST(floor(value * 1000000 + 0.5) AS HUGEINT)) AS sy,
+             sum(CAST(floor(value * 1000000 + 0.5) AS HUGEINT)
+                 * CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS syy
+      FROM events GROUP BY event_type
+    ),
+    sd AS (
+      SELECT event_type, nh,
+             sqrt((CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / nh)
+                  / (nh - 1)) / 1000000.0 AS sigma
+      FROM m
+    ),
+    tot AS (
+      SELECT sum(CAST(floor(nh * sigma * 1000000 + 0.5) AS HUGEINT))
+               AS w FROM sd
+    )
+    SELECT event_type, CAST(nh AS BIGINT) AS stratum_size,
+           round(sigma, 4) AS sigma,
+           round(CAST(floor(nh * sigma * 1000000 + 0.5) AS DOUBLE)
+                 / CAST(w AS DOUBLE), 6) AS neyman_share,
+           CAST(floor(1000 * CAST(floor(nh * sigma * 1000000 + 0.5)
+                      AS DOUBLE) / CAST(w AS DOUBLE) + 0.5) AS BIGINT)
+             AS n_alloc_1000
+    FROM sd, tot
+    """,
+    tags=("sampling", "neyman", "allocation"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: each stratum's
+    share of a 1000-row sample ∝ Nₕ·σₕ — minimum-variance estimation
+    of the population mean, vs the proportional allocation
+    `sample_stratified` uses.
+
+    Per-stratum moments are exact quantized-integer sums (one
+    aggregation); the weight normalization quantizes Nₕ·σₕ before the
+    ratio so shares are bit-stable.  The allocation table then drives
+    any deterministic md5-fraction sampler."""
+    t = load_tables(spark, sf_dir, ["events"])
+    yq = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    m = t["events"].select("event_type", yq.alias("yq")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("yq").cast(dec)).alias("sy"),
+        F.sum(F.col("yq").cast(dec) * F.col("yq")).alias("syy"),
+    )
+    sigma = (
+        F.sqrt(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("nh")
+            )
+            / (F.col("nh") - 1)
+        )
+        / 1000000.0
+    )
+    sd = m.select(
+        "event_type", "nh", sigma.alias("sigma")
+    ).withColumn(
+        "wq",
+        F.floor(F.col("nh") * F.col("sigma") * 1000000 + 0.5).cast(
+            dec
+        ),
+    )
+    tot = sd.agg(F.sum("wq").alias("w"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("nh").cast("long").alias("stratum_size"),
+        F.round("sigma", 4).alias("sigma"),
+        F.round(
+            F.col("wq").cast("double") / F.col("w").cast("double"), 6
+        ).alias("neyman_share"),
+        F.floor(
+            1000 * F.col("wq").cast("double") / F.col("w").cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("n_alloc_1000"),
+    )
