@@ -2631,3 +2631,111 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alloc_1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC classification: weighted cumulative distribution without global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_abc_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(CAST(cents AS HUGEINT)) AS t FROM pr),
+    cum AS (
+      SELECT cents,
+             sum(CAST(cents AS HUGEINT)) OVER (
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c
+      FROM pr
+    )
+    SELECT CASE WHEN 100 * c <= 80 * t THEN 'A'
+                WHEN 100 * c <= 95 * t THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(round(sum(cents) / 100.0, 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                 / CAST(max(t) AS DOUBLE), 6) AS share
+    FROM cum, tot
+    GROUP BY 1
+    """,
+    tags=("abc", "pareto", "classification"),
+)
+def orders_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/15/5) classification of parts by revenue — the weighted
+    cumulative-distribution operator, built WITHOUT a global sort.
+
+    The scale pattern (same family as the NTILE rewrite): approx-
+    percentile cutpoints split parts into ~16 revenue-range buckets;
+    per-bucket totals (tiny) provide exact prefix offsets; the exact
+    cumulative then needs only a bucket-partitioned window.  Cutpoint
+    placement affects parallelism, never the answer — boundaries and
+    class cuts are exact integer-cents comparisons, so the result is
+    identical to the oracle's naive global cumulative."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    pr = t["lineitem"].groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    cuts = pr.agg(
+        F.expr(
+            "approx_percentile(cents, array("
+            + ",".join(str((i + 1) / 16.0) for i in range(15))
+            + "))"
+        ).alias("cut")
+    ).collect()[0]["cut"]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col("cents") <= F.lit(int(c))).cast("int")
+    # bucket 0 = highest revenue range (fewest <= cutpoints)
+    dec = "decimal(38,0)"
+    b = pr.withColumn("bkt", bucket)
+    per_bkt = b.groupBy("bkt").agg(
+        F.sum(F.col("cents").cast(dec)).alias("bt")
+    )
+    higher = (
+        W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    )  # tiny table: ≤17 rows
+    offsets = per_bkt.withColumn(
+        "off", F.coalesce(F.sum("bt").over(higher), F.lit(0).cast(dec))
+    )
+    tot = per_bkt.agg(F.sum("bt").alias("t"))
+    win = (
+        W.partitionBy("bkt")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        b.withColumn("wc", F.sum(F.col("cents").cast(dec)).over(win))
+        .join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+        .withColumn("c", F.col("off") + F.col("wc"))
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = (
+        F.when(100 * F.col("c") <= 80 * F.col("t"), "A")
+        .when(100 * F.col("c") <= 95 * F.col("t"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "cents", "t")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2)
+            .cast("double")
+            .alias("revenue"),
+            F.round(
+                F.sum(F.col("cents").cast(dec)).cast("double")
+                / F.max("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
