@@ -1598,6 +1598,19 @@ class MultiSQLSession:
             plan = formatted_plan(self.sql(body))
             rows = [(line,) for line in plan.splitlines() if line.strip()]
             return Payload(kind="Select", labels=["plan"], rows=rows)
+        if target.upper() == "ANALYZE":
+            # beyond-reference: EXPLAIN ANALYZE <query> executes the query
+            # and returns the final (AQE-resolved) physical plan with
+            # runtime metrics — what actually ran, not what was planned
+            body = re.sub(r"\s*EXPLAIN\s+ANALYZE\s+", "", stmt, count=1,
+                          flags=re.IGNORECASE)
+            df = self.sql(body)
+            df.collect()
+            executed = df._jdf.queryExecution().executedPlan().toString()
+            rows = [
+                (line,) for line in executed.splitlines() if line.strip()
+            ]
+            return Payload(kind="Select", labels=["plan"], rows=rows)
         if target.upper() == "ALL":
             # the managed (temp-view) store is the reference's default
             # database, named "main" (tests/databases/sled.rs Glue::new)

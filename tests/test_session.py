@@ -579,3 +579,17 @@ def test_recursive_cte(glue):
     ).rows
     assert rows == [(0, 1), (1, 2), (2, 2)]
     glue.execute("DROP TABLE OrgR")
+
+
+def test_explain_analyze(glue):
+    """EXPLAIN ANALYZE executes the query and returns the AQE-resolved
+    executed plan (beyond reference — it has no plan introspection)."""
+    glue.execute("CREATE TABLE Ea (v INTEGER NULL)")
+    glue.execute("INSERT INTO Ea VALUES (1), (2), (3)")
+    rows = glue.execute(
+        "EXPLAIN ANALYZE SELECT SUM(v) AS s FROM Ea"
+    ).rows
+    text = "\n".join(r[0] for r in rows)
+    assert "AdaptiveSparkPlan" in text and "isFinalPlan=true" in text
+    assert "HashAggregate" in text
+    glue.execute("DROP TABLE Ea")
