@@ -2739,3 +2739,105 @@ def orders_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-horizon velocity features (fraud/abuse-style rate features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_velocity_features",
+    oracle=f"""
+    WITH mx AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             max({_EPOCH}) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT m.user_id, m.last_ts,
+           CAST(sum(CASE WHEN {_EPOCH} > m.last_ts - 3600
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+           CAST(sum(CASE WHEN {_EPOCH} > m.last_ts - 21600
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_6h,
+           CAST(sum(CASE WHEN {_EPOCH} > m.last_ts - 86400
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_24h
+    FROM events e JOIN mx m ON CAST(e.user_id AS BIGINT) = m.user_id
+    GROUP BY m.user_id, m.last_ts
+    """,
+    tags=("temporal", "velocity", "features"),
+)
+def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity features at each user's most recent event: activity
+    counts over trailing 1 h / 6 h / 24 h horizons — the fraud/abuse
+    rate-limiting feature block.
+
+    All three horizons fold into ONE conditional aggregation after a
+    same-key join of the per-user anchor (max ts) back onto the
+    stream — the anchor table and the aggregation share the user_id
+    partitioning, so the event stream shuffles once."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    e = t["events"].select(
+        F.col("user_id").cast("long").alias("user_id"),
+        ts.alias("ts_sec"),
+    )
+    mx = e.groupBy("user_id").agg(F.max("ts_sec").alias("last_ts"))
+    j = e.join(mx, "user_id")
+    h = lambda sec, name: F.sum(  # noqa: E731
+        F.when(F.col("ts_sec") > F.col("last_ts") - sec, 1).otherwise(0)
+    ).cast("long").alias(name)
+    return j.groupBy("user_id", "last_ts").agg(
+        h(3600, "n_1h"), h(21600, "n_6h"), h(86400, "n_24h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-occupancy histogram (collision health / tuning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_lsh_occupancy",
+    oracle="""
+    WITH b AS (
+      SELECT bucket, COUNT(*) AS sz FROM (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST((CASE WHEN list_dot_product(embedding::DOUBLE[], [1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [-1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0]::DOUBLE[]) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0]::DOUBLE[]) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0]::DOUBLE[]) >= 0 THEN 8 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0]::DOUBLE[]) >= 0 THEN 16 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [-1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, 1.0]::DOUBLE[]) >= 0 THEN 32 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]::DOUBLE[]) >= 0 THEN 64 ELSE 0 END) + (CASE WHEN list_dot_product(embedding::DOUBLE[], [-1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0]::DOUBLE[]) >= 0 THEN 128 ELSE 0 END) AS INT) AS bucket
+        FROM embeddings
+      ) GROUP BY bucket
+    )
+    SELECT sz AS bucket_size,
+           COUNT(*) AS n_buckets,
+           CAST(sum(CAST(sz AS HUGEINT) * (sz - 1) / 2) AS BIGINT)
+             AS candidate_pairs
+    FROM b GROUP BY sz
+    """,
+    tags=("similarity", "lsh", "tuning"),
+)
+def sim_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram: how many buckets hold how many
+    vectors, and the candidate-pair load (Σ sz·(sz−1)/2) each size
+    class contributes.
+
+    The collision-health check that predicts an ANN config's join cost
+    BEFORE running it: one hot bucket = a quadratic pair blowup this
+    histogram exposes as a single row.  Two bounded aggregations over
+    the one-pass bucket assignment."""
+    from multisql_spark.operators import similarity as sim
+    from multisql_spark.queries.similarity_q import _PLANES
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    base = t["embeddings"].select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        sim.as_double("embedding").alias("v"),
+    )
+    b = base.select(
+        sim.lsh_bucket_col(F.col("v"), _PLANES).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return b.groupBy(F.col("sz").alias("bucket_size")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.col("sz").cast("decimal(38,0)") * (F.col("sz") - 1) / 2
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
