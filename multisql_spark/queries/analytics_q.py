@@ -2841,3 +2841,185 @@ def sim_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency: sweep-line over sessions, two-phase exact cumsum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, {_EPOCH} AS ts_sec,
+        CASE WHEN {_EPOCH} - lag({_EPOCH}) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) > 1800
+          OR lag({_EPOCH}) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+        sum(is_new) OVER (
+          PARTITION BY user_id ORDER BY ts_sec, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx,
+        ts_sec
+      FROM seq
+    ),
+    spans AS (
+      SELECT min(ts_sec) AS s, max(ts_sec) + 1 AS e
+      FROM sess GROUP BY user_id, sidx
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM spans
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM spans
+    ),
+    walk AS (
+      SELECT t, sum(d) AS dd FROM deltas GROUP BY t
+    ),
+    conc AS (
+      SELECT t, sum(dd) OVER (
+        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS c
+      FROM walk
+    )
+    SELECT CAST(max(c) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN c = (SELECT max(c) FROM conc)
+                    THEN t END) AS BIGINT) AS peak_at_sec
+    FROM conc
+    """,
+    tags=("temporal", "concurrency", "sweep-line"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions and when it happened — the sweep-line
+    (+1 at session start, −1 after end) maximum.
+
+    Scale shape: deltas first collapse per timestamp (one bounded
+    groupBy), then the running count uses the two-phase exact-cumsum
+    pattern: hour-bucketed partial sums give prefix offsets, the only
+    ordered windows run per bucket and over the tiny bucket table —
+    identical to the oracle's naive global cumulative, with no
+    data-scale global sort."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    seq = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    e = t["events"].select(
+        "user_id", "event_id", ts.alias("ts_sec")
+    )
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(seq)
+    sess = (
+        e.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "sidx",
+            F.sum("is_new").over(seq.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sidx")
+        .agg(
+            F.min("ts_sec").alias("s"),
+            (F.max("ts_sec") + 1).alias("e"),
+        )
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    walk = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
+    # two-phase exact cumsum: hour buckets → offsets → local windows
+    walk = walk.withColumn("bkt", (F.col("t") / 3600).cast("long"))
+    per_bkt = walk.groupBy("bkt").agg(F.sum("dd").alias("bsum"))
+    off_w = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bkt.withColumn(
+        "off", F.coalesce(F.sum("bsum").over(off_w), F.lit(0))
+    ).select("bkt", "off")
+    loc_w = (
+        W.partitionBy("bkt")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    conc = (
+        walk.withColumn("lc", F.sum("dd").over(loc_w))
+        .join(F.broadcast(offsets), "bkt")
+        .select("t", (F.col("off") + F.col("lc")).alias("c"))
+    )
+    peak = conc.agg(F.max("c").alias("pc"))
+    return (
+        conc.crossJoin(F.broadcast(peak))
+        .filter(F.col("c") == F.col("pc"))
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("peak_at_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audit screen: suspected duplicate orders (same customer+amount, close dates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_duplicate_screen",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_custkey AS custkey,
+           round(a.o_totalprice, 2) AS amount,
+           CAST(abs(CAST(floor(date_part('epoch', a.o_orderdate))
+                    AS BIGINT)
+                    - CAST(floor(date_part('epoch', b.o_orderdate))
+                      AS BIGINT)) // 86400 AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(CAST(floor(date_part('epoch', a.o_orderdate)) AS BIGINT)
+              - CAST(floor(date_part('epoch', b.o_orderdate))
+                AS BIGINT)) <= 172800
+    """,
+    tags=("audit", "duplicates"),
+)
+def orders_duplicate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial-audit duplicate screen: order pairs from the same
+    customer with the identical amount within 2 days — the
+    double-charge / double-entry detector.
+
+    The self-join keys on (custkey, exact amount) — a genuine blocking
+    key, so pair work is bounded by amount collisions per customer,
+    never orders²; the date proximity is a residual filter on the
+    already-tiny blocks."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").cast("long").alias("od"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("od").alias("od_a"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("od").alias("od_b"),
+    )
+    j = a.join(b, ["custkey", "amount"]).filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.abs(F.col("od_a") - F.col("od_b")) <= 172800)
+    )
+    return j.select(
+        "key_a",
+        "key_b",
+        "custkey",
+        F.round("amount", 2).alias("amount"),
+        (F.abs(F.col("od_a") - F.col("od_b")) / F.lit(86400))
+        .cast("long")
+        .alias("days_apart"),
+    )
