@@ -76,7 +76,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver records correctness rows for the first 50 registered queries
 # only, so registration order is load-bearing.  This window rotates per
 # round: round 1 verified the core relational set (indices 0-49 of module
-# order); round 2 fronts everything that got no driver row in round 1 —
+# order); round 3+ should front the (large) remainder that has no driver
+# row after rounds 1-2 — rotate _DRIVER_WINDOW at the START of each
+# round, never mid-round.  Round 2 fronts everything that got no driver
+# row in round 1 —
 # all of functions/timestamp/convert, similarity, text, streaming, tpch,
 # pipeline — plus the nine queries whose canonicalization fix needs a
 # fresh green row.  Queries outside the window keep their local pytest
