@@ -3023,3 +3023,155 @@ def orders_duplicate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_apart"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling (minority-class parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH m AS (
+      SELECT min(c) AS mc FROM (
+        SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+      )
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label
+    FROM (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    ), m WHERE rk <= mc
+    """,
+    tags=("sampling", "class-balance"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly
+    min-class-size rows, chosen by md5 order — the classifier-training
+    prep that removes label imbalance without any RNG state.
+
+    The minority size is one bounded aggregation broadcast into the
+    per-label WindowGroupLimit cap; deterministic and
+    repartition-stable like every sampler here."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t["embeddings"].select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    mc = e.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("mc")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("label").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+    )
+    return (
+        e.withColumn("rk", rk)
+        .crossJoin(F.broadcast(mc))
+        .filter(F.col("rk") <= F.col("mc"))
+        .select("vec_id", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holdout LM evaluation: fit on the train split, score the held-out split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lm_holdout_eval",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 10 < 8
+             THEN 'train' ELSE 'eval' END AS part
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM split WHERE part = 'train'
+    ),
+    lm AS (SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok),
+    vtot AS (SELECT sum(c) AS t, COUNT(*) AS v FROM lm),
+    eval_tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM split WHERE part = 'eval'
+    ),
+    scored AS (
+      SELECT e.doc_id,
+        CAST(floor(ln((coalesce(lm.c, 0) + 1.0) / (t + v))
+             * 1000000 + 0.5) AS BIGINT) AS lpq
+      FROM eval_tok e LEFT JOIN lm ON lm.tok = e.tok, vtot
+    )
+    SELECT COUNT(DISTINCT doc_id) AS n_eval_docs,
+           COUNT(*) AS n_eval_tokens,
+           round(sum(lpq) / COUNT(*) / 1000000.0, 6)
+             AS mean_token_logprob
+    FROM scored
+    """,
+    tags=("text", "lm", "holdout"),
+)
+def text_lm_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe LM evaluation protocol: a unigram model with add-one
+    smoothing is FIT on the 80% md5-hash train split and scored on the
+    held-out 20% — the fit-on-train / eval-on-holdout shape every
+    learned filter in the pipeline should follow.
+
+    The vocabulary table is one train-split aggregation broadcast onto
+    the eval token stream (unseen tokens take the smoothed floor);
+    per-token log-probs quantize to 1e-6 integers before summing.  The
+    split is the same md5 hash used by `sample_hash_split`, so
+    train/eval membership is stable across engines and reruns."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    part = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 8,
+        "train",
+    ).otherwise("eval")
+    d = t["documents"].select("doc_id", "text", part.alias("part"))
+    train_tok = d.filter(F.col("part") == "train").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    lm = train_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vtot = lm.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    eval_tok = d.filter(F.col("part") == "eval").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    scored = (
+        eval_tok.join(F.broadcast(lm), "tok", "left")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lpq"),
+        )
+    )
+    return scored.agg(
+        F.count_distinct("doc_id").alias("n_eval_docs"),
+        F.count(F.lit(1)).alias("n_eval_tokens"),
+        F.round(
+            F.sum("lpq") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_token_logprob"),
+    )
