@@ -3175,3 +3175,98 @@ def text_lm_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lpq") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("mean_token_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: norm-degeneracy screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             CAST(floor(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x))) * 1000000 + 0.5) AS BIGINT)
+               AS norm_q
+      FROM embeddings
+    ),
+    s AS (
+      SELECT COUNT(*) AS cnt, sum(CAST(norm_q AS HUGEINT)) AS sn,
+             sum(CAST(norm_q AS HUGEINT) * norm_q) AS snn
+      FROM n
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vecs,
+           CAST(sum(CASE WHEN norm_q < 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_zero,
+           CAST(sum(CASE WHEN abs(norm_q - sn * 1.0 / cnt)
+                    > 3 * sqrt((CAST(snn AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * sn / cnt) / (cnt - 1))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers,
+           round(sum(norm_q) * 1.0 / COUNT(*) / 1000000.0, 6)
+             AS mean_norm
+    FROM n, s GROUP BY label
+    """,
+    tags=("similarity", "qa", "norms"),
+)
+def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA screen: per label, vectors with near-zero L2 norm
+    (degenerate encodings poison cosine similarity) and norm outliers
+    beyond 3σ of the corpus norm distribution.
+
+    Norms quantize to 1e-6 integers (one narrow pass over the vectors);
+    corpus moments are exact HUGEINT sums broadcast back — the vectors
+    themselves are read once and never shuffled."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    norm_q = F.floor(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double") * x,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    n = t["embeddings"].select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        norm_q.alias("norm_q"),
+    )
+    dec = "decimal(38,0)"
+    s = n.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("norm_q").cast(dec)).alias("sn"),
+        F.sum(F.col("norm_q").cast(dec) * F.col("norm_q")).alias("snn"),
+    )
+    j = n.crossJoin(F.broadcast(s))
+    mean = F.col("sn").cast("double") / F.col("cnt")
+    sd = F.sqrt(
+        (
+            F.col("snn").cast("double")
+            - F.col("sn").cast("double")
+            * F.col("sn").cast("double")
+            / F.col("cnt")
+        )
+        / (F.col("cnt") - 1)
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("norm_q") < 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_zero"),
+        F.sum(
+            F.when(F.abs(F.col("norm_q") - mean) > 3 * sd, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_norm_outliers"),
+        F.round(
+            F.sum("norm_q") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_norm"),
+    )

@@ -811,3 +811,46 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@register(
+    "dedup_family_histogram",
+    oracle=f"""
+    WITH cc AS ({_cc_oracle()})
+    SELECT n_docs AS family_size,
+           COUNT(*) AS n_families,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs_total
+    FROM cc GROUP BY n_docs
+    """,
+    tags=("dedup", "graph", "histogram"),
+)
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup family-size histogram: how many clusters of each size
+    the corpus contains, and how many documents they hold — the
+    one-glance dedup report (singletons vs long-tail vs mega-families)
+    that sizes the deletion budget and flags pathological templates.
+
+    One extra bounded aggregation on top of the connected-components
+    clusters; the expensive part (LSH + CC) is shared with
+    `dedup_cluster_components`."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+        F.col("est_sim") >= 0.5
+    )
+    comp = dedup.connected_components(pairs)
+    docs = t["documents"].select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    labeled = docs.join(comp, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("cluster")
+    )
+    fam = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return fam.groupBy(F.col("n_docs").alias("family_size")).agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum("n_docs").cast("long").alias("n_docs_total"),
+    )
