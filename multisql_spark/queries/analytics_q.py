@@ -3270,3 +3270,136 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm_q") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("mean_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split with embargo gap (time-series CV)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_time_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT min({_EPOCH}) AS lo, max({_EPOCH}) AS hi FROM events
+    ),
+    tagged AS (
+      SELECT event_id, user_id, {_EPOCH} AS ts_sec,
+        CASE
+          WHEN {_EPOCH} < lo + CAST((hi - lo) * 0.7 AS BIGINT)
+            THEN 'train'
+          WHEN {_EPOCH} >= lo + CAST((hi - lo) * 0.7 AS BIGINT) + 86400
+            THEN 'test'
+          ELSE 'embargo'
+        END AS part
+      FROM events, b
+    )
+    SELECT part,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(min(ts_sec) AS BIGINT) AS first_sec,
+           CAST(max(ts_sec) AS BIGINT) AS last_sec
+    FROM tagged GROUP BY part
+    """,
+    tags=("sampling", "time-split", "embargo"),
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a 1-day embargo gap: train on the
+    first 70% of the time span, discard the embargo day, test on the
+    rest — the time-series cross-validation protocol (hash splits leak
+    temporally-correlated rows; the embargo kills boundary leakage from
+    lagged features).
+
+    The span bounds are one bounded aggregation broadcast back; the
+    per-split audit (counts, user coverage, actual boundaries) verifies
+    the gap in the same pass."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    e = t["events"].select("event_id", "user_id", ts.alias("ts_sec"))
+    b = e.agg(F.min("ts_sec").alias("lo"), F.max("ts_sec").alias("hi"))
+    j = e.crossJoin(F.broadcast(b))
+    cut = F.col("lo") + (
+        (F.col("hi") - F.col("lo")) * 0.7
+    ).cast("long")
+    part = (
+        F.when(F.col("ts_sec") < cut, "train")
+        .when(F.col("ts_sec") >= cut + 86400, "test")
+        .otherwise("embargo")
+    )
+    return j.select(part.alias("part"), "event_id", "user_id", "ts_sec").groupBy(
+        "part"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("ts_sec").cast("long").alias("first_sec"),
+        F.max("ts_sec").cast("long").alias("last_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto front (skyline): cheapest part per strictly-larger size class
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ),
+    per_size AS (
+      SELECT p_size, min(cents) AS mn FROM p GROUP BY p_size
+    ),
+    pref AS (
+      SELECT p_size,
+             min(mn) OVER (
+               ORDER BY p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_larger
+      FROM per_size
+    )
+    SELECT p.p_partkey, p.p_size,
+           round(p.cents / 100.0, 2) AS price
+    FROM p JOIN pref ON p.p_size = pref.p_size
+    WHERE pref.best_larger IS NULL OR p.cents <= pref.best_larger
+    """,
+    tags=("skyline", "pareto"),
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front (skyline): parts not strictly dominated on
+    (bigger size, lower price) — the multi-objective shortlist
+    operator (supplier selection, config search).
+
+    2-D skyline reduces to a prefix-min: per-size minimum prices (one
+    bounded aggregation) take a running min over strictly larger sizes —
+    a window over the DISTINCT size values only, never the part table —
+    then dominance is a broadcast join + one comparison per part."""
+    t = load_tables(spark, sf_dir, ["part"])
+    p = t["part"].select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_size = p.groupBy("p_size").agg(F.min("cents").alias("mn"))
+    wl = W.orderBy(F.desc("p_size")).rowsBetween(
+        W.unboundedPreceding, -1
+    )  # distinct sizes: tiny table
+    pref = per_size.withColumn("best_larger", F.min("mn").over(wl)).select(
+        "p_size", "best_larger"
+    )
+    return (
+        p.join(F.broadcast(pref), "p_size")
+        .filter(
+            F.col("best_larger").isNull()
+            | (F.col("cents") <= F.col("best_larger"))
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+        )
+    )
