@@ -3403,3 +3403,58 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents") / 100.0, 2).alias("price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness: collection frequency vs document frequency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    stats AS (
+      SELECT tk, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY tk
+    )
+    SELECT tk AS token, cf, df,
+           round(cf * 1.0 / df, 6) AS burstiness
+    FROM stats
+    WHERE cf >= 50
+    ORDER BY burstiness DESC, tk
+    LIMIT 20
+    """,
+    tags=("text", "burstiness", "corpus-stats"),
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness: collection frequency ÷ document frequency —
+    words that pile up inside few documents (templates, boilerplate,
+    spam markers) score high; evenly-spread function words sit near 1.
+
+    One explode + one groupBy computes both frequencies (count +
+    count-distinct in the same aggregation buffer); the top-20 is a
+    TakeOrderedAndProject heap with a token tie-break.  The burstiness
+    ratio is exact integers divided once at the end."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    )
+    stats = tok.groupBy("tk").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        stats.filter(F.col("cf") >= 50)
+        .select(
+            F.col("tk").alias("token"),
+            "cf",
+            "df",
+            F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("token"))
+        .limit(20)
+    )
