@@ -3458,3 +3458,169 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), F.asc("token"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode aggregate: most frequent value per group (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_brand_mode",
+    oracle="""
+    WITH c AS (
+      SELECT p_type, p_brand, COUNT(*) AS n
+      FROM part GROUP BY p_type, p_brand
+    ),
+    t AS (SELECT p_type, sum(n) AS tot FROM c GROUP BY p_type)
+    SELECT c.p_type, p_brand AS modal_brand, n AS n_modal,
+           round(n * 1.0 / tot, 6) AS modal_share
+    FROM (
+      SELECT p_type, p_brand, n,
+             row_number() OVER (
+               PARTITION BY p_type ORDER BY n DESC, p_brand) AS rk
+      FROM c
+    ) c JOIN t ON c.p_type = t.p_type
+    WHERE rk = 1
+    """,
+    tags=("aggregate", "mode"),
+)
+def part_brand_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group: each part type's most common brand and its
+    share — the MODE aggregate (absent from both engines' exact
+    aggregate sets) built deterministically.
+
+    Counts are one aggregation; the modal pick is a WindowGroupLimit
+    head over the bounded (type, brand) table with a lexicographic
+    tie-break, so ties resolve identically everywhere."""
+    t = load_tables(spark, sf_dir, ["part"])
+    c = t["part"].groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("p_type").agg(F.sum("n").alias("tot"))
+    rk = F.row_number().over(
+        W.partitionBy("p_type").orderBy(F.desc("n"), F.asc("p_brand"))
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(tot), "p_type")
+        .select(
+            "p_type",
+            F.col("p_brand").alias("modal_brand"),
+            F.col("n").alias("n_modal"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("modal_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (integer power iteration)
+# ---------------------------------------------------------------------------
+
+_MK_SCALE = 1000000000  # 1e-9 probability units (exact integer algebra)
+
+
+def _markov_step_sql(n: int) -> str:
+    """One integer power-iteration step as SQL: p'_j = Σ_i p_i·T_ij/S."""
+    return f"""
+      SELECT t.to_type AS state,
+             CAST(sum(p.mass * t.tq / {_MK_SCALE}) AS BIGINT) AS mass
+      FROM p{n} p JOIN tmat t ON t.from_type = p.state
+      GROUP BY t.to_type
+    """
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT),
+                        event_id) AS next_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT from_type, sum(n) AS rt FROM cnt GROUP BY 1),
+    tmat AS (
+      SELECT c.from_type, c.to_type,
+             CAST(floor(c.n * {_MK_SCALE}.0 / r.rt + 0.5) AS BIGINT)
+               AS tq
+      FROM cnt c JOIN rowtot r ON c.from_type = r.from_type
+    ),
+    states AS (SELECT DISTINCT from_type AS state FROM cnt),
+    nstates AS (SELECT COUNT(*) AS ns FROM states),
+    p0 AS (
+      SELECT state, CAST({_MK_SCALE} // ns AS BIGINT) AS mass
+      FROM states, nstates
+    ),
+    p1 AS ({_markov_step_sql(0)}),
+    p2 AS ({_markov_step_sql(1)}),
+    p3 AS ({_markov_step_sql(2)}),
+    p4 AS ({_markov_step_sql(3)})
+    SELECT state, round(mass / {_MK_SCALE}.0, 6) AS stationary_prob
+    FROM p4
+    """,
+    tags=("temporal", "markov", "stationary"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationary estimate: the event-type transition matrix
+    power-iterated 4 steps from uniform — where user journeys spend
+    their time in the long run.
+
+    The whole computation after the one windowed transition count runs
+    on the |types|² matrix in 1e-9 integer probability units with
+    floor division — every iteration is exact integer algebra, so the
+    fixed-point replay is bit-identical to the chained-CTE oracle (the
+    same scheme as `dedup_graph_pagerank`)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_id", "event_type", ts.alias("ts_sec")
+    ).withColumn("next_type", F.lead("event_type").over(w))
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowtot = cnt.groupBy("from_type").agg(F.sum("n").alias("rt"))
+    tmat = cnt.join(rowtot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.floor(F.col("n") * float(_MK_SCALE) / F.col("rt") + 0.5)
+        .cast("long")
+        .alias("tq"),
+    ).localCheckpoint(eager=True)
+    states = cnt.select(F.col("from_type").alias("state")).distinct()
+    ns = states.count()
+    p = states.select(
+        "state", F.lit(_MK_SCALE // ns).cast("long").alias("mass")
+    )
+    for _ in range(4):
+        p = (
+            p.join(tmat, p.state == tmat.from_type)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(
+                F.sum(
+                    (F.col("mass") * F.col("tq") / F.lit(_MK_SCALE))
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("mass")
+            )
+        )
+    return p.select(
+        "state",
+        F.round(F.col("mass") / float(_MK_SCALE), 6).alias(
+            "stationary_prob"
+        ),
+    )
