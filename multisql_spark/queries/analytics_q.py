@@ -3624,3 +3624,146 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stationary_prob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier time-to-conversion curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH su AS (
+      SELECT CAST(user_id AS BIGINT) AS u, min({_EPOCH}) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT su.u, su.t0, min({_EPOCH}) AS tc
+      FROM su JOIN events e ON CAST(e.user_id AS BIGINT) = su.u
+       AND e.event_type = 'purchase' AND {_EPOCH} >= su.t0
+      GROUP BY su.u, su.t0
+    ),
+    horizon AS (SELECT max({_EPOCH}) AS hz FROM events),
+    obs AS (
+      SELECT su.u,
+             CASE WHEN conv.tc IS NULL THEN hz - su.t0
+                  ELSE conv.tc - su.t0 END AS dur,
+             CASE WHEN conv.tc IS NULL THEN 0 ELSE 1 END AS died
+      FROM su LEFT JOIN conv ON su.u = conv.u, horizon
+    ),
+    times AS (
+      SELECT dur AS t, sum(died) AS d, COUNT(*) AS leaving
+      FROM obs GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+        (SELECT COUNT(*) FROM obs) - coalesce(sum(leaving) OVER (
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS n_at_risk
+      FROM times
+    ),
+    lg AS (
+      SELECT t, d, n_at_risk,
+        CASE WHEN n_at_risk > d THEN
+          CAST(floor(ln((n_at_risk - d) * 1.0 / n_at_risk)
+               * 1000000000 + 0.5) AS BIGINT)
+        END AS lq
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS dur_sec,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN n_at_risk = d THEN 0.0 ELSE
+             round(exp(sum(lq) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) / 1000000000.0), 6)
+           END AS survival
+    FROM lg
+    """,
+    tags=("survival", "kaplan-meier"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time from signup to first
+    purchase, right-censored at the observation horizon — the
+    time-to-event estimator behind conversion-lag and churn analyses.
+
+    Per-user durations are two keyed aggregations; the KM product
+    ∏(1−dᵗ/nᵗ) is computed as a running SUM of 1e-9-quantized log
+    factors (exact integers — order-safe, unlike a float product
+    chain), so the curve hash-matches the oracle.  The ordered pass
+    runs over DISTINCT event times (bounded by conversions); at extreme
+    scale it takes the same bucket-offset treatment as the ABC
+    cumulative."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    e = t["events"].select(
+        F.col("user_id").cast("long").alias("u"),
+        "event_type",
+        ts.alias("ts_sec"),
+    )
+    su = e.filter(F.col("event_type") == "signup").groupBy("u").agg(
+        F.min("ts_sec").alias("t0")
+    )
+    conv = (
+        su.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "u", F.col("ts_sec").alias("tp")
+            ),
+            "u",
+        )
+        .filter(F.col("tp") >= F.col("t0"))
+        .groupBy("u", "t0")
+        .agg(F.min("tp").alias("tc"))
+    )
+    hz = e.agg(F.max("ts_sec").alias("hz"))
+    obs = (
+        su.join(conv.select("u", "tc"), "u", "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "u",
+            F.when(
+                F.col("tc").isNull(), F.col("hz") - F.col("t0")
+            )
+            .otherwise(F.col("tc") - F.col("t0"))
+            .alias("dur"),
+            F.when(F.col("tc").isNull(), 0).otherwise(1).alias("died"),
+        )
+    )
+    n_total = obs.count()
+    times = obs.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    before = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = times.withColumn(
+        "n_at_risk",
+        F.lit(n_total)
+        - F.coalesce(F.sum("leaving").over(before), F.lit(0)),
+    ).filter(F.col("d") > 0)
+    lq = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")) / F.col("n_at_risk")
+            )
+            * 1000000000
+            + 0.5
+        ).cast("long"),
+    )
+    run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risk.withColumn("lq", lq)
+        .withColumn(
+            "survival",
+            F.when(F.col("n_at_risk") == F.col("d"), F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("lq").over(run) / 1000000000.0), 6)
+            ),
+        )
+        .select(
+            F.col("t").cast("long").alias("dur_sec"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            "survival",
+        )
+    )
