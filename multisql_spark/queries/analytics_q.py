@@ -3767,3 +3767,195 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Price/volume/mix decomposition of revenue change between two periods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_mix_decomposition",
+    oracle="""
+    WITH half AS (
+      SELECT o_orderpriority AS seg,
+             CASE WHEN o_orderdate < TIMESTAMP '2024-07-01'
+               THEN 1 ELSE 2 END AS period,
+             COUNT(*) AS q,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT a.seg,
+             a.q AS q1, b.q AS q2,
+             a.cents AS c1, b.cents AS c2,
+             CAST(floor(a.cents * 1000000.0 / a.q + 0.5) AS BIGINT)
+               AS p1q,
+             CAST(floor(b.cents * 1000000.0 / b.q + 0.5) AS BIGINT)
+               AS p2q
+      FROM half a JOIN half b
+        ON a.seg = b.seg AND a.period = 1 AND b.period = 2
+    )
+    SELECT seg,
+      round((c2 - c1) / 100.0, 2) AS revenue_delta,
+      round((q2 - q1) * CAST(p1q AS HUGEINT) / 100000000.0, 2)
+        AS volume_effect,
+      round(q1 * CAST(p2q - p1q AS HUGEINT) / 100000000.0, 2)
+        AS price_effect,
+      round((q2 - q1) * CAST(p2q - p1q AS HUGEINT) / 100000000.0, 2)
+        AS joint_effect
+    FROM wide
+    """,
+    tags=("finance", "decomposition", "mix"),
+)
+def orders_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix decomposition: each segment's half-over-half
+    revenue change split into volume effect (ΔQ·P̄₁), price effect
+    (Q₁·ΔP̄), and the joint term — the FP&A variance-bridge shape.
+
+    One conditional aggregation to (segment, period) cells; average
+    prices quantize to 1e-6 cents before the effect products
+    (DECIMAL/HUGEINT), so the bridge reconciles identically on both
+    engines."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    period = F.when(
+        F.col("o_orderdate") < "2024-07-01", 1
+    ).otherwise(2)
+    half = t["orders"].select(
+        F.col("o_orderpriority").alias("seg"),
+        period.alias("period"),
+        cents.alias("cents"),
+    ).groupBy("seg", "period").agg(
+        F.count(F.lit(1)).alias("q"), F.sum("cents").alias("cents")
+    )
+    pq = F.floor(
+        F.col("cents") * 1000000.0 / F.col("q") + 0.5
+    ).cast("long")
+    a = half.filter(F.col("period") == 1).select(
+        "seg",
+        F.col("q").alias("q1"),
+        F.col("cents").alias("c1"),
+        pq.alias("p1q"),
+    )
+    b = half.filter(F.col("period") == 2).select(
+        "seg",
+        F.col("q").alias("q2"),
+        F.col("cents").alias("c2"),
+        pq.alias("p2q"),
+    )
+    dec = "decimal(38,0)"
+    w = a.join(b, "seg")
+    return w.select(
+        "seg",
+        F.round((F.col("c2") - F.col("c1")) / 100.0, 2).alias(
+            "revenue_delta"
+        ),
+        F.round(
+            ((F.col("q2") - F.col("q1")).cast(dec) * F.col("p1q"))
+            .cast("double")
+            / 100000000.0,
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            (F.col("q1").cast(dec) * (F.col("p2q") - F.col("p1q")))
+            .cast("double")
+            / 100000000.0,
+            2,
+        ).alias("price_effect"),
+        F.round(
+            (
+                (F.col("q2") - F.col("q1")).cast(dec)
+                * (F.col("p2q") - F.col("p1q"))
+            ).cast("double")
+            / 100000000.0,
+            2,
+        ).alias("joint_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-lag autocorrelation of hourly rates (periodicity strength)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_autocorr_daily",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS cnt, sum(n) AS sn
+      FROM hourly GROUP BY event_type
+    ),
+    paired AS (
+      SELECT cur.event_type,
+             CAST(cur.n AS HUGEINT) * m.cnt - m.sn AS xa,
+             CAST(nxt.n AS HUGEINT) * m.cnt - m.sn AS xb
+      FROM hourly cur
+      JOIN hourly nxt ON nxt.event_type = cur.event_type
+       AND nxt.h = cur.h + 86400
+      JOIN m ON m.event_type = cur.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n_pairs,
+           round(CAST(sum(xa * xb) AS DOUBLE)
+                 / sqrt(CAST(sum(xa * xa) AS DOUBLE))
+                 / sqrt(CAST(sum(xb * xb) AS DOUBLE)), 6)
+             AS daily_autocorr
+    FROM paired GROUP BY event_type
+    """,
+    tags=("temporal", "autocorrelation", "periodicity"),
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily periodicity strength: Pearson correlation between each
+    hour's rate and the same hour one day later, per stream — near 1
+    means strong daily seasonality (validating the seasonal-naive
+    forecast), near 0 means the profile is noise.
+
+    Deviations are n-scaled exact integers (x·cnt − Σx — no float
+    mean), so the correlation's numerator and squared sums are exact
+    HUGEINT/DECIMAL algebra; one bounded rollup, one self-join on
+    (type, h+24h)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("h")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("sn")
+    )
+    dec = "decimal(38,0)"
+    nxt = hourly.select(
+        "event_type",
+        (F.col("h") - 86400).alias("h"),
+        F.col("n").alias("n_next"),
+    )
+    paired = (
+        hourly.join(nxt, ["event_type", "h"])
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            (F.col("n").cast(dec) * F.col("cnt") - F.col("sn")).alias(
+                "xa"
+            ),
+            (
+                F.col("n_next").cast(dec) * F.col("cnt") - F.col("sn")
+            ).alias("xb"),
+        )
+    )
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("xa") * F.col("xb")).cast("double")
+            / F.sqrt(F.sum(F.col("xa") * F.col("xa")).cast("double"))
+            / F.sqrt(F.sum(F.col("xb") * F.col("xb")).cast("double")),
+            6,
+        ).alias("daily_autocorr"),
+    )
