@@ -3959,3 +3959,67 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("daily_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (forensic accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_benford_screen",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS o FROM d GROUP BY digit),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT digit, o AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)
+             AS benford_expected,
+           round(o * 1.0 / n, 6) AS observed_share,
+           CAST(floor(
+             (o - n * ln(1.0 + 1.0 / digit) / ln(10.0))
+             * (o - n * ln(1.0 + 1.0 / digit) / ln(10.0))
+             / (n * ln(1.0 + 1.0 / digit) / ln(10.0))
+             * 1000000 + 0.5) AS BIGINT) AS chisq_term_q
+    FROM obs, tot
+    """,
+    tags=("audit", "benford", "fraud"),
+)
+def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order amounts — the
+    forensic-accounting test: fabricated figures drift from the
+    log-uniform leading-digit distribution.
+
+    The first digit comes from the integer-cents DECIMAL string (both
+    engines print integers identically — no float formatting in the
+    key), digit counts are one aggregation, and each digit's chi-square
+    term is quantized for an order-free total."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    e = F.col("n") * exp_p
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("o").alias("observed"),
+        F.round(exp_p, 6).alias("benford_expected"),
+        F.round(F.col("o") / F.col("n"), 6).alias("observed_share"),
+        F.floor(
+            (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("chisq_term_q"),
+    )
