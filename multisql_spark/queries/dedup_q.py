@@ -854,3 +854,116 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_families"),
         F.sum("n_docs").cast("long").alias("n_docs_total"),
     )
+
+
+def _lsh_pr_oracle() -> str:
+    cand = _minhash_oracle()
+    return f"""
+    WITH cand AS ({cand}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.est_sim >= 0.5 AS pred,
+        coalesce(i.ni, 0) * 2 >= sa.nt + sb.nt - coalesce(i.ni, 0)
+          AS truth
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+        AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+        AS BIGINT) AS fn,
+      round(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) * 1.0
+            / nullif(sum(CASE WHEN pred THEN 1 ELSE 0 END), 0), 6)
+        AS precision_at_05,
+      round(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) * 1.0
+            / nullif(sum(CASE WHEN truth THEN 1 ELSE 0 END), 0), 6)
+        AS recall_within_candidates
+    FROM scored
+    """
+
+
+@register(
+    "dedup_lsh_precision_recall",
+    oracle=_lsh_pr_oracle(),
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dedup_lsh_precision_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision/recall of the MinHash estimate at the 0.5 delete
+    threshold, judged against exact token Jaccard (2·|∩| ≥ |∪| in pure
+    integer form) — the confusion-matrix summary that complements the
+    per-level `dedup_minhash_calibration` curve.
+
+    Recall is measured WITHIN the LSH candidate set (pairs no band
+    proposed are invisible to both systems — the banding miss rate is
+    the separate 1−(1−s^r)^b analytical bound).  Same bounded keyed
+    joins as the calibration harness; the verdict is one aggregation
+    of integer flags."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    sigs = dedup.minhash_signatures(docs, k=K)
+    cand = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    tok = docs.select(
+        "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nt").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb")
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (F.col("est_sim") >= 0.5).alias("pred"),
+            (ni * 2 >= F.col("na") + F.col("nb") - ni).alias("truth"),
+        )
+    )
+    tp = F.sum(F.when(F.col("pred") & F.col("truth"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("pred") & ~F.col("truth"), 1).otherwise(0))
+    fn = F.sum(F.when(~F.col("pred") & F.col("truth"), 1).otherwise(0))
+    npred = F.sum(F.when(F.col("pred"), 1).otherwise(0))
+    ntruth = F.sum(F.when(F.col("truth"), 1).otherwise(0))
+    return scored.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp / F.nullif(npred, F.lit(0)), 6).alias(
+            "precision_at_05"
+        ),
+        F.round(tp / F.nullif(ntruth, F.lit(0)), 6).alias(
+            "recall_within_candidates"
+        ),
+    )
