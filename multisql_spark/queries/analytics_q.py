@@ -4023,3 +4023,107 @@ def orders_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chisq_term_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise KL divergence between source token distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_source_kl_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    cnt AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT tk) AS v FROM cnt),
+    grid AS (
+      SELECT a.source AS src_a, b.source AS src_b, k.tk,
+             coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb,
+             ta.t AS tta, tb.t AS ttb, vocab.v
+      FROM tot a
+      JOIN tot b ON a.source < b.source
+      CROSS JOIN (SELECT DISTINCT tk FROM cnt) k
+      LEFT JOIN cnt ca ON ca.source = a.source AND ca.tk = k.tk
+      LEFT JOIN cnt cb ON cb.source = b.source AND cb.tk = k.tk
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      CROSS JOIN vocab
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+        CAST(floor(((ca + 1.0) / (tta + v))
+             * ln(((ca + 1.0) / (tta + v)) / ((cb + 1.0) / (ttb + v)))
+             * 1000000000 + 0.5) AS BIGINT) AS klq
+      FROM grid
+    )
+    SELECT src_a, src_b,
+           round(sum(klq) / 1000000000.0, 6) AS kl_ab
+    FROM terms GROUP BY src_a, src_b
+    """,
+    tags=("monitor", "kl", "distribution"),
+)
+def monitor_source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL divergence KL(a‖b) between every source pair's
+    add-one-smoothed token distribution — the distribution-distance
+    matrix behind source clustering and mixture design (which corpora
+    are near-duplicates of each other, which are genuinely novel).
+
+    The (source, token) count table is one aggregation; the pair grid
+    joins it twice on the token key over the |sources|²/2 pairs — work
+    is |pairs|×|vocab|, all keyed joins.  Smoothing puts every pair on
+    the full shared vocabulary; per-term contributions quantize to
+    1e-9 integers so the matrix is exact at any parallelism."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "source", F.explode(F.split("text", " ")).alias("tk")
+    )
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    v = cnt.select("tk").distinct().count()
+    vocab = cnt.select("tk").distinct()
+    pairs = (
+        tot.select(F.col("source").alias("src_a"), F.col("t").alias("tta"))
+        .crossJoin(
+            tot.select(
+                F.col("source").alias("src_b"), F.col("t").alias("ttb")
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    grid = (
+        pairs.crossJoin(vocab)
+        .join(
+            cnt.select(
+                F.col("source").alias("src_a"),
+                "tk",
+                F.col("c").alias("ca"),
+            ),
+            ["src_a", "tk"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("src_b"),
+                "tk",
+                F.col("c").alias("cb"),
+            ),
+            ["src_b", "tk"],
+            "left",
+        )
+    )
+    pa = (F.coalesce(F.col("ca"), F.lit(0)) + 1.0) / (
+        F.col("tta") + F.lit(v)
+    )
+    pb = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (
+        F.col("ttb") + F.lit(v)
+    )
+    klq = F.floor(pa * F.log(pa / pb) * 1000000000 + 0.5).cast("long")
+    return (
+        grid.select("src_a", "src_b", klq.alias("klq"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("klq") / 1000000000.0, 6).alias("kl_ab"))
+    )
