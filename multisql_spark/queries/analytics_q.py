@@ -4127,3 +4127,142 @@ def monitor_source_kl_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.round(F.sum("klq") / 1000000000.0, 6).alias("kl_ab"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimensionality: two-NN MLE over a query sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_intrinsic_dim",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+               ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INT) END) AS qv
+      FROM emb
+    ),
+    nrm AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x))
+               AS BIGINT) AS n2
+      FROM q8
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS qq, n2 AS qn2
+           FROM nrm WHERE vec_id < 100),
+    d2 AS (
+      SELECT q_id,
+             qn2 + c.n2 - 2 * CAST(list_sum(list_transform(
+               range(1, len(qq) + 1), i -> CAST(qq[i] AS BIGINT) * c.qv[i]))
+               AS BIGINT) AS dist2,
+             c.vec_id AS cand_id
+      FROM qs, nrm c WHERE c.vec_id <> q_id
+    ),
+    top2 AS (
+      SELECT q_id, dist2,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY dist2, cand_id) AS rk
+      FROM d2
+    ),
+    rr AS (
+      SELECT a.q_id, a.dist2 AS r1sq, b.dist2 AS r2sq
+      FROM top2 a JOIN top2 b
+        ON a.q_id = b.q_id AND a.rk = 1 AND b.rk = 2
+      WHERE a.dist2 > 0
+    ),
+    terms AS (
+      SELECT CAST(floor(0.5 * ln(r2sq * 1.0 / r1sq)
+             * 1000000000 + 0.5) AS BIGINT) AS lq
+      FROM rr
+    )
+    SELECT COUNT(*) AS n_used,
+           round(COUNT(*) * 1000000000.0 / sum(lq), 4) AS id_mle
+    FROM terms
+    """,
+    tags=("similarity", "intrinsic-dimension"),
+)
+def sim_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic dimensionality of the embedding space via the TwoNN
+    MLE: id ≈ n / Σ ln(r₂/r₁) over a 100-point sample — tells you
+    whether a 64-dim space really carries 64 dims of structure (ANN
+    recall and quantization loss both degrade with intrinsic dim).
+
+    Runs on the shared int8 quantization: squared distances are exact
+    integers (‖a‖²+‖b‖²−2a·b), the two nearest neighbors come from a
+    WindowGroupLimit heap, duplicate points (r₁=0) are excluded
+    identically on both engines, and the log-ratio terms quantize at
+    1e-9 before the sum.  Sample-sized: the harness cost is
+    (sample × corpus), decoupled from corpus²."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x))
+        ).alias("mx"),
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+                F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int")
+            ),
+        ).alias("qv"),
+    )
+    nrm = q8.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x.cast("long") * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    qs = nrm.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("qv"), lambda a, b: a.cast("long") * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2 = (
+        nrm.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            (F.col("qn2") + F.col("n2") - 2 * dot).alias("dist2"),
+            F.col("vec_id").alias("cand_id"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cand_id"))
+    )
+    top2 = d2.withColumn("rk", rk).filter(F.col("rk") <= 2)
+    r1 = top2.filter(F.col("rk") == 1).select(
+        "q_id", F.col("dist2").alias("r1sq")
+    )
+    r2 = top2.filter(F.col("rk") == 2).select(
+        "q_id", F.col("dist2").alias("r2sq")
+    )
+    rr = r1.join(r2, "q_id").filter(F.col("r1sq") > 0)
+    lq = F.floor(
+        0.5 * F.log(F.col("r2sq") / F.col("r1sq")) * 1000000000 + 0.5
+    ).cast("long")
+    return rr.select(lq.alias("lq")).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.round(
+            F.count(F.lit(1)) * 1000000000.0 / F.sum("lq"), 4
+        ).alias("id_mle"),
+    )
