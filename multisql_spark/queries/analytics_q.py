@@ -4266,3 +4266,67 @@ def sim_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * 1000000000.0 / F.sum("lq"), 4
         ).alias("id_mle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: training tokens recovered by exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_token_savings",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(sum(est_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id <> keeper
+                    THEN est_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_saved,
+           round(sum(CASE WHEN doc_id <> keeper
+                     THEN est_tokens ELSE 0 END) * 1.0
+                 / sum(est_tokens), 6) AS savings_rate
+    FROM d GROUP BY source
+    """,
+    tags=("dedup", "savings", "report"),
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report: per source, the BPE-estimate training
+    tokens recovered by exact dedup (keep the min-id copy of each
+    content hash) — the number that justifies the dedup compute bill.
+
+    The keeper choice is a window min over the 32-byte content digest
+    (only digests shuffle); the savings rollup is one aggregation."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    est = F.ceil(F.length("text") / 4.0).cast("long")
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        est.alias("est_tokens"),
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias(
+            "keeper"
+        ),
+    )
+    dropped = F.col("doc_id") != F.col("keeper")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(dropped, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum("est_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(dropped, F.col("est_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_saved"),
+        F.round(
+            F.sum(F.when(dropped, F.col("est_tokens")).otherwise(0))
+            / F.sum("est_tokens"),
+            6,
+        ).alias("savings_rate"),
+    )
