@@ -4330,3 +4330,113 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("savings_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty quantification: deterministic half-sample bootstrap SE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bootstrap_se",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hb
+      FROM events
+    ),
+    reps AS (
+      SELECT r.i AS rep,
+             sum(CASE WHEN (hb // (1 << r.i)) % 2 = 0
+                 THEN yq ELSE 0 END) AS s,
+             sum(CASE WHEN (hb // (1 << r.i)) % 2 = 0
+                 THEN 1 ELSE 0 END) AS n
+      FROM h, (SELECT unnest(range(0, 16)) AS i) r
+      GROUP BY r.i
+    ),
+    means AS (
+      SELECT rep,
+             CAST(floor(s * 1000000.0 / n + 0.5) AS BIGINT) AS mq
+      FROM reps
+    ),
+    agg AS (
+      SELECT COUNT(*) AS b, sum(CAST(mq AS HUGEINT)) AS sm,
+             sum(CAST(mq AS HUGEINT) * mq) AS smm
+      FROM means
+    )
+    SELECT b AS n_replicates,
+           round(CAST(sm AS DOUBLE) / b / 1000000000000.0, 6)
+             AS mean_of_means,
+           round(sqrt((CAST(smm AS DOUBLE)
+                       - CAST(sm AS DOUBLE) * sm / b) / (b - 1))
+                 / 1000000000000.0 / sqrt(2.0), 6) AS half_sample_se
+    FROM agg
+    """,
+    tags=("monitor", "bootstrap", "uncertainty"),
+)
+def events_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of the mean event value via deterministic
+    half-sample bootstrap: 16 replicates, each keeping the rows whose
+    md5 bit i is 0 (≈ half the data), SE = std(replicate means)/√2 —
+    uncertainty quantification with NO random state, so the interval is
+    reproducible across engines, reruns, and partitionings.
+
+    All 16 replicate sums fold into ONE aggregation pass (conditional
+    sums on md5 bits); replicate means quantize to 1e-6 before the
+    across-replicate moments (exact HUGEINT)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    yq = F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+    hb = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = t["events"].select(yq.alias("yq"), hb.alias("hb"))
+    aggs = []
+    for i in range(16):
+        bit = (F.col("hb") / F.lit(1 << i)).cast("long") % 2
+        aggs.append(
+            F.sum(F.when(bit == 0, F.col("yq")).otherwise(0)).alias(
+                f"s_{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(bit == 0, 1).otherwise(0)).alias(f"n_{i}")
+        )
+    wide = h.agg(*aggs)
+    reps = None
+    for i in range(16):
+        row = wide.select(
+            F.lit(i).alias("rep"),
+            F.floor(
+                F.col(f"s_{i}") * 1000000.0 / F.col(f"n_{i}") + 0.5
+            )
+            .cast("long")
+            .alias("mq"),
+        )
+        reps = row if reps is None else reps.unionByName(row)
+    dec = "decimal(38,0)"
+    return reps.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(
+            F.sum(F.col("mq").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+            / 1.0e12,
+            6,
+        ).alias("mean_of_means"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("mq").cast(dec) * F.col("mq")).cast(
+                        "double"
+                    )
+                    - F.sum(F.col("mq").cast(dec)).cast("double")
+                    * F.sum(F.col("mq").cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+            / 1.0e12
+            / F.sqrt(F.lit(2.0)),
+            6,
+        ).alias("half_sample_se"),
+    )
