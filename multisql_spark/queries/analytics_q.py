@@ -4440,3 +4440,150 @@ def events_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("half_sample_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-selection frontier: tokens kept vs mean quality at decile cuts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_selection_frontier",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+             CAST(floor(least(length(text) / 500.0, 1.0)
+               * (len(list_distinct(string_split(text, ' ')))
+                  * 1.0 / len(string_split(text, ' ')))
+               * 1000000 + 0.5) AS BIGINT) AS qscore
+      FROM documents
+    ),
+    ranked AS (
+      SELECT est_tokens, qscore,
+             ntile(10) OVER (ORDER BY qscore DESC, doc_id) AS decile
+      FROM q
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n, sum(est_tokens) AS toks,
+             sum(CAST(qscore AS HUGEINT)) AS sq
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile AS keep_top_deciles,
+           CAST(sum(n) OVER w AS BIGINT) AS docs_kept,
+           CAST(sum(toks) OVER w AS BIGINT) AS tokens_kept,
+           round(CAST(sum(sq) OVER w AS DOUBLE)
+                 / sum(n) OVER w / 1000000.0, 6) AS mean_quality
+    FROM per
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("pipeline", "selection", "frontier"),
+)
+def pipeline_selection_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-vs-quantity selection frontier: for each "keep the top k
+    deciles by quality" cut, the documents/tokens retained and their
+    mean quality — the curve that picks the data-selection operating
+    point before a training run.
+
+    Deciles come from the quality rank (at 100 TB: the approx-cutpoint
+    bucketing of `pipeline_budget_select`); the frontier itself is a
+    cumulative window over TEN rows.  Quality is the deterministic
+    length×diversity score quantized at 1e-6."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    qscore = F.floor(
+        F.least(F.length("text") / 500.0, F.lit(1.0))
+        * (F.size(F.array_distinct(toks)) / F.size(toks))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    q = t["documents"].select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+        qscore.alias("qscore"),
+    )
+    decile = F.ntile(10).over(W.orderBy(F.desc("qscore"), F.asc("doc_id")))
+    per = (
+        q.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("est_tokens").alias("toks"),
+            F.sum(F.col("qscore").cast("decimal(38,0)")).alias("sq"),
+        )
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").alias("keep_top_deciles"),
+        F.sum("n").over(w).cast("long").alias("docs_kept"),
+        F.sum("toks").over(w).cast("long").alias("tokens_kept"),
+        F.round(
+            F.sum("sq").over(w).cast("double")
+            / F.sum("n").over(w)
+            / 1000000.0,
+            6,
+        ).alias("mean_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reliability: MTBF / error availability per stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_reliability_mtbf",
+    oracle=f"""
+    WITH span AS (
+      SELECT min({_EPOCH}) AS lo, max({_EPOCH}) AS hi,
+             COUNT(*) AS n_total FROM events
+    ),
+    err AS (
+      SELECT COUNT(*) AS n_err FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST(hi - lo AS BIGINT) AS observed_sec,
+           CAST(n_err AS BIGINT) AS n_errors,
+           CAST((hi - lo) // greatest(n_err, 1) AS BIGINT)
+             AS mtbf_sec,
+           round(n_err * 86400.0 / (hi - lo), 4) AS errors_per_day,
+           round(1.0 - n_err * 1.0 / n_total, 6) AS non_error_rate
+    FROM span, err
+    """,
+    tags=("monitor", "reliability", "mtbf"),
+)
+def events_reliability_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability headline: mean time between 'error' events, error
+    rate per day, and the non-error fraction of all traffic — the SRE
+    summary row.
+
+    Two global aggregations (span + error count) — entirely
+    map-side-combinable; integer second arithmetic end to end."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    e = t["events"].select(
+        ts.alias("ts_sec"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    s = e.agg(
+        F.min("ts_sec").alias("lo"),
+        F.max("ts_sec").alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("is_err").alias("n_err"),
+    )
+    span = F.col("hi") - F.col("lo")
+    return s.select(
+        span.cast("long").alias("observed_sec"),
+        F.col("n_err").cast("long").alias("n_errors"),
+        F.floor(span / F.greatest(F.col("n_err"), F.lit(1)))
+        .cast("long")
+        .alias("mtbf_sec"),
+        F.round(F.col("n_err") * 86400.0 / span, 4).alias(
+            "errors_per_day"
+        ),
+        F.round(1.0 - F.col("n_err") / F.col("n_total"), 6).alias(
+            "non_error_rate"
+        ),
+    )
