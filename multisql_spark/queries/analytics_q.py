@@ -4488,9 +4488,10 @@ def pipeline_selection_frontier(
     mean quality — the curve that picks the data-selection operating
     point before a training run.
 
-    Deciles come from the quality rank (at 100 TB: the approx-cutpoint
-    bucketing of `pipeline_budget_select`); the frontier itself is a
-    cumulative window over TEN rows.  Quality is the deterministic
+    Exact global quality ranks come from the bucket-offset pattern
+    (approx-percentile ranges + tiny prefix windows — no global sort
+    anywhere); the ten ntile boundaries are computed arithmetically and
+    joined against the cumulative stream.  Quality is the deterministic
     length×diversity score quantized at 1e-6."""
     t = load_tables(spark, sf_dir, ["documents"])
     toks = F.split("text", " ")
@@ -4505,26 +4506,67 @@ def pipeline_selection_frontier(
         F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
         qscore.alias("qscore"),
     )
-    decile = F.ntile(10).over(W.orderBy(F.desc("qscore"), F.asc("doc_id")))
-    per = (
-        q.withColumn("decile", decile)
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("est_tokens").alias("toks"),
-            F.sum(F.col("qscore").cast("decimal(38,0)")).alias("sq"),
+    # exact global rank WITHOUT a global sort (the NTILE-rewrite /
+    # ABC pattern): approx-percentile range buckets on the quality key,
+    # per-bucket prefix offsets over the tiny bucket table, local
+    # windows inside each bucket.  Cutpoint placement affects
+    # parallelism only — ranks and therefore the frontier are exact.
+    cuts = q.agg(
+        F.expr(
+            "approx_percentile(qscore, array("
+            + ",".join(str((i + 1) / 16.0) for i in range(15))
+            + "))"
+        ).alias("cut")
+    ).collect()[0]["cut"]
+    bucket = F.lit(0)
+    for c in cuts:
+        # bucket 0 holds the HIGHEST scores (frontier keeps best first)
+        bucket = bucket + (F.col("qscore") <= F.lit(int(c))).cast("int")
+    dec38 = "decimal(38,0)"
+    b = q.withColumn("bkt", bucket)
+    per_bkt = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum("est_tokens").alias("btoks"),
+        F.sum(F.col("qscore").cast(dec38)).alias("bsq"),
+    )
+    prior = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(prior), F.lit(0)).alias("on_"),
+        F.coalesce(F.sum("btoks").over(prior), F.lit(0)).alias("ot"),
+        F.coalesce(
+            F.sum("bsq").over(prior), F.lit(0).cast(dec38)
+        ).alias("oq"),
+    )
+    loc = (
+        W.partitionBy("bkt")
+        .orderBy(F.desc("qscore"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        b.withColumn("ln_", F.count(F.lit(1)).over(loc))
+        .withColumn("lt", F.sum("est_tokens").over(loc))
+        .withColumn("lq", F.sum(F.col("qscore").cast(dec38)).over(loc))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("on_") + F.col("ln_")).alias("grank"),
+            (F.col("ot") + F.col("lt")).alias("ctoks"),
+            (F.col("oq") + F.col("lq")).alias("csq"),
         )
     )
-    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
-    return per.select(
-        F.col("decile").alias("keep_top_deciles"),
-        F.sum("n").over(w).cast("long").alias("docs_kept"),
-        F.sum("toks").over(w).cast("long").alias("tokens_kept"),
+    n_total = q.count()
+    qsz, rem = n_total // 10, n_total % 10
+    # ntile boundary: cumulative docs after decile k = k*q + min(k, r)
+    bounds = [(k, k * qsz + min(k, rem)) for k in range(1, 11)]
+    bdf = F.broadcast(
+        spark.createDataFrame(bounds, "keep_top_deciles int, grank long")
+    )
+    return cum.join(bdf, "grank").select(
+        "keep_top_deciles",
+        F.col("grank").cast("long").alias("docs_kept"),
+        F.col("ctoks").cast("long").alias("tokens_kept"),
         F.round(
-            F.sum("sq").over(w).cast("double")
-            / F.sum("n").over(w)
-            / 1000000.0,
-            6,
+            F.col("csq").cast("double") / F.col("grank") / 1000000.0, 6
         ).alias("mean_quality"),
     )
 
