@@ -4629,3 +4629,120 @@ def events_reliability_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "non_error_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-row business KPI card over orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_business_kpis",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_orders,
+      (SELECT COUNT(*) FROM per_cust) AS n_customers,
+      (SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              AS DOUBLE) FROM orders) AS revenue,
+      (SELECT round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0, 4)
+       FROM orders) AS avg_order_value,
+      (SELECT round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*), 6) FROM per_cust) AS repeat_rate,
+      (SELECT round(max(n) * 1.0 / (SELECT COUNT(*) FROM orders), 6)
+       FROM per_cust) AS top_customer_share
+    """,
+    tags=("kpi", "card"),
+)
+def orders_business_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row commerce KPI card: volume, customers, revenue, AOV,
+    repeat-purchase rate, and top-customer concentration — the
+    dashboard headline block as a single deterministic query.
+
+    Two aggregations total (orders-level + customer-level), joined as
+    1-row broadcasts; money in exact cents."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.sum(cents).alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    cust = per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_repeat"),
+        F.max("n").alias("max_n"),
+    )
+    return base.crossJoin(F.broadcast(cust)).select(
+        "n_orders",
+        "n_customers",
+        "revenue",
+        F.round(
+            F.col("cents").cast("double") / F.col("n_orders") / 100.0, 4
+        ).alias("avg_order_value"),
+        F.round(F.col("n_repeat") / F.col("n_customers"), 6).alias(
+            "repeat_rate"
+        ),
+        F.round(F.col("max_n") / F.col("n_orders"), 6).alias(
+            "top_customer_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: most frequent 3-step user journeys
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY {_EPOCH}, event_id) AS b,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY {_EPOCH}, event_id) AS c
+      FROM events
+    )
+    SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    tags=("temporal", "paths"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (a>b>c event-type trigrams) —
+    the path-analysis view behind funnel design: which sequences
+    actually dominate.
+
+    One user-keyed window pass (two leads share the sort), a bounded
+    trigram aggregation (≤|types|³ groups), and a top-10 heap."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_id", F.col("event_type").alias("a"),
+        ts.alias("ts_sec"),
+    ).withColumn("b", F.lead("a", 1).over(w)).withColumn(
+        "c", F.lead("a", 2).over(w)
+    )
+    return (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
