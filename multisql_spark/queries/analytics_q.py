@@ -4746,3 +4746,224 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time series: pre/post effect around the CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interrupted_series",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT ({_EPOCH} // 3600) * 3600 AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS nh, sum(n) AS sn
+      FROM hourly GROUP BY event_type
+    ),
+    walk AS (
+      SELECT h.event_type, h.h,
+        sum(CAST(h.n AS HUGEINT) * nh - sn) OVER (
+          PARTITION BY h.event_type ORDER BY h.h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cusum_scaled
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ),
+    cp AS (
+      SELECT event_type, h AS change_h FROM (
+        SELECT event_type, h,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY abs(cusum_scaled) DESC, h) AS rk
+        FROM walk
+      ) WHERE rk = 1
+    ),
+    sides AS (
+      SELECT h.event_type,
+             CASE WHEN h.h <= cp.change_h THEN 'pre' ELSE 'post' END
+               AS side,
+             COUNT(*) AS nh, sum(h.n) AS sn,
+             sum(CAST(h.n AS HUGEINT) * h.n) AS snn
+      FROM hourly h JOIN cp ON h.event_type = cp.event_type
+      GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(cp.change_h AS BIGINT) AS change_hour,
+           round(a.sn * 1.0 / a.nh, 6) AS pre_mean_rate,
+           round(b.sn * 1.0 / b.nh, 6) AS post_mean_rate,
+           round((b.sn * 1.0 / b.nh - a.sn * 1.0 / a.nh)
+             / sqrt(
+               (CAST(a.snn AS DOUBLE) - CAST(a.sn AS DOUBLE) * a.sn / a.nh)
+                 / (a.nh - 1) / a.nh
+               + (CAST(b.snn AS DOUBLE) - CAST(b.sn AS DOUBLE) * b.sn / b.nh)
+                 / (b.nh - 1) / b.nh), 4) AS effect_z
+    FROM sides a
+    JOIN sides b ON a.event_type = b.event_type
+     AND a.side = 'pre' AND b.side = 'post'
+    JOIN cp ON cp.event_type = a.event_type
+    """,
+    tags=("temporal", "causal", "interrupted-series"),
+)
+def events_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-time-series readout: locate each stream's level-shift
+    hour (CUSUM peak), then estimate the pre→post rate change with a
+    Welch z — the naive causal-impact analysis that follows any detected
+    changepoint.
+
+    Composition of two existing exact-integer machines (the CUSUM walk
+    and the Welch moments), all on the bounded hourly rollup; the
+    changepoint pick is a WindowGroupLimit head."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hour = (
+        (F.unix_timestamp("ts").cast("long") / F.lit(3600)).cast("long")
+        * 3600
+    ).alias("h")
+    hourly = t["events"].groupBy(hour, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("n").alias("sn")
+    )
+    wsum = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(F.col("n").cast(dec) * F.col("nh") - F.col("sn")).over(
+            wsum
+        ),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(
+            F.desc(F.abs(F.col("cusum_scaled"))), F.asc("h")
+        )
+    )
+    cp = (
+        walk.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("h").alias("change_h"))
+    )
+    sides = (
+        hourly.join(F.broadcast(cp), "event_type")
+        .withColumn(
+            "side",
+            F.when(F.col("h") <= F.col("change_h"), "pre").otherwise(
+                "post"
+            ),
+        )
+        .groupBy("event_type", "side")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("n").alias("sn"),
+            F.sum(F.col("n").cast(dec) * F.col("n")).alias("snn"),
+        )
+    )
+    a = sides.filter(F.col("side") == "pre").select(
+        "event_type",
+        F.col("nh").alias("nh_a"),
+        F.col("sn").alias("sn_a"),
+        F.col("snn").alias("snn_a"),
+    )
+    b = sides.filter(F.col("side") == "post").select(
+        "event_type",
+        F.col("nh").alias("nh_b"),
+        F.col("sn").alias("sn_b"),
+        F.col("snn").alias("snn_b"),
+    )
+    mean_a = F.col("sn_a") / F.col("nh_a")
+    mean_b = F.col("sn_b") / F.col("nh_b")
+    var_a = (
+        F.col("snn_a").cast("double")
+        - F.col("sn_a").cast("double") * F.col("sn_a") / F.col("nh_a")
+    ) / (F.col("nh_a") - 1)
+    var_b = (
+        F.col("snn_b").cast("double")
+        - F.col("sn_b").cast("double") * F.col("sn_b") / F.col("nh_b")
+    ) / (F.col("nh_b") - 1)
+    return (
+        a.join(b, "event_type")
+        .join(F.broadcast(cp), "event_type")
+        .select(
+            "event_type",
+            F.col("change_h").cast("long").alias("change_hour"),
+            F.round(mean_a, 6).alias("pre_mean_rate"),
+            F.round(mean_b, 6).alias("post_mean_rate"),
+            F.round(
+                (mean_b - mean_a)
+                / F.sqrt(
+                    var_a / F.col("nh_a") + var_b / F.col("nh_b")
+                ),
+                4,
+            ).alias("effect_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation assignments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_kfold",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 5 AS fold,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n, sum(est_tokens) AS toks FROM f)
+    SELECT CAST(fold AS INT) AS fold,
+           COUNT(*) AS n_eval,
+           CAST(max(n) - COUNT(*) AS BIGINT) AS n_train,
+           CAST(sum(est_tokens) AS BIGINT) AS eval_tokens,
+           round(COUNT(*) * 1.0 / max(n), 6) AS eval_frac
+    FROM f, tot GROUP BY fold
+    """,
+    tags=("sampling", "kfold", "cv"),
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment: md5(doc_id) % 5 gives every
+    document a stable fold; the audit reports each fold's eval size,
+    complementary train size, and token mass.
+
+    RNG-free like every split here — fold membership survives reruns,
+    engine changes, and repartitioning, so CV results are exactly
+    reproducible.  One aggregation + a broadcast total."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("int")
+    f = t["documents"].select(
+        fold.alias("fold"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens"),
+    )
+    tot = f.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum("est_tokens").cast("long").alias("eval_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_eval",
+            (F.col("n") - F.col("n_eval")).cast("long").alias("n_train"),
+            "eval_tokens",
+            F.round(F.col("n_eval") / F.col("n"), 6).alias("eval_frac"),
+        )
+    )
