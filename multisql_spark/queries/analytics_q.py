@@ -4967,3 +4967,71 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_eval") / F.col("n"), 6).alias("eval_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Error contagion: P(error | recent error) vs the base rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_error_contagion",
+    oracle=f"""
+    WITH mins AS (
+      SELECT {_EPOCH} // 60 AS m,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS has_err
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT m, has_err,
+             max(has_err) OVER (
+               ORDER BY m RANGE BETWEEN 5 PRECEDING AND 1 PRECEDING
+             ) AS recent_err
+      FROM mins
+    )
+    SELECT
+      COUNT(*) AS n_minutes,
+      round(sum(has_err) * 1.0 / COUNT(*), 6) AS base_rate,
+      round(sum(CASE WHEN recent_err = 1 THEN has_err ELSE 0 END) * 1.0
+            / nullif(sum(CASE WHEN recent_err = 1 THEN 1 ELSE 0 END), 0),
+            6) AS rate_after_error,
+      round((sum(CASE WHEN recent_err = 1 THEN has_err ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN recent_err = 1 THEN 1 ELSE 0 END), 0))
+            / (sum(has_err) * 1.0 / COUNT(*)), 4) AS contagion_lift
+    FROM lagged WHERE recent_err IS NOT NULL
+    """,
+    tags=("monitor", "contagion", "errors"),
+)
+def events_error_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contagion: the probability a minute contains an error given
+    an error occurred in the previous five minutes, vs the base rate —
+    lift ≫ 1 means failures cluster (retry storms, cascades) and the
+    alerting window should extend.
+
+    The minute series is bounded by the TIME SPAN, not the data volume
+    (43k rows for a month at any corpus size), so its RANGE-frame
+    window is scale-free; the per-minute indicator is one
+    map-side-combinable aggregation of the raw stream."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long")
+    mins = t["events"].select(
+        (ts / 60).cast("long").alias("m"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    ).groupBy("m").agg(F.max("is_err").alias("has_err"))
+    w = W.orderBy("m").rangeBetween(-5, -1)
+    lagged = mins.withColumn("recent_err", F.max("has_err").over(w))
+    l = lagged.filter(F.col("recent_err").isNotNull())
+    after = F.sum(
+        F.when(F.col("recent_err") == 1, F.col("has_err")).otherwise(0)
+    ) / F.nullif(
+        F.sum(F.when(F.col("recent_err") == 1, 1).otherwise(0)),
+        F.lit(0),
+    )
+    base = F.sum("has_err") / F.count(F.lit(1))
+    return l.agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.round(base, 6).alias("base_rate"),
+        F.round(after, 6).alias("rate_after_error"),
+        F.round(after / base, 4).alias("contagion_lift"),
+    )
