@@ -5035,3 +5035,182 @@ def events_error_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(after, 6).alias("rate_after_error"),
         F.round(after / base, 4).alias("contagion_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding separability: per-query label margin on the int8 path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_label_margin",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ),
+    q8 AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+               ELSE CAST(floor(x * 127.0 / mx + 0.5) AS INT) END) AS qv
+      FROM emb
+    ),
+    qs AS (SELECT vec_id AS q_id, label AS q_label, qv AS qq
+           FROM q8 WHERE vec_id < 20),
+    scored AS (
+      SELECT q_id, q_label, c.label AS cand_label,
+             CAST(list_sum(list_transform(range(1, len(qq) + 1),
+               i -> qq[i] * c.qv[i])) AS BIGINT) AS qdot
+      FROM qs, q8 c WHERE c.vec_id <> q_id
+    )
+    SELECT q_id,
+           CAST(q_label AS BIGINT) AS true_label,
+           max(CASE WHEN cand_label = q_label THEN qdot END)
+             AS best_same,
+           max(CASE WHEN cand_label <> q_label THEN qdot END)
+             AS best_other,
+           CAST(max(CASE WHEN cand_label = q_label THEN qdot END)
+                - max(CASE WHEN cand_label <> q_label THEN qdot END)
+             AS BIGINT) AS margin,
+           CASE WHEN max(CASE WHEN cand_label = q_label THEN qdot END)
+                > max(CASE WHEN cand_label <> q_label THEN qdot END)
+           THEN 1 ELSE 0 END AS separable
+    FROM scored GROUP BY q_id, q_label
+    """,
+    tags=("similarity", "margin", "eval"),
+)
+def sim_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding separability margin: per query, the best same-label
+    dot product minus the best other-label dot product — positive
+    margin means the nearest neighbor respects the label; the margin
+    distribution is the metric-learning health check underlying the
+    kNN accuracy number.
+
+    Same broadcast int8 scoring shape as `sim_knn_label_eval`; the
+    margin is one conditional-max aggregation per query — exact
+    integers end to end."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x))
+        ).alias("mx"),
+    )
+    q8 = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+                F.floor(x * 127.0 / F.col("mx") + 0.5).cast("int")
+            ),
+        ).alias("qv"),
+    )
+    qs = q8.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("qv").alias("qq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("cand_label"),
+            dot.alias("qdot"),
+        )
+    )
+    same = F.max(
+        F.when(F.col("cand_label") == F.col("q_label"), F.col("qdot"))
+    )
+    other = F.max(
+        F.when(F.col("cand_label") != F.col("q_label"), F.col("qdot"))
+    )
+    return scored.groupBy(
+        "q_id", F.col("q_label").alias("true_label")
+    ).agg(
+        same.alias("best_same"),
+        other.alias("best_other"),
+        (same - other).cast("long").alias("margin"),
+        F.when(same > other, 1).otherwise(0).alias("separable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prep-pipeline stage funnel (row accounting per stage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_stage_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS pass_len,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+               THEN 1 ELSE 0 END AS is_keeper,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % 10 < 8 THEN 1 ELSE 0 END AS in_train
+      FROM documents
+    )
+    SELECT
+      COUNT(*) AS n_input,
+      CAST(sum(pass_len) AS BIGINT) AS n_after_length,
+      CAST(sum(pass_len * is_keeper) AS BIGINT) AS n_after_dedup,
+      CAST(sum(pass_len * is_keeper * in_train) AS BIGINT)
+        AS n_train_final,
+      round(sum(pass_len * is_keeper * in_train) * 1.0 / COUNT(*), 6)
+        AS overall_yield
+    FROM d
+    """,
+    tags=("pipeline", "funnel", "observability"),
+)
+def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prep-pipeline stage funnel: documents surviving each stage
+    (length filter → exact dedup → train split) and the overall yield —
+    the row-accounting report every production pipeline publishes next
+    to its output.
+
+    All stage flags evaluate per document in one pass (the dedup keeper
+    via a digest-keyed window min), so the entire funnel is ONE
+    aggregation — no per-stage re-scans."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    keeper = (
+        F.col("doc_id")
+        == F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    ).cast("int")
+    in_train = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 8
+    ).cast("int")
+    pass_len = (F.col("n_chars") >= 100).cast("int")
+    d = t["documents"].select(
+        pass_len.alias("pass_len"),
+        keeper.alias("is_keeper"),
+        in_train.alias("in_train"),
+    )
+    surv = F.col("pass_len") * F.col("is_keeper")
+    final = surv * F.col("in_train")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("pass_len").cast("long").alias("n_after_length"),
+        F.sum(surv).cast("long").alias("n_after_dedup"),
+        F.sum(final).cast("long").alias("n_train_final"),
+        F.round(F.sum(final) / F.count(F.lit(1)), 6).alias(
+            "overall_yield"
+        ),
+    )
