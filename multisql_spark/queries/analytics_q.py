@@ -5214,3 +5214,134 @@ def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_yield"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Receivables-style aging report for open orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_aging_report",
+    oracle="""
+    WITH hz AS (
+      SELECT max(CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT))
+        AS h FROM orders
+    ),
+    open_o AS (
+      SELECT o_orderstatus,
+        (h - CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT))
+          // 86400 AS age_days,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders, hz WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+      CASE WHEN age_days <= 30 THEN '0-30'
+           WHEN age_days <= 60 THEN '31-60'
+           WHEN age_days <= 90 THEN '61-90'
+           ELSE '90+' END AS age_bucket,
+      COUNT(*) AS n_orders,
+      CAST(round(sum(cents) / 100.0, 2) AS DOUBLE) AS open_value
+    FROM open_o GROUP BY 1, 2
+    """,
+    tags=("finance", "aging"),
+)
+def orders_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report for open (non-final) orders: count and value per
+    status × age bucket relative to the data horizon — the
+    receivables/backlog view.
+
+    Horizon is a 1-row broadcast; bucketing is pure integer-day
+    comparison; one aggregation over the status-filtered scan (filter
+    pushed to parquet)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    ep = F.unix_timestamp("o_orderdate").cast("long")
+    hz = t["orders"].agg(F.max(ep).alias("h"))
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            "o_orderstatus",
+            ((F.col("h") - ep) / 86400).cast("long").alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return o.groupBy(
+        "o_orderstatus", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents") / 100.0, 2)
+        .cast("double")
+        .alias("open_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution (mirror of the last-touch operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value,
+        min(CASE WHEN event_type IN ('view', 'click')
+            THEN ({_EPOCH} - 1700000000) * 10000000000 + event_id
+            END) OVER (
+          PARTITION BY user_id ORDER BY {_EPOCH}, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS touch_key
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_id AS purchase_id,
+           value AS purchase_value,
+           CASE WHEN touch_key IS NULL THEN -1
+                ELSE CAST(touch_key % 10000000000 AS BIGINT)
+           END AS first_touch_event_id
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    tags=("temporal", "attribution"),
+)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    preceding view/click by the same user — the acquisition-channel
+    counterpart of `events_attribution_last_touch` (same packed-key
+    window trick with a running conditional MIN instead of MAX)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.unix_timestamp("ts").cast("long") - F.lit(1700000000)
+    is_touch = F.col("event_type").isin("view", "click")
+    tk = F.when(is_touch, ts * F.lit(10000000000) + F.col("event_id"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = t["events"].select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        "event_type",
+        "value",
+        ts.alias("ts_sec"),
+        tk.alias("tk"),
+    ).withColumn("touch_key", F.min("tk").over(w))
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.when(F.col("touch_key").isNull(), F.lit(-1))
+        .otherwise((F.col("touch_key") % 10000000000).cast("long"))
+        .alias("first_touch_event_id"),
+    )
