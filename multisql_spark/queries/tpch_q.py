@@ -682,3 +682,361 @@ def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("tpch", "q5", "local-supplier"),
+)
+def tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape (local supplier volume): revenue where the customer and
+    the supplier share a nation, summed per nation for one region-year.
+
+    The region→nation leg broadcasts (tiny dims) and prunes suppliers
+    BEFORE the fact join; the c_nationkey = s_nationkey condition rides
+    the supplier equi-join as an extra equality (Catalyst keeps it in the
+    hash-join key set, not a residual), so the only shuffles are the two
+    fact joins on their natural keys."""
+    t = load_tables(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    c, o, l, s = t["customer"], t["orders"], t["lineitem"], t["supplier"]
+    asia_nations = (
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s_asia = s.join(
+        F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey")
+    )
+    o_year = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        l.join(o_year, l.l_orderkey == o_year.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s_asia,
+            (l.l_suppkey == s_asia.s_suppkey)
+            & (c.c_nationkey == s_asia.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4)))
+              - SUM(CAST(round(0.6 * p.p_retailprice * l.l_quantity, 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "q9", "profit"),
+)
+def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per supplier-nation per year,
+    revenue minus supply cost for one part family.  The reference schema
+    has no partsupp table, so supply cost is modeled as 60% of the part's
+    retail price — the join topology (fact × 2 broadcast dims × orders)
+    is the load-bearing part.
+
+    The `p_name LIKE` filter prunes part BEFORE broadcast, which then
+    semi-prunes lineitem through the broadcast hash join; revenue and
+    cost are separate decimal-exact sums subtracted after aggregation
+    (addition-order-independent, so bit-stable at any parallelism)."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "orders", "nation"]
+    )
+    l, p, s, o, n = (
+        t["lineitem"], t["part"], t["supplier"], t["orders"], t["nation"]
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    cost = F.round(
+        0.6 * F.col("p_retailprice") * F.col("l_quantity"), 4
+    ).cast("decimal(18,4)")
+    return (
+        l.join(
+            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            l.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev) - F.sum(cost)).cast("double").alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_important_stock",
+    oracle="""
+    WITH value_per_part AS (
+      SELECT l.l_partkey,
+             SUM(CAST(round(l.l_extendedprice * l.l_quantity, 2)
+                 AS DECIMAL(18,2))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey < 5
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM value_per_part
+    WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM value_per_part)
+    """,
+    tags=("tpch", "q11", "having-scalar"),
+)
+def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part traded value restricted to
+    one supplier region, keeping parts above a fraction of the TOTAL
+    value — a grouped aggregate filtered against a scalar aggregate of
+    itself.
+
+    The per-part aggregation runs once; the total re-aggregates its
+    (small) output and broadcasts as a 1-row literal join — no second
+    scan of lineitem, no correlated subquery.  Value sums are exact
+    DECIMAL so the threshold comparison is engine-independent."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    l, s = t["lineitem"], t["supplier"]
+    per_part = (
+        l.join(
+            F.broadcast(s.filter(F.col("s_nationkey") < 5)),
+            l.l_suppkey == s.s_suppkey,
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_quantity"), 2
+                ).cast("decimal(18,2)")
+            ).alias("part_value")
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value") * 0.0005).alias("cut")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("cut"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("tpch", "q12", "late-shipment"),
+)
+def tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes / order priority): count late-shipped
+    lines (shipped >60 days after ordering) per line status, split by
+    order priority — the canonical conditional-count pair.
+
+    One shuffle (the orderkey join); the lateness predicate is a
+    timestamp-interval comparison evaluated post-join in codegen; both
+    CASE counts fold into the same partial aggregate."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o, l = t["orders"], t["lineitem"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_part_promotion",
+    oracle="""
+    WITH q96 AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty96
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'SMALL'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    q97 AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty97
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'SMALL'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_parts_grown
+    FROM q97
+    JOIN q96 ON q97.l_suppkey = q96.l_suppkey
+            AND q97.l_partkey = q96.l_partkey
+    JOIN supplier s ON s.s_suppkey = q97.l_suppkey
+    WHERE q97.qty97 * 2 > q96.qty96 * 3
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "q20", "correlated-agg"),
+)
+def tpch_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (part promotion): suppliers whose shipped quantity of a
+    part family GREW >1.5× year-over-year — the decorrelated form of
+    "quantity > threshold derived from my own correlated aggregate".
+
+    Both per-(supplier, part) aggregates share the broadcast-pruned
+    lineitem⋈part subtree; their join is on the same (suppkey, partkey)
+    grouping key, so under AQE the second shuffle co-locates with the
+    first.  The 1.5× test is integer-scaled decimal (×2 vs ×3) — exact,
+    no float boundary."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    l, p, s = t["lineitem"], t["part"], t["supplier"]
+    small = l.join(
+        F.broadcast(p.filter(F.col("p_type") == "SMALL")),
+        l.l_partkey == p.p_partkey,
+    )
+
+    def year_qty(lo: str, hi: str, out: str) -> DataFrame:
+        return (
+            small.filter(
+                (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+            )
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(out)
+            )
+        )
+
+    q96 = year_qty("1996-01-01", "1997-01-01", "qty96")
+    q97 = year_qty("1997-01-01", "1998-01-01", "qty97")
+    return (
+        q97.join(q96, ["l_suppkey", "l_partkey"])
+        .filter(F.col("qty97") * 2 > F.col("qty96") * 3)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts_grown"))
+    )
+
+
+@register(
+    "tpch_waiting_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(DISTINCT o.o_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+      )
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "q21", "exists-not-exists"),
+)
+def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): for finished orders
+    with >1 supplier, find the SOLE supplier who shipped late.
+
+    The oracle states it with correlated EXISTS + NOT EXISTS; running
+    that literally is two extra passes over lineitem per outer row.  The
+    Spark plan decorrelates to ONE aggregation over the joined fact:
+    per order, count distinct suppliers, count distinct LATE suppliers,
+    and remember the (unique) late supplier via a conditional MAX —
+    orders with n_supp > 1 and n_late = 1 yield their culprit directly.
+    One orderkey shuffle instead of three; bit-identical result."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    s, l, o = t["supplier"], t["lineitem"], t["orders"]
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+    )
+    per_order = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .withColumn("is_late", late)
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.max(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("o_orderkey").alias("numwait"))
+    )
