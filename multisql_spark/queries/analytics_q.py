@@ -5345,3 +5345,82 @@ def events_attribution_first_touch(
         .otherwise((F.col("touch_key") % 10000000000).cast("long"))
         .alias("first_touch_event_id"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             CAST(min(EXTRACT(year FROM o_orderdate)) AS BIGINT)
+               AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort_year,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cohort_size AS (
+      SELECT cohort_year, count(*) AS cohort_customers
+      FROM first_order GROUP BY cohort_year
+    )
+    SELECT r.cohort_year,
+           r.order_year - r.cohort_year AS years_since,
+           CAST(s.cohort_customers AS BIGINT) AS cohort_customers,
+           CAST(sum(r.rev_cents) OVER (
+             PARTITION BY r.cohort_year ORDER BY r.order_year
+           ) AS BIGINT) AS cum_revenue_cents,
+           round(sum(r.rev_cents) OVER (
+             PARTITION BY r.cohort_year ORDER BY r.order_year
+           ) / (s.cohort_customers * 100.0), 2) AS cum_ltv_per_customer
+    FROM rev r JOIN cohort_size s ON r.cohort_year = s.cohort_year
+    """,
+    tags=("business", "cohort", "ltv"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: customers cohorted by first-order
+    year, cumulative revenue per cohort tracked across subsequent years,
+    normalized to LTV-per-customer — the acquisition-economics companion
+    to `events_retention_cohorts` (which counts activity, not value).
+
+    The first-order aggregate and the revenue join share the o_custkey
+    partitioning (one shuffle feeds both); revenue is exact integer
+    cents; the cumulative window runs over the BOUNDED (cohort × year)
+    aggregate — a few dozen rows — never over order rows, so the curve
+    costs two aggregations at any corpus size."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_year")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    cohort_size = first_order.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    cum = F.sum("rev_cents").over(
+        W.partitionBy("cohort_year").orderBy("order_year")
+    )
+    return (
+        rev.join(F.broadcast(cohort_size), "cohort_year")
+        .select(
+            "cohort_year",
+            (F.col("order_year") - F.col("cohort_year")).alias("years_since"),
+            F.col("cohort_customers").cast("long").alias("cohort_customers"),
+            cum.cast("long").alias("cum_revenue_cents"),
+            F.round(
+                cum / (F.col("cohort_customers") * 100.0), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

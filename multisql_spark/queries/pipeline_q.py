@@ -1664,3 +1664,125 @@ def monitor_stale_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hours_stale"),
         )
     )
+
+
+@register(
+    "sample_importance_dsir",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+      FROM toks
+    ),
+    rcnt AS (SELECT b, count(*) AS cr FROM hashed GROUP BY b),
+    tcnt AS (
+      SELECT b, count(*) AS ct FROM hashed WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT (SELECT sum(cr) FROM rcnt) * 1.0 AS nr,
+             (SELECT sum(ct) FROM tcnt) * 1.0 AS nt
+    ),
+    ratio AS (
+      SELECT r.b,
+             CAST(round(ln(((COALESCE(t.ct, 0) + 1) / (tot.nt + 256.0))
+                           / ((r.cr + 1) / (tot.nr + 256.0))) * 1e6)
+                  AS BIGINT) AS lw_q
+      FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b, tot
+    ),
+    docw AS (
+      SELECT h.doc_id,
+             sum(ratio.lw_q) AS sum_lw_q,
+             count(*) AS n_tok
+      FROM hashed h JOIN ratio ON h.b = ratio.b
+      GROUP BY h.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(sum_lw_q AS BIGINT) AS sum_logweight_q,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(sum_lw_q / (n_tok * 1e6), 6) AS avg_logweight,
+           sum_lw_q > 0 AS keep
+    FROM docw
+    """,
+    tags=("sampling", "importance", "dsir"),
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (hashed n-gram importance
+    weights, after Xie et al. 2023): score every document by how much
+    more likely its tokens are under a TARGET domain's hashed-unigram
+    distribution (here: the `lang = 'en'` slice) than under the raw
+    corpus distribution, then keep target-like documents.
+
+    Tokens hash into 256 md5 buckets, so both feature distributions are
+    CONSTANT-size (256 counts) regardless of corpus scale — built in one
+    map-side-combined aggregation each, add-one smoothed, and their
+    per-bucket log-ratios broadcast back onto the token stream.  The
+    per-token log-ratio quantizes to a 1e-6 BIGINT before the per-doc
+    sum, so the score is an order-free integer sum — bit-identical at
+    any parallelism and across engines.  `keep = sum > 0` is the
+    deterministic resampling rule (doc more target-like than not); the
+    smooth-probability variant composes with the md5-fraction samplers
+    (`sample_weighted`) when a calibrated keep-rate is needed."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    hashed = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % 256
+            ).alias("b"),
+        )
+    )
+    rcnt = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tcnt = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = rcnt.agg(F.sum("cr").cast("double").alias("nr")).join(
+        tcnt.agg(F.sum("ct").cast("double").alias("nt"))
+    )
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                     / (F.col("nt") + 256.0))
+                    / ((F.col("cr") + 1) / (F.col("nr") + 256.0))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lw_q"),
+        )
+    )
+    docw = (
+        hashed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lw_q").alias("sum_lw_q"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    return docw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sum_lw_q").cast("long").alias("sum_logweight_q"),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("sum_lw_q") / (F.col("n_tok") * 1e6), 6
+        ).alias("avg_logweight"),
+        (F.col("sum_lw_q") > 0).alias("keep"),
+    )

@@ -673,3 +673,169 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM t
+    )
+    SELECT pair,
+           count(*) AS pair_count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training merge statistics: the global adjacent-pair
+    frequency table whose argmax is the next merge rule (the inner loop
+    of byte-pair-encoding training), with document frequency alongside so
+    template/boilerplate pairs (high count, low doc spread) are visible.
+
+    The pair stream is pure array algebra (``transform`` over index
+    ``sequence`` — no UDF, no shuffle until the pair aggregate); the
+    aggregation map-side combines, and the top-20 is a
+    TakeOrderedAndProject heap with a (count, pair) total order.  At
+    100 TB this is exactly one explode + one combine-heavy aggregation
+    per merge round — the distributed formulation used by tokenizer
+    trainers over web-scale corpora."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+        ),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    sketch AS (
+      SELECT r,
+             ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok),
+                             1, 8))::BIGINT % 512 AS bucket,
+             count(*) AS cell
+      FROM toks, rows_
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+    est AS (
+      SELECT e.tok, min(s.cell) AS cms_est
+      FROM exact e, rows_ r
+      JOIN sketch s
+        ON s.r = r.r
+       AND s.bucket = ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                        || ':' || e.tok), 1, 8))::BIGINT % 512
+      GROUP BY e.tok
+    )
+    SELECT est.tok AS tok,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_est - exact_count AS BIGINT) AS overcount
+    FROM est JOIN exact ON est.tok = exact.tok
+    ORDER BY cms_est DESC, tok
+    LIMIT 15
+    """,
+    tags=("text", "sketch", "count-min", "heavy-hitters"),
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters: a 4-row × 512-bucket CMS built in
+    ONE aggregation over the token stream, then candidate tokens ranked
+    by their min-over-rows cell estimate, reported next to the exact
+    count so the sketch's one-sided overcount is visible.
+
+    The sketch is 2,048 cells regardless of corpus size — the token
+    stream map-side combines into it, so what crosses the exchange is
+    bounded by (rows × width), not by token volume.  Estimation joins
+    the candidate set against the broadcast sketch.  At 100 TB the
+    candidate set comes from a per-partition top-k heap instead of the
+    exact vocabulary (used here so the oracle can verify the estimate
+    lattice cell-for-cell); the md5-derived row hashes make the sketch
+    bit-identical across engines and re-runs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    rows_ = F.array([F.lit(r) for r in range(4)])
+
+    def bucket_of(tok_col, r_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            r_col.cast("string"),
+                            F.lit(":"),
+                            tok_col,
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        )
+
+    hashed = toks.select(
+        "tok", F.explode(rows_).alias("r")
+    ).withColumn("bucket", bucket_of(F.col("tok"), F.col("r")))
+    sketch = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probes = exact.select("tok").select(
+        "tok", F.explode(rows_).alias("r")
+    ).withColumn("bucket", bucket_of(F.col("tok"), F.col("r")))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.join(exact, "tok")
+        .select(
+            "tok",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("cms_est") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("tok"))
+        .limit(15)
+    )
