@@ -164,7 +164,37 @@ def load_all() -> dict[str, QuerySpec]:
     for name in _DRIVER_WINDOW:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
+    # Past the explicit window, front queries that have never had a
+    # driver correctness row (round 1 checked exactly the 50 names in
+    # _ROUND1_CHECKED): under ANY driver cap this maximizes the number
+    # of first-time driver rows per round.
+    for name, spec in REGISTRY.items():
+        if name not in ordered and name not in _ROUND1_CHECKED:
+            ordered[name] = spec
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec
     return ordered
+
+
+# The 50 queries that received a CORRECTNESS_r01 driver row (41 green +
+# 9 canonicalization-red now fixed); kept verbatim so window rotation can
+# always deprioritize already-checked names.
+_ROUND1_CHECKED: frozenset[str] = frozenset({
+    "scan_project_filter", "filter_arithmetic", "projection_case_between",
+    "pricing_summary", "agg_global", "group_having", "group_by_expr",
+    "distinct_rows", "join_inner_agg", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_cross", "join_theta",
+    "join_multi_revenue", "join_semi_anti", "order_limit_offset",
+    "order_nulls_placement", "set_union_distinct", "set_union_all",
+    "set_except", "set_except_all", "set_intersect", "set_intersect_all",
+    "values_inline", "cte_chained", "subquery_scalar_in",
+    "window_topk_per_group", "window_running_lag", "rollup_region_nation",
+    "pivot_status_by_year", "cube_status_priority", "grouping_sets_mixed",
+    "window_ntile_quartiles", "agg_collect_sorted", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dml_insert_values_select", "dml_update_where", "dml_delete_where",
+    "dml_auto_increment", "session_variables", "view_over_join",
+    "multi_database_join", "fn_string", "fn_concat_null_propagation",
+    "fn_math", "fn_conditional",
+})
