@@ -5424,3 +5424,91 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@register(
+    "monitor_score_auc",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(floor(len(list_distinct(string_split(text, ' ')))
+                  * 10000.0 / len(string_split(text, ' '))) AS BIGINT)
+               AS score_q,
+             (lang = 'en') AS pos
+      FROM documents
+    ),
+    per_score AS (
+      SELECT score_q, count(*) AS c,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p
+      FROM q GROUP BY score_q
+    ),
+    ranked AS (
+      SELECT score_q, c, p,
+             COALESCE(sum(c) OVER (
+               ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM per_score
+    ),
+    agg AS (
+      SELECT sum(p) AS n_pos, sum(c - p) AS n_neg,
+             sum(p * (2 * cum_before + c + 1)) AS ranksum2
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(ranksum2 AS BIGINT) AS ranksum2,
+           round((ranksum2 - n_pos * (n_pos + 1.0))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+    tags=("monitoring", "auc", "evaluation"),
+)
+def monitor_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a quality score (token diversity) predicting a
+    label (`lang = 'en'`) — the classifier-free evaluation harness for
+    any scoring rule the pipeline wants to gate on.
+
+    AUC is the Mann-Whitney rank statistic, so it needs ranks — but
+    NEVER a global sort of documents: scores quantize to 1e-4 integers,
+    tie groups aggregate to one row per DISTINCT score value, and each
+    group's average-rank contribution is closed-form
+    (p·(2·cum_before + c + 1), kept ×2 so it stays integer).  The only
+    ordered pass runs over the bounded distinct-score table; everything
+    row-scale is one map-side-combined aggregation.  BIGINT rank sums
+    hold to ~3·10⁹ rows — swap to DECIMAL(38,0)/HUGEINT beyond."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    q = t["documents"].select(
+        F.floor(
+            F.size(F.array_distinct(toks)) * 10000.0 / F.size(toks)
+        )
+        .cast("long")
+        .alias("score_q"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    per_score = q.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+    )
+    asc = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(asc), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("ranksum2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("ranksum2").cast("long").alias("ranksum2"),
+        F.round(
+            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1.0))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

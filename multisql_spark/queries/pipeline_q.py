@@ -1786,3 +1786,81 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logweight"),
         (F.col("sum_lw_q") > 0).alias("keep"),
     )
+
+
+@register(
+    "pipeline_padding_waste",
+    oracle="""
+    WITH docs AS (
+      SELECT source,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT source, t,
+             CASE WHEN t <= 8 THEN 8 WHEN t <= 16 THEN 16
+                  WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64
+                  ELSE 128 END AS bucket_len,
+             ((t + 127) // 128) * 128 AS fixed_len
+      FROM docs
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS real_tokens,
+           CAST(sum(fixed_len - t) AS BIGINT) AS waste_fixed,
+           CAST(sum(bucket_len - t) AS BIGINT) AS waste_bucketed,
+           round(sum(fixed_len - t) / CAST(sum(fixed_len) AS DOUBLE), 4)
+             AS fixed_waste_frac,
+           round(sum(bucket_len - t) / CAST(sum(bucket_len) AS DOUBLE), 4)
+             AS bucketed_waste_frac
+    FROM sized GROUP BY source
+    """,
+    tags=("pipeline", "batching", "padding"),
+)
+def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch padding economics: per source, tokens wasted by
+    padding every sequence to the fixed 128 budget vs padding to
+    power-of-two length buckets — the measurement that justifies (or
+    kills) length-bucketed batching before changing the data loader.
+    Complements `pipeline_pack_sequences`, which eliminates the waste
+    by packing instead.
+
+    Pure per-row integer arithmetic (the bucket ladder is a CASE — no
+    float log2, so the boundary at exact powers of two is
+    engine-independent) followed by one bounded aggregation."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tcol = F.ceil(F.col("n_chars") / 4.0).cast("long")
+    bucket = (
+        F.when(tcol <= 8, 8)
+        .when(tcol <= 16, 16)
+        .when(tcol <= 32, 32)
+        .when(tcol <= 64, 64)
+        .otherwise(128)
+    )
+    fixed = (F.floor((tcol + 127) / 128) * 128).cast("long")
+    sized = t["documents"].select(
+        "source",
+        tcol.alias("t"),
+        bucket.cast("long").alias("bucket_len"),
+        fixed.alias("fixed_len"),
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").cast("long").alias("real_tokens"),
+        F.sum(F.col("fixed_len") - F.col("t"))
+        .cast("long")
+        .alias("waste_fixed"),
+        F.sum(F.col("bucket_len") - F.col("t"))
+        .cast("long")
+        .alias("waste_bucketed"),
+        F.round(
+            F.sum(F.col("fixed_len") - F.col("t"))
+            / F.sum("fixed_len").cast("double"),
+            4,
+        ).alias("fixed_waste_frac"),
+        F.round(
+            F.sum(F.col("bucket_len") - F.col("t"))
+            / F.sum("bucket_len").cast("double"),
+            4,
+        ).alias("bucketed_waste_frac"),
+    )

@@ -614,3 +614,217 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / 5.0, 2).alias("recall_at_5"),
         )
     )
+
+
+def _pca_iter_sql(n: int) -> str:
+    """One matrix-free power-iteration step as SQL: y = Xᵀ(X·v), then
+    renormalize to max|component| = 1000 integer units."""
+    return f"""
+    s{n} AS (
+      SELECT q.vec_id, sum(q.qx * v.vq) AS s
+      FROM qx q JOIN v{n} v ON q.dim = v.dim
+      GROUP BY q.vec_id
+    ),
+    y{n} AS (
+      SELECT q.dim, sum(CAST(q.qx AS HUGEINT) * s.s) AS y
+      FROM qx q JOIN s{n} s ON q.vec_id = s.vec_id
+      GROUP BY q.dim
+    ),
+    ymax{n} AS (SELECT max(abs(y)) AS m FROM y{n}),
+    v{n + 1} AS (
+      SELECT y.dim,
+             CAST(floor(CAST(y.y AS DOUBLE) / CAST(x.m AS DOUBLE) * 1000.0)
+                  AS BIGINT) AS vq
+      FROM y{n} y, ymax{n} x
+    )"""
+
+
+@register(
+    "sim_pca_power_iteration",
+    oracle=f"""
+    WITH qx AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    v0 AS (
+      SELECT DISTINCT dim, CAST(1000 AS BIGINT) AS vq FROM qx
+    ),
+    {_pca_iter_sql(0)},
+    {_pca_iter_sql(1)}
+    SELECT dim, vq AS loading_q, round(vq / 1000.0, 4) AS loading
+    FROM v2
+    """,
+    tags=("embeddings", "pca", "power-iteration"),
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via MATRIX-FREE
+    power iteration: two renormalized steps of y ← Xᵀ(X·v) — the d×d
+    covariance is never materialized, each step is one narrow pass
+    computing the per-row projection s = x·v plus one 64-group
+    aggregation of x·s.
+
+    Components quantize to 1e-3 integer units, the per-row projections
+    and per-dim sums are exact integer/decimal algebra (HUGEINT /
+    DECIMAL(38,0) wide products), and renormalization divides two
+    identically-derived doubles — so the fixed-point loadings are
+    bit-identical to the chained-CTE SQL replay at any parallelism.
+    At 100 TB each step shuffles only (vec_id, s) pairs and 64 partial
+    sums; more iterations or top-k components (deflation) chain the
+    same two aggregations."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qx = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("x").cast("double") * 1000 + 0.5)
+            .cast("long")
+            .alias("qx"),
+        )
+    )
+    v = qx.select("dim").distinct().select(
+        "dim", F.lit(1000).cast("long").alias("vq")
+    )
+    for _ in range(2):
+        s = (
+            qx.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("qx") * F.col("vq")).alias("s"))
+        )
+        y = (
+            qx.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("qx").cast("decimal(38,0)") * F.col("s")
+                ).alias("y")
+            )
+        )
+        ymax = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        v = y.join(F.broadcast(ymax)).select(
+            "dim",
+            F.floor(
+                F.col("y").cast("double") / F.col("m").cast("double") * 1000.0
+            )
+            .cast("long")
+            .alias("vq"),
+        )
+    return v.select(
+        "dim",
+        F.col("vq").alias("loading_q"),
+        F.round(F.col("vq") / 1000.0, 4).alias("loading"),
+    )
+
+
+@register(
+    "sim_random_projection",
+    oracle="""
+    WITH qx AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    signs AS (
+      SELECT k.k, d.dim,
+             CASE WHEN substr(md5('rp' || CAST(k.k AS VARCHAR) || ':'
+                              || CAST(d.dim AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS sgn
+      FROM unnest(range(0, 16)) AS k(k),
+           unnest(range(0, 64)) AS d(dim)
+    ),
+    proj AS (
+      SELECT q.vec_id, s.k, sum(s.sgn * q.qx) AS p
+      FROM qx q JOIN signs s ON q.dim = s.dim
+      GROUP BY q.vec_id, s.k
+    ),
+    pnorm AS (
+      SELECT vec_id, sum(p * p) AS proj_norm2_q FROM proj GROUP BY vec_id
+    ),
+    onorm AS (
+      SELECT vec_id, sum(qx * qx) AS orig_norm2_q FROM qx GROUP BY vec_id
+    )
+    SELECT o.vec_id AS vec_id,
+           CAST(o.orig_norm2_q AS BIGINT) AS orig_norm2_q,
+           CAST(p.proj_norm2_q AS BIGINT) AS proj_norm2_q,
+           round(p.proj_norm2_q / (16.0 * o.orig_norm2_q), 4)
+             AS norm_ratio
+    FROM onorm o JOIN pnorm p ON o.vec_id = p.vec_id
+    """,
+    tags=("embeddings", "random-projection", "jl"),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    DETERMINISTIC ±1 sign matrix derived from md5 — the cheap
+    dimensionality reduction in front of clustering / ANN when even
+    int8 vectors are too wide to shuffle.
+
+    The sign matrix is 16×64 literals broadcast onto the exploded
+    component stream; projections and both squared norms are exact
+    integer algebra on 1e-3-quantized components, so results are
+    repartition-stable and engine-identical.  The per-vector
+    `norm_ratio` (E[ratio] = 1 under JL) is the self-audit that the
+    projection preserves geometry before anything downstream consumes
+    it.  One vec_id-keyed shuffle; nothing wider than 16 longs leaves
+    a partition."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qx = (
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("x").cast("double") * 1000 + 0.5)
+            .cast("long")
+            .alias("qx"),
+        )
+    )
+    ks = spark.range(16).select(F.col("id").cast("int").alias("k"))
+    ds = spark.range(64).select(F.col("id").cast("int").alias("dim"))
+    signs = ks.crossJoin(ds).select(
+        "k",
+        "dim",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rp"),
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("dim").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    proj = (
+        qx.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("sgn") * F.col("qx")).alias("p"))
+    )
+    pnorm = proj.groupBy("vec_id").agg(
+        F.sum(F.col("p") * F.col("p")).alias("proj_norm2_q")
+    )
+    onorm = qx.groupBy("vec_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("orig_norm2_q")
+    )
+    return onorm.join(pnorm, "vec_id").select(
+        "vec_id",
+        F.col("orig_norm2_q").cast("long").alias("orig_norm2_q"),
+        F.col("proj_norm2_q").cast("long").alias("proj_norm2_q"),
+        F.round(
+            F.col("proj_norm2_q") / (16.0 * F.col("orig_norm2_q")), 4
+        ).alias("norm_ratio"),
+    )

@@ -839,3 +839,75 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_est"), F.asc("tok"))
         .limit(15)
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (
+          ORDER BY count(*) DESC, tok
+        ) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= 256
+    )
+    SELECT t.doc_id AS doc_id,
+           any_value(t.source) AS source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "tokenizer", "oov"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    rate against the corpus's own top-256 token vocabulary — the audit
+    run before committing to a tokenizer/vocab size (high OOV → wasted
+    UNK mass; near-zero OOV → vocab could shrink).
+
+    The vocabulary is a bounded aggregation (distinct tokens) ranked
+    with a (count, token) total order and broadcast back as a LEFT join
+    onto the token stream — membership never shuffles the corpus.  The
+    vocab ranking windows over the VOCABULARY (bounded), not over
+    token instances, so the only data-scale operations are two
+    map-side-combined aggregations."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(256)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
