@@ -967,3 +967,96 @@ def dedup_lsh_precision_recall(
             "recall_within_candidates"
         ),
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH simpairs AS ({_minhash_oracle()}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM simpairs WHERE est_sim >= 0.5
+    ),
+    und AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    agg AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT COALESCE(sum(d * (d - 1) / 2), 0) FROM deg)
+               AS n_wedges,
+             (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM agg
+    """,
+    tags=("dedup", "graph", "triangles"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: triangle count
+    plus the global clustering coefficient (3·triangles / wedges) — high
+    transitivity says LSH buckets capture coherent duplicate FAMILIES
+    (safe to collapse via `dedup_cluster_components`); low transitivity
+    says candidates chain through hubs and a same-component collapse
+    would over-delete.
+
+    Triangles come from the ordered-edge (a<b) double join — each
+    triangle counted exactly once, join fan-out bounded by the LSH
+    bucket-degree cap, never an all-pairs product; wedges are a
+    closed-form over the degree table.  Everything shuffles (long,
+    long) pairs only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    e = (
+        dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+        .filter(F.col("est_sim") >= 0.5)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    und = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .join(tri)
+    )
+    return counts.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+        )
+        .otherwise(0.0)
+        .alias("clustering_coeff"),
+    )
