@@ -523,6 +523,8 @@ class MultiSQLSession:
             return self._set_variable(stmt)
         if kw == "EXPLAIN":
             return self._explain(stmt)
+        if kw in ("SHOW", "DESCRIBE", "DESC"):
+            return self._show(stmt)
         if kw == "EXECUTE":
             return self._execute_file(stmt)
         if kw == "REFRESH":
@@ -1581,6 +1583,26 @@ class MultiSQLSession:
         name, literal = m.groups()
         self.variables[name.lstrip("@$").lower()] = literal.strip()
         return Payload.success("SetVariable")
+
+    def _show(self, stmt: str) -> Payload:
+        """SHOW DATABASES / SHOW TABLES [FROM db] / SHOW COLUMNS FROM t /
+        DESCRIBE t — beyond-reference introspection sugar over the same
+        metadata surface EXPLAIN exposes (explain.rs:6-89 shapes), so
+        host code ported from conventional SQL tooling works unchanged."""
+        s = stmt.strip().rstrip(";").strip()
+        m = re.match(r"(?i)SHOW\s+DATABASES$", s)
+        if m:
+            return self._explain("EXPLAIN ALL")
+        m = re.match(r"(?i)SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.]+))?$", s)
+        if m:
+            return self._explain(f"EXPLAIN {m.group(1) or 'main'}")
+        m = re.match(r"(?i)SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)$", s)
+        if m:
+            return self._explain(f"EXPLAIN {m.group(1)}")
+        m = re.match(r"(?i)(?:DESCRIBE|DESC)\s+([\w.]+)$", s)
+        if m:
+            return self._explain(f"EXPLAIN {m.group(1)}")
+        raise UnsupportedError(f"unsupported SHOW statement: {stmt[:60]}")
 
     def _explain(self, stmt: str) -> Payload:
         """Metadata introspection, not query plans (reference

@@ -593,3 +593,25 @@ def test_explain_analyze(glue):
     assert "AdaptiveSparkPlan" in text and "isFinalPlan=true" in text
     assert "HashAggregate" in text
     glue.execute("DROP TABLE Ea")
+
+
+def test_show_statements(glue, sf_dir):
+    _fresh(glue, "sh1")
+    glue.execute("CREATE TABLE sh1 (a INTEGER, b TEXT)")
+    dbs = glue.execute("SHOW DATABASES")
+    assert dbs.labels == ["database"] and ("main",) in dbs.rows
+    tables = glue.execute("SHOW TABLES")
+    assert ("sh1",) in tables.rows
+    cols = glue.execute("SHOW COLUMNS FROM sh1")
+    assert cols.rows == [("a", "Int"), ("b", "Text")]
+    assert glue.execute("DESCRIBE sh1").rows == cols.rows
+    assert glue.execute("DESC sh1").rows == cols.rows
+    glue.execute(f"CREATE DATABASE IF NOT EXISTS shdb LOCATION '{sf_dir}/'")
+    ext = glue.execute("SHOW TABLES FROM shdb")
+    assert ("nation",) in ext.rows
+    import pytest as _pytest
+
+    from multisql_spark.session import UnsupportedError
+
+    with _pytest.raises(UnsupportedError):
+        glue.execute("SHOW GRANTS")
