@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multisql_spark import streaming
-from multisql_spark.queries import register
+from multisql_spark.queries import REGISTRY, register
 from multisql_spark.tables import load_tables
 
 # DuckDB-side helpers: epoch seconds of ns-timestamps, aligned to window
@@ -325,3 +325,25 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow), hash-matched against the batch last-writer-wins snapshot."""
     load_tables(spark, sf_dir, ["events"])
     return streaming.stream_upsert_to_table(spark, sf_dir)
+
+
+@register(
+    "stream_heavy_hitters_cms",
+    oracle=None,  # set below: shares the batch CMS oracle verbatim
+    tags=("streaming", "sketch", "count-min"),
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch: per-microbatch partial cell counts
+    merge ADDITIVELY into a standing parquet cell table (foreachBatch +
+    applied-batch ledger for exactly-once), then candidates probe the
+    final sketch — hash-matched against the SAME DuckDB oracle as the
+    batch `text_heavy_hitters_cms`, proving streaming ingestion
+    converges to the batch sketch."""
+    return streaming.stream_cms_heavy_hitters(spark, sf_dir)
+
+
+# share the batch oracle so the driver's t2 hash-compare applies the
+# identical ground truth to the streamed sketch
+from multisql_spark.queries.text_q import CMS_ORACLE as _CMS_ORACLE  # noqa: E402
+
+REGISTRY["stream_heavy_hitters_cms"].oracle = _CMS_ORACLE

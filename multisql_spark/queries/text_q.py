@@ -733,9 +733,7 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_heavy_hitters_cms",
-    oracle="""
+CMS_ORACLE = """
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -765,7 +763,12 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM est JOIN exact ON est.tok = exact.tok
     ORDER BY cms_est DESC, tok
     LIMIT 15
-    """,
+    """
+
+
+@register(
+    "text_heavy_hitters_cms",
+    oracle=CMS_ORACLE,
     tags=("text", "sketch", "count-min", "heavy-hitters"),
 )
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:

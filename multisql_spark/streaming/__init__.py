@@ -652,3 +652,148 @@ def stream_upsert_to_table(
     out = spark.read.parquet(out_dir)
     out.createOrReplaceTempView("upsert_sink_out")
     return out
+
+
+def _cms_bucket(tok_col, r_col):
+    """Shared CMS row-hash: md5('cms{r}:{token}') → bucket in [0, 512)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), r_col.cast("string"), F.lit(":"), tok_col
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 512
+    )
+
+
+def stream_cms_heavy_hitters(
+    spark: SparkSession, sf_dir: str, stream_src_dir: str | None = None
+) -> DataFrame:
+    """Streaming Count-Min sketch: each microbatch's token stream folds
+    into 4×512 partial cell counts inside ``foreachBatch`` and MERGES
+    ADDITIVELY into a standing parquet cell table — the sketch property
+    (cells are sums) is exactly what makes it maintainable incrementally:
+    per-microbatch cost is one bounded aggregation + a ≤2,048-row merge,
+    independent of how much history the sketch summarizes.
+
+    Exactly-once: an applied-batch ledger row is written in the same
+    atomic directory swap as the merged cells, so a redelivered batch id
+    is detected and skipped (idempotent under retries).
+
+    After the stream drains, candidates probe the final sketch exactly
+    like the batch `text_heavy_hitters_cms`, so the result hash-matches
+    the same DuckDB oracle — streaming ingestion provably converges to
+    the batch sketch."""
+    import os
+    import shutil
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/documents.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    if stream_src_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="docs_cms_")
+        os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+    else:
+        # pre-split source (tests): one file per desired microbatch
+        stream_dir = stream_src_dir
+    state_dir = tempfile.mkdtemp(prefix="cms_state_")
+    # seed empty state: (r, bucket, cell) + applied-batch ledger (bid)
+    spark.createDataFrame(
+        [], "r INT, bucket LONG, cell LONG, bid LONG"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    stream = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = spark.read.parquet(state_dir)
+        if state.filter(F.col("bid") == batch_id).limit(1).count() > 0:
+            return  # redelivered batch: already applied
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        )
+        rows_ = F.array([F.lit(r) for r in range(4)])
+        partial = (
+            toks.select("tok", F.explode(rows_).alias("r"))
+            .select("r", _cms_bucket(F.col("tok"), F.col("r")).alias("bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
+        cells = (
+            state.filter(F.col("bid").isNull())
+            .select("r", "bucket", "cell")
+            .unionByName(partial)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cell").alias("cell"))
+            .withColumn("bid", F.lit(None).cast("long"))
+        )
+        ledger = state.select("bid").filter(
+            F.col("bid").isNotNull()
+        ).unionByName(
+            spark.createDataFrame([(batch_id,)], "bid LONG")
+        ).select(
+            F.lit(None).cast("int").alias("r"),
+            F.lit(None).cast("long").alias("bucket"),
+            F.lit(None).cast("long").alias("cell"),
+            "bid",
+        )
+        merged = cells.unionByName(ledger)
+        tmp = f"{state_dir}.__tmp{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{state_dir}.__old{batch_id}"
+        os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    sketch = spark.read.parquet(state_dir).filter(
+        F.col("bid").isNull()
+    ).select("r", "bucket", "cell")
+    docs = spark.read.parquet(src)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows_ = F.array([F.lit(r) for r in range(4)])
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select("tok").select(
+        "tok", F.explode(rows_).alias("r")
+    ).withColumn("bucket", _cms_bucket(F.col("tok"), F.col("r")))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.join(exact, "tok")
+        .select(
+            "tok",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("cms_est") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("tok"))
+        .limit(15)
+    )

@@ -627,3 +627,20 @@ def test_stream_upsert_multibatch_merge(spark, sf_dir, duck):
     oracle = load_all()["stream_upsert_sink"].oracle
     result = compare(out, duck, oracle)
     assert result["ok"], {k: v for k, v in result.items() if k != "ok"}
+
+
+def test_stream_cms_additive_across_microbatches(spark, sf_dir, tmp_path):
+    """The streamed CMS must equal the batch CMS even when the corpus
+    arrives as MULTIPLE microbatches — the additive-merge property plus
+    the applied-batch ledger (exactly-once) under maxFilesPerTrigger=1."""
+    from multisql_spark.streaming import stream_cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = str(tmp_path / "docs_split")
+    docs.repartition(3).write.parquet(split_dir)
+    streamed = stream_cms_heavy_hitters(
+        spark, sf_dir, stream_src_dir=split_dir
+    ).collect()
+    reg = load_all()
+    batch = reg["text_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
