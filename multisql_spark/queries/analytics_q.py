@@ -5512,3 +5512,81 @@ def monitor_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH rollup AS (
+      SELECT event_type, ({_EPOCH} // 3600) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT cur.event_type, cur.hr,
+             sum(past.n * CAST(pow(2, 11 - (cur.hr - past.hr)) AS BIGINT))
+               AS num,
+             sum(CAST(pow(2, 11 - (cur.hr - past.hr)) AS BIGINT)) AS den
+      FROM rollup cur
+      JOIN rollup past
+        ON past.event_type = cur.event_type
+       AND cur.hr - past.hr BETWEEN 0 AND 11
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(hr * 3600 AS BIGINT) AS hour_start,
+           CAST(num AS BIGINT) AS ewma_num,
+           CAST(den AS BIGINT) AS ewma_den,
+           round(num / CAST(den AS DOUBLE), 4) AS ewma_rate
+    FROM sm
+    """,
+    tags=("temporal", "ewma", "smoothing"),
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event rates
+    (α = 0.5, 12-hour horizon) — the smoothed baseline behind alerting
+    thresholds, computed WITHOUT a sequential recurrence: with α = 1/2
+    the trailing weights are exact powers of two, so the EWMA is a
+    weighted sum over a bounded 12-hour self-join of the rollup —
+    integer numerator/denominator, no float accumulation order, no
+    per-stream sequential scan.
+
+    The rollup is bounded (streams × hours), the self-join fan-out is
+    ≤12 per row, and missing hours drop out of both numerator and
+    denominator identically in any engine.  A different α swaps the
+    power-of-two weights for a quantized-integer weight table — the
+    structure is unchanged."""
+    t = load_tables(spark, sf_dir, ["events"])
+    rollup = t["events"].groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur = rollup.select(
+        "event_type", F.col("hr").alias("cur_hr")
+    ).distinct()
+    past = rollup.select(
+        F.col("event_type").alias("et2"),
+        F.col("hr").alias("past_hr"),
+        "n",
+    )
+    w = F.pow(2, 11 - (F.col("cur_hr") - F.col("past_hr"))).cast("long")
+    sm = (
+        cur.join(
+            past,
+            (F.col("event_type") == F.col("et2"))
+            & ((F.col("cur_hr") - F.col("past_hr")).between(0, 11)),
+        )
+        .groupBy("event_type", "cur_hr")
+        .agg(
+            F.sum(F.col("n") * w).alias("num"),
+            F.sum(w).alias("den"),
+        )
+    )
+    return sm.select(
+        "event_type",
+        (F.col("cur_hr") * 3600).cast("long").alias("hour_start"),
+        F.col("num").cast("long").alias("ewma_num"),
+        F.col("den").cast("long").alias("ewma_den"),
+        F.round(F.col("num") / F.col("den").cast("double"), 4).alias(
+            "ewma_rate"
+        ),
+    )

@@ -914,3 +914,88 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_quality_quantile_norm",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(floor(len(list_distinct(string_split(text, ' ')))
+                  * 10000.0 / len(string_split(text, ' '))) AS BIGINT)
+               AS score_q
+      FROM documents
+    ),
+    per_score AS (
+      SELECT source, score_q, count(*) AS c
+      FROM q GROUP BY source, score_q
+    ),
+    ranked AS (
+      SELECT source, score_q,
+             COALESCE(sum(c) OVER (
+               PARTITION BY source ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before,
+             sum(c) OVER (PARTITION BY source) AS n_src
+      FROM per_score
+    )
+    SELECT q.doc_id AS doc_id, q.source AS source, q.score_q AS score_q,
+           CASE WHEN r.n_src > 1
+                THEN round(r.cum_before / (r.n_src - 1.0), 6)
+                ELSE 0.0 END AS pct_norm
+    FROM q JOIN ranked r
+      ON q.source = r.source AND q.score_q = r.score_q
+    """,
+    tags=("text", "quality", "quantile-normalization"),
+)
+def text_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality score: each
+    document's score becomes its percent-rank WITHIN its source — the
+    fair-mixing transform when sources have incomparable raw score
+    distributions (a 0.7 from a clean source ≠ a 0.7 from a noisy one).
+
+    percent_rank needs ranks but NEVER a per-source sort of documents:
+    scores quantize to 1e-4 integers, tie groups aggregate to one row
+    per (source, distinct score), and the ordered pass runs over that
+    bounded table only; documents get their normalized score back via a
+    broadcast join on (source, score_q).  Ties share a rank
+    (min-rank/(n−1) — percent_rank's definition), so the result is
+    repartition-stable."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    q = t["documents"].select(
+        "doc_id",
+        "source",
+        F.floor(
+            F.size(F.array_distinct(toks)) * 10000.0 / F.size(toks)
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+    per_score = q.groupBy("source", "score_q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    asc = (
+        W.partitionBy("source")
+        .orderBy("score_q")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = per_score.select(
+        "source",
+        "score_q",
+        F.coalesce(F.sum("c").over(asc), F.lit(0)).alias("cum_before"),
+        F.sum("c").over(W.partitionBy("source")).alias("n_src"),
+    )
+    return q.join(F.broadcast(ranked), ["source", "score_q"]).select(
+        "doc_id",
+        "source",
+        "score_q",
+        F.when(
+            F.col("n_src") > 1,
+            F.round(F.col("cum_before") / (F.col("n_src") - 1.0), 6),
+        )
+        .otherwise(0.0)
+        .alias("pct_norm"),
+    )
