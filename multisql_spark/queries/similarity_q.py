@@ -828,3 +828,186 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("proj_norm2_q") / (16.0 * F.col("orig_norm2_q")), 4
         ).alias("norm_ratio"),
     )
+
+
+def _nprobe_sweep_oracle(n_lists: int = 8, iters: int = 2) -> str:
+    """Fit replay + multi-probe IVF recall/cost sweep at nprobe 1/2/4."""
+    score = "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
+    cos_pc = _COS.format(a="p.qv", b="c.v")
+    cos_qc = _COS.format(a="q.v", b="c.v")
+    return f"""{_kmeans_fit_ctes(n_lists, iters)},
+    qd AS (
+      SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {score}, c.cid) AS crank
+      FROM af e CROSS JOIN c{iters} c
+      WHERE e.vec_id < 5
+    ),
+    probes AS (SELECT q_id, qv, cid, crank FROM qd WHERE crank <= 4),
+    sweep AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    cand AS (
+      SELECT s.nprobe, p.q_id, c.vec_id AS cand_id,
+             {cos_pc} AS cos_sim
+      FROM sweep s
+      JOIN probes p ON p.crank <= s.nprobe
+      JOIN af c ON c.list_id = p.cid
+      WHERE c.vec_id <> p.q_id
+    ),
+    annk AS (
+      SELECT nprobe, q_id, cand_id FROM (
+        SELECT nprobe, q_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                 ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    ),
+    cost AS (
+      SELECT nprobe, sum(cnt) AS total_candidates FROM (
+        SELECT nprobe, q_id, count(*) AS cnt FROM cand GROUP BY 1, 2
+      ) GROUP BY nprobe
+    ),
+    exact AS (
+      SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_qc} DESC, c.vec_id) AS rn
+        FROM af q JOIN af c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT s.nprobe, e.q_id, count(a.cand_id) AS n_hits
+      FROM sweep s
+      CROSS JOIN exact e
+      LEFT JOIN annk a ON a.nprobe = s.nprobe AND a.q_id = e.q_id
+                      AND a.cand_id = e.cand_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(sum(h.n_hits) / (5.0 * count(*)), 4) AS recall_at_5,
+           CAST(any_value(c.total_candidates) AS BIGINT)
+             AS total_candidates
+    FROM hits h JOIN cost c ON h.nprobe = c.nprobe
+    GROUP BY h.nprobe
+    """
+
+
+@register(
+    "sim_ann_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    tags=("similarity", "ivf", "nprobe", "evaluation"),
+)
+def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep: recall@5 vs candidate-scan cost at
+    nprobe ∈ {1, 2, 4} against the SAME KMeans quantizer — the table an
+    operator reads to pick the recall/latency point before deploying ANN
+    (the multi-list generalization of `sim_ann_recall`).
+
+    Queries rank ALL centroids once (a sorted literal-array expression —
+    pure codegen, no join), probe their top-nprobe lists, and each sweep
+    point re-ranks the probed union.  Corpus vectors shuffle ONCE keyed
+    by list_id; the sweep dimension rides the tiny broadcast query side.
+    Exact ground truth broadcasts the 5 queries (never a corpus
+    self-join).  At 100 TB the sweep runs on a query sample and the
+    probe scans are partition-pruned by list_id."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    centroids = sim.kmeans_fit(emb, n_lists=8, iters=2)
+    base = emb.select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    ).withColumn("list_id", sim._assign_col(F.col("v"), centroids))
+
+    # per-query centroid ranking as a sorted (score, cid) struct array
+    structs = []
+    for cid, c in centroids:
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x
+        lit_c = F.array(*[F.lit(x) for x in c])
+        structs.append(
+            F.struct(
+                (F.lit(cc) - F.lit(2.0) * sim.dot(F.col("v"), lit_c)).alias(
+                    "s"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    ranked = F.slice(F.sort_array(F.array(*structs)), 1, 4)
+    probes = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.posexplode(ranked).alias("pos", "pc"),
+        )
+        .select(
+            "q_id",
+            "qv",
+            F.col("pc.cid").alias("probe_list"),
+            (F.col("pos") + 1).alias("crank"),
+        )
+    )
+    sweep = spark.createDataFrame([(1,), (2,), (4,)], "nprobe INT")
+    cand = (
+        base.join(
+            F.broadcast(
+                probes.join(sweep, probes.crank <= sweep.nprobe)
+            ),
+            F.col("list_id") == F.col("probe_list"),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "nprobe",
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(sim.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    annk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("nprobe", "q_id", "cand_id")
+    )
+    cost = (
+        cand.groupBy("nprobe", "q_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("nprobe")
+        .agg(F.sum("cnt").alias("total_candidates"))
+    )
+    exact = sim.brute_force_topk(emb, F.col("vec_id") < 5, k=5).select(
+        "q_id", "cand_id"
+    )
+    hits = (
+        sweep.crossJoin(exact)
+        .join(
+            annk.toDF("a_np", "a_qid", "a_cid"),
+            (F.col("nprobe") == F.col("a_np"))
+            & (F.col("q_id") == F.col("a_qid"))
+            & (F.col("cand_id") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy("nprobe", "q_id")
+        .agg(F.count("a_cid").alias("n_hits"))
+    )
+    return (
+        hits.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum("n_hits") / (5.0 * F.count(F.lit(1))), 4
+            ).alias("recall_at_5"),
+        )
+        .join(F.broadcast(cost), "nprobe")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            "recall_at_5",
+            F.col("total_candidates").cast("long").alias("total_candidates"),
+        )
+    )
