@@ -5590,3 +5590,89 @@ def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_rate"
         ),
     )
+
+
+@register(
+    "part_affinity_pairs",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS n_orders FROM lines GROUP BY 1
+    ),
+    n_all AS (SELECT count(DISTINCT l_orderkey) AS n FROM lines),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(pa.n_orders AS BIGINT) AS n_a,
+           CAST(pb.n_orders AS BIGINT) AS n_b,
+           round(p.n_both * n_all.n
+                 / CAST(pa.n_orders * pb.n_orders AS DOUBLE), 4) AS lift
+    FROM pairs p
+    JOIN part_orders pa ON pa.l_partkey = p.part_a
+    JOIN part_orders pb ON pb.l_partkey = p.part_b
+    CROSS JOIN n_all
+    WHERE p.n_both >= 3
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    tags=("business", "market-basket", "affinity"),
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity on the ORDER fact: top part pairs by lift
+    (P(both) / P(a)·P(b)) among parts co-occurring in ≥3 orders — the
+    lineitem-grain sibling of `events_cooccurrence_lift` (whose pair
+    space is user-keyed event types).
+
+    The self-join is keyed on l_orderkey, so pair fan-out is bounded by
+    (lines-per-order choose 2) — never a parts×parts product; marginals
+    are one bounded aggregation broadcast back; the support floor prunes
+    the pair table before ranking, and the top-20 is a heap with a
+    total (lift, a, b) tie-break.  Integer counts keep lift exact up to
+    the final double division, identical in both engines."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    lines = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    part_orders = lines.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    n_all = lines.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    a = lines.toDF("ok", "part_a")
+    b = lines.toDF("ok", "part_b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    pa = part_orders.toDF("part_a", "n_a")
+    pb = part_orders.toDF("part_b", "n_b")
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .join(F.broadcast(n_all))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -999,3 +999,80 @@ def text_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("pct_norm"),
     )
+
+
+@register(
+    "text_novelty_rate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM t WHERE len(toks) >= 4
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY g)
+    SELECT n.doc_id AS doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+    FROM ng n JOIN firsts f ON n.g = f.g
+    GROUP BY n.doc_id
+    """,
+    tags=("text", "novelty", "diversity"),
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in ingestion order = doc_id),
+    the fraction of its distinct 3-grams that NO earlier
+    document contains — the diminishing-returns signal data-collection
+    teams watch (novelty → 0 means more of the same source adds nothing).
+
+    First-occurrence attribution is one grouped MIN over the exploded
+    distinct n-gram stream (map-side combinable); each document then
+    compares its n-grams' first_doc against itself via a keyed join —
+    no ordered scan, no window over data-scale rows, and the n-gram
+    table is the same shuffle the dedup/chunk family already pays."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    ng = (
+        t["documents"]
+        .filter(F.size(toks) >= 4)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    firsts = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ng.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty_rate"),
+        )
+    )
