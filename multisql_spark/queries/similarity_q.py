@@ -948,12 +948,20 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).alias("crank"),
         )
     )
-    sweep = spark.createDataFrame([(1,), (2,), (4,)], "nprobe INT")
+    # expand each probe row to the sweep points it serves via a filtered
+    # literal array — pure codegen, no inequality join, no cartesian
+    sweep_arr = F.array(F.lit(1), F.lit(2), F.lit(4))
+    probes_x = probes.select(
+        "q_id",
+        "qv",
+        "probe_list",
+        F.explode(
+            F.filter(sweep_arr, lambda n: F.col("crank") <= n)
+        ).alias("nprobe"),
+    )
     cand = (
         base.join(
-            F.broadcast(
-                probes.join(sweep, probes.crank <= sweep.nprobe)
-            ),
+            F.broadcast(probes_x),
             F.col("list_id") == F.col("probe_list"),
         )
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -983,8 +991,11 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim.brute_force_topk(emb, F.col("vec_id") < 5, k=5).select(
         "q_id", "cand_id"
     )
+    exact_x = exact.select(
+        "q_id", "cand_id", F.explode(sweep_arr).alias("nprobe")
+    )
     hits = (
-        sweep.crossJoin(exact)
+        exact_x
         .join(
             annk.toDF("a_np", "a_qid", "a_cid"),
             (F.col("nprobe") == F.col("a_np"))
