@@ -1022,3 +1022,146 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_candidates").cast("long").alias("total_candidates"),
         )
     )
+
+
+def _kcenter_oracle(rounds: int = 3) -> str:
+    """Chained-CTE replay of deterministic farthest-point k-center
+    selection on 1e-3-quantized integer vectors."""
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (x.qv[i] - c.qv[i]) * (x.qv[i] - c.qv[i])))"
+    )
+    sql = """
+    WITH qx AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            v -> CAST(floor(v * 1000 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id, qv, 0 AS rnk FROM qx
+      ORDER BY md5(vec_id::VARCHAR) LIMIT 1
+    ),
+    d0 AS (
+      SELECT x.vec_id, x.qv, {d} AS d
+      FROM qx x CROSS JOIN c0 c
+    )""".format(d=dist)
+    for r in range(1, rounds + 1):
+        sql += f""",
+    c{r} AS (
+      SELECT vec_id, qv, {r} AS rnk FROM d{r - 1}
+      ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    d{r} AS (
+      SELECT x.vec_id, x.qv, least(x.d, {dist.replace('x.qv', 'x.qv')}) AS d
+      FROM d{r - 1} x CROSS JOIN c{r} c
+    )"""
+    centers_union = " UNION ALL ".join(
+        f"SELECT vec_id, qv, rnk FROM c{r}" for r in range(rounds + 1)
+    )
+    return f"""{sql},
+    ctr AS ({centers_union}),
+    ad AS (
+      SELECT x.vec_id, c.rnk,
+             list_sum(list_transform(range(1, 65),
+               i -> (x.qv[i] - c.qv[i]) * (x.qv[i] - c.qv[i]))) AS d
+      FROM qx x CROSS JOIN ctr c
+    ),
+    best AS (
+      SELECT vec_id, rnk, d FROM (
+        SELECT vec_id, rnk, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d, rnk) AS rn
+        FROM ad
+      ) WHERE rn = 1
+    )
+    SELECT CAST(c.rnk AS BIGINT) AS center_rank,
+           CAST(c.vec_id AS BIGINT) AS center_vec_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(max(b.d) AS BIGINT) AS max_dist_q
+    FROM best b JOIN ctr c ON b.rnk = c.rnk
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("sampling", "coreset", "k-center"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point sampling): pick 4 maximally
+    spread exemplar vectors, then report each center's assignment count
+    and coverage radius — the diversity-maximizing data-selection rule
+    (a coreset that bounds every point's distance to its exemplar, used
+    for embedding-space-covering subset selection).
+
+    Each round is ONE corpus scan: the running min-distance-to-selected
+    updates against the (broadcast-literal) newest center, and the next
+    center is the argmax — a TakeOrderedAndProject head, never a sort.
+    Components quantize to 1e-3 integers so every distance is an exact
+    BIGINT and the argmax/assignment ties (broken by vec_id / rank) are
+    engine-independent; the chained-CTE oracle replays the fit
+    verbatim.  At 100 TB you run rounds on a uniform sample and assign
+    the full corpus once — the same two-phase shape as `kmeans_fit`."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qx = t["embeddings"].select(
+        "vec_id",
+        F.transform(
+            sim.as_double("embedding"),
+            lambda v: F.floor(v * 1000 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+
+    def sqdist_to(lit_center: list[int]):
+        lit_arr = F.array(*[F.lit(int(x)) for x in lit_center])
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"), lit_arr, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    first = (
+        qx.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(1).collect()
+    )[0]
+    centers = [(0, int(first["vec_id"]), list(first["qv"]))]
+    cur = qx.withColumn("d", sqdist_to(centers[0][2]))
+    for r in range(1, 4):
+        far = cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((r, int(far["vec_id"]), list(far["qv"])))
+        cur = cur.withColumn(
+            "d", F.least(F.col("d"), sqdist_to(centers[-1][2]))
+        )
+    dists = [sqdist_to(qvv).alias(f"dd{r}") for r, _, qvv in centers]
+    ad = qx.select("vec_id", *dists)
+    mn = F.least(*[F.col(f"dd{r}") for r in range(4)])
+    rnk = F.when(F.col("dd0") == F.col("mn"), 0)
+    for r in range(1, 4):
+        rnk = rnk.when(F.col(f"dd{r}") == F.col("mn"), r)
+    assign = ad.withColumn("mn", mn).select(
+        "vec_id", "mn", rnk.alias("rnk")
+    )
+    centers_df = spark.createDataFrame(
+        [(r, v) for r, v, _ in centers],
+        "center_rank INT, center_vec_id LONG",
+    )
+    return (
+        assign.groupBy("rnk")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.max("mn").alias("max_dist_q"),
+        )
+        .join(
+            F.broadcast(centers_df),
+            F.col("rnk") == F.col("center_rank"),
+        )
+        .select(
+            F.col("center_rank").cast("long").alias("center_rank"),
+            F.col("center_vec_id").cast("long").alias("center_vec_id"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            F.col("max_dist_q").cast("long").alias("max_dist_q"),
+        )
+    )
