@@ -5676,3 +5676,80 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH per_min AS (
+      SELECT user_id, ({_EPOCH} // 60) AS m, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail3 AS (
+      SELECT cur.user_id, cur.m,
+             sum(past.n) AS n_3min
+      FROM per_min cur
+      JOIN per_min past
+        ON past.user_id = cur.user_id
+       AND cur.m - past.m BETWEEN 0 AND 2
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_active_minutes,
+           CAST(sum(CASE WHEN n_3min > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(max(n_3min) AS BIGINT) AS peak_3min
+    FROM trail3
+    GROUP BY user_id
+    HAVING sum(CASE WHEN n_3min > 10 THEN 1 ELSE 0 END) > 0
+    """,
+    tags=("monitoring", "rate-limit", "abuse"),
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit violation audit: users whose trailing-3-minute event
+    count ever exceeded the cap (10), with violation counts and peak
+    burst — the abuse/bot screen run before an ingestion source is
+    trusted (the per-user mirror of `events_burst_hours`).
+
+    Events collapse to (user, minute) counts first — the only
+    data-scale aggregation, map-side combinable; the trailing window is
+    a bounded ≤3-fanout self-join of that rollup (the `events_ewma_hourly`
+    scheme), so no per-user ordered scan and no streaming state.  The
+    HAVING keeps output O(violators)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per_min = t["events"].groupBy(
+        F.col("user_id"),
+        F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur = per_min.select("user_id", F.col("m").alias("cur_m"))
+    past = per_min.select(
+        F.col("user_id").alias("u2"),
+        F.col("m").alias("past_m"),
+        "n",
+    )
+    trailing = (
+        cur.join(
+            past,
+            (F.col("user_id") == F.col("u2"))
+            & ((F.col("cur_m") - F.col("past_m")).between(0, 2)),
+        )
+        .groupBy("user_id", "cur_m")
+        .agg(F.sum("n").alias("n_3min"))
+    )
+    return (
+        trailing.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_minutes"),
+            F.sum(F.when(F.col("n_3min") > 10, 1).otherwise(0)).alias(
+                "nv"
+            ),
+            F.max("n_3min").alias("peak_3min"),
+        )
+        .filter(F.col("nv") > 0)
+        .select(
+            "user_id",
+            F.col("n_active_minutes").cast("long").alias("n_active_minutes"),
+            F.col("nv").cast("long").alias("n_violations"),
+            F.col("peak_3min").cast("long").alias("peak_3min"),
+        )
+    )

@@ -980,21 +980,35 @@ def dedup_lsh_precision_recall(
       SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
     ),
     deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    hubs AS (SELECT u FROM deg WHERE d > 64),
+    ke AS (
+      SELECT e.a, e.b FROM e
+      WHERE e.a NOT IN (SELECT u FROM hubs)
+        AND e.b NOT IN (SELECT u FROM hubs)
+    ),
+    kund AS (
+      SELECT a AS u, b AS v FROM ke UNION ALL SELECT b AS u, a AS v FROM ke
+    ),
+    kdeg AS (SELECT u, count(*) AS d FROM kund GROUP BY u),
     tri AS (
       SELECT count(*) AS n_triangles
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.b
-      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      FROM ke e1
+      JOIN ke e2 ON e2.a = e1.b
+      JOIN ke e3 ON e3.a = e1.a AND e3.b = e2.b
     ),
     agg AS (
       SELECT (SELECT count(*) FROM deg) AS n_nodes,
              (SELECT count(*) FROM e) AS n_edges,
-             (SELECT COALESCE(sum(d * (d - 1) / 2), 0) FROM deg)
+             (SELECT count(*) FROM hubs) AS n_hubs_excluded,
+             (SELECT count(*) FROM ke) AS n_edges_capped,
+             (SELECT COALESCE(sum(d * (d - 1) / 2), 0) FROM kdeg)
                AS n_wedges,
              (SELECT n_triangles FROM tri) AS n_triangles
     )
     SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
            CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_hubs_excluded AS BIGINT) AS n_hubs_excluded,
+           CAST(n_edges_capped AS BIGINT) AS n_edges_capped,
            CAST(n_wedges AS BIGINT) AS n_wedges,
            CAST(n_triangles AS BIGINT) AS n_triangles,
            CASE WHEN n_wedges > 0
@@ -1005,18 +1019,22 @@ def dedup_lsh_precision_recall(
     tags=("dedup", "graph", "triangles"),
 )
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the near-dup candidate graph: triangle count
-    plus the global clustering coefficient (3·triangles / wedges) — high
-    transitivity says LSH buckets capture coherent duplicate FAMILIES
-    (safe to collapse via `dedup_cluster_components`); low transitivity
-    says candidates chain through hubs and a same-component collapse
-    would over-delete.
+    """Triangle census of the near-dup candidate graph on its
+    HUB-CAPPED subgraph (degree ≤ 64), plus the global clustering
+    coefficient (3·triangles / wedges): high transitivity says LSH
+    buckets capture coherent duplicate FAMILIES (safe to collapse via
+    `dedup_cluster_components`); low says candidates chain through hubs
+    and a same-component collapse would over-delete.
 
-    Triangles come from the ordered-edge (a<b) double join — each
-    triangle counted exactly once, join fan-out bounded by the LSH
-    bucket-degree cap, never an all-pairs product; wedges are a
-    closed-form over the degree table.  Everything shuffles (long,
-    long) pairs only."""
+    The hub cap is what makes this scale-safe: a duplicate clique of m
+    members contains Θ(m³) triangles — ANY enumerating engine dies on a
+    template family of millions, so production triangle counts exclude
+    hubs (their clustering is already known: they are dup families by
+    construction and better measured by `dedup_family_histogram`).
+    With the cap, the ordered-edge (a<b) double join's fan-out is ≤64²
+    per vertex and everything shuffles (long, long) pairs.  Full-graph
+    node/edge/hub counts are reported alongside so the exclusion is
+    visible, and both engines apply the identical cap."""
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
     e = (
@@ -1028,29 +1046,45 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("u"))
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    hubs = deg.filter(F.col("d") > 64).select("u")
+    ke = (
+        e.join(hubs.withColumnRenamed("u", "a"), "a", "left_anti")
+        .join(hubs.withColumnRenamed("u", "b"), "b", "left_anti")
+        .select("a", "b")
+    )
+    kund = ke.select(F.col("a").alias("u")).unionAll(
+        ke.select(F.col("b").alias("u"))
+    )
+    kdeg = kund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = ke.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ke.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = ke.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
     tri = (
         e1.join(e2, e1.y == e2.y2)
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     counts = (
-        deg.agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.coalesce(
-                F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_wedges"),
-        )
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .join(hubs.agg(F.count(F.lit(1)).alias("n_hubs_excluded")))
+        .join(ke.agg(F.count(F.lit(1)).alias("n_edges_capped")))
+        .join(
+            kdeg.agg(
+                F.coalesce(
+                    F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_wedges")
+            )
+        )
         .join(tri)
     )
     return counts.select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_hubs_excluded").cast("long").alias("n_hubs_excluded"),
+        F.col("n_edges_capped").cast("long").alias("n_edges_capped"),
         F.col("n_wedges").cast("long").alias("n_wedges"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
         F.when(

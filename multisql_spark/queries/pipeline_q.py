@@ -1703,7 +1703,7 @@ def monitor_stale_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(sum_lw_q AS BIGINT) AS sum_logweight_q,
            CAST(n_tok AS BIGINT) AS n_tokens,
-           round(sum_lw_q / (n_tok * 1e6), 6) AS avg_logweight,
+           round(sum_lw_q / (n_tok * 1e6), 6) + 0.0 AS avg_logweight,
            sum_lw_q > 0 AS keep
     FROM docw
     """,
@@ -1781,8 +1781,8 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("sum_lw_q").cast("long").alias("sum_logweight_q"),
         F.col("n_tok").cast("long").alias("n_tokens"),
-        F.round(
-            F.col("sum_lw_q") / (F.col("n_tok") * 1e6), 6
+        (
+            F.round(F.col("sum_lw_q") / (F.col("n_tok") * 1e6), 6) + 0.0
         ).alias("avg_logweight"),
         (F.col("sum_lw_q") > 0).alias("keep"),
     )
@@ -1863,4 +1863,120 @@ def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("bucket_len").cast("double"),
             4,
         ).alias("bucketed_waste_frac"),
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs, sum(toks) AS src_tokens
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT sum(src_tokens) * 1.0 AS total_tokens FROM per_src),
+    temped AS (
+      SELECT source, n_docs, src_tokens,
+             pow(src_tokens / tot.total_tokens, 0.7) AS w
+      FROM per_src, tot
+    ),
+    wtot AS (SELECT sum(w) AS sw FROM temped),
+    rates AS (
+      SELECT t.source, t.n_docs, t.src_tokens,
+             round(t.w / wtot.sw, 6) AS target_share,
+             round(least(1.0,
+               (t.w / wtot.sw) * tot.total_tokens / t.src_tokens), 6)
+               AS keep_rate
+      FROM temped t, wtot, tot
+    )
+    SELECT r.source AS source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.src_tokens AS BIGINT) AS src_tokens,
+           r.target_share, r.keep_rate,
+           CAST(sum(CASE WHEN
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':tmix'), 1, 8))
+               ::BIGINT / 4294967296.0 < r.keep_rate
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d JOIN rates r ON d.source = r.source
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("sampling", "mixture", "temperature"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (τ = 0.7): target share per
+    source ∝ (token share)^τ, the standard multilingual/multi-domain
+    rebalancing rule (upweights small sources without flattening to
+    uniform — τ=1 keeps natural proportions, τ=0 is uniform).  The
+    per-source keep decision is the md5-fraction rule, so the sample is
+    deterministic and repartition-stable.
+
+    Both aggregations are source-bounded; shares broadcast back onto
+    the document stream; the only data-scale work is one conditional
+    count.  Complements `sample_domain_mix` (uniform target) with the
+    tunable-τ generalization."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("src_tokens"),
+    )
+    tot = per_src.agg(
+        (F.sum("src_tokens") * 1.0).alias("total_tokens")
+    )
+    temped = per_src.join(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("src_tokens") / F.col("total_tokens"), 0.7)
+    )
+    wtot = temped.agg(F.sum("w").alias("sw"))
+    rates = temped.join(F.broadcast(wtot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(F.col("w") / F.col("sw"), 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.col("sw"))
+                * F.col("total_tokens")
+                / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy(
+            "source", "n_docs", "src_tokens", "target_share", "keep_rate"
+        )
+        .agg(
+            F.sum(F.when(frac < F.col("keep_rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("src_tokens").cast("long").alias("src_tokens"),
+            "target_share",
+            "keep_rate",
+            "n_kept",
+        )
     )
