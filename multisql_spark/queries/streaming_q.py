@@ -347,3 +347,23 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 from multisql_spark.queries.text_q import CMS_ORACLE as _CMS_ORACLE  # noqa: E402
 
 REGISTRY["stream_heavy_hitters_cms"].oracle = _CMS_ORACLE
+
+
+@register(
+    "stream_incremental_minhash",
+    oracle=None,  # set below: shares the batch incremental-minhash oracle
+    tags=("streaming", "dedup", "lsh", "incremental"),
+)
+def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingestion: new documents probe the standing
+    corpus's banded-LSH index per microbatch (stream-static, one-sided);
+    the drained sink bit-matches the batch `dedup_incremental_minhash`
+    and shares its DuckDB oracle."""
+    return streaming.stream_minhash_ingest(spark, sf_dir)
+
+
+from multisql_spark.queries.dedup_q import (  # noqa: E402
+    _incremental_minhash_oracle as _IMH,
+)
+
+REGISTRY["stream_incremental_minhash"].oracle = _IMH()

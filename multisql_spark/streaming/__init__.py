@@ -797,3 +797,68 @@ def stream_cms_heavy_hitters(
         .orderBy(F.desc("cms_est"), F.asc("tok"))
         .limit(15)
     )
+
+
+def stream_minhash_ingest(
+    spark: SparkSession, sf_dir: str, stream_src_dir: str | None = None
+) -> DataFrame:
+    """Streaming near-dup ingestion: NEW documents (doc_id % 10 = 0)
+    arrive as a file stream and each microbatch probes the STANDING
+    corpus's banded-LSH index (stream-static, one-sided — the corpus
+    contributes only its band index, per-batch work tracks the batch's
+    collisions, never corpus²).  Results append to a parquet sink under
+    batch-id-named directories (overwrite-by-batch-id = idempotent under
+    redelivery).
+
+    Because the probe is one-sided against a STATIC corpus, microbatch
+    boundaries cannot change any document's verdict — the drained sink
+    equals the batch `dedup_incremental_minhash` bit-for-bit and shares
+    its DuckDB oracle.  At scale the corpus band index is a bucketed
+    table built once and appended to; per microbatch only new-doc
+    signatures are computed."""
+    import os
+
+    from multisql_spark.operators import dedup as dd
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src)
+    corpus = docs.filter(~(F.col("doc_id") % 10 == 0))
+    if stream_src_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="docs_mh_")
+        docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+    else:
+        stream_dir = stream_src_dir
+    out_dir = tempfile.mkdtemp(prefix="mh_ingest_out_")
+    schema = docs.schema
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        un = corpus.withColumn("_new", F.lit(False)).unionByName(
+            batch_df.withColumn("_new", F.lit(True))
+        )
+        res = dd.incremental_minhash_dedup(
+            un, F.col("_new"), k=12, bands=4, threshold=0.5
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

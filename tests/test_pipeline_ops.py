@@ -644,3 +644,23 @@ def test_stream_cms_additive_across_microbatches(spark, sf_dir, tmp_path):
     reg = load_all()
     batch = reg["text_heavy_hitters_cms"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stream_minhash_ingest_microbatch_invariant(spark, sf_dir, tmp_path):
+    """Microbatch boundaries must not change any near-dup verdict: the
+    one-sided probe against the STATIC corpus makes each new doc's row
+    independent of its batch — 3-file stream equals the batch probe."""
+    from pyspark.sql import functions as F
+
+    from multisql_spark.streaming import stream_minhash_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = str(tmp_path / "mh_split")
+    docs.filter(F.col("doc_id") % 10 == 0).repartition(3).write.parquet(
+        split_dir
+    )
+    streamed = stream_minhash_ingest(
+        spark, sf_dir, stream_src_dir=split_dir
+    ).collect()
+    batch = load_all()["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
