@@ -418,3 +418,37 @@ def tfidf_top_terms(
             F.round(F.col("score_q") / 1e6, 4).alias("tfidf"),
         )
     )
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """Compression-ratio quality signal (Gopher-family): highly
+    compressible text is repetitive/templated; ratio ≈ 1 is high-entropy
+    (or non-text).  zlib runs in an Arrow-batched pandas UDF — the
+    documented slow path, used here because the kernel is genuinely
+    imperative; everything around it (projection, filtering, the
+    aggregate consumers) stays JVM-side, and the UDF runs in the scan
+    stage BEFORE any exchange so only (id, 2 numbers) ever shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: the module uses postponed annotations, so type hints arrive as
+    # strings and pandas_udf cannot infer the eval type from them — the
+    # hint-free form with an eval-type constant is the stable spelling
+    from pyspark.util import PythonEvalType
+
+    @pandas_udf("double", PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def _ratio(texts):
+        import zlib
+
+        def one(t: str) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(one)
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _ratio(F.col("text")).alias("compress_ratio"),
+    ).withColumn("is_templated", F.col("compress_ratio") < 0.3)

@@ -1076,3 +1076,18 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib has no SQL equivalent — rows-only driver check;
+    # exactness vs direct Python zlib is pinned by
+    # tests/test_pipeline_ops.py::test_compression_ratio_matches_python
+    tags=("text", "quality", "compression", "udf"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style compression-ratio filter via an Arrow-batched pandas
+    UDF — the honest use of the UDF slow path (zlib is imperative), run
+    in the scan stage so only (id, ratio) crosses any exchange."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textan.compression_ratio(t["documents"])

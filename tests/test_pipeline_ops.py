@@ -664,3 +664,22 @@ def test_stream_minhash_ingest_microbatch_invariant(spark, sf_dir, tmp_path):
     ).collect()
     batch = load_all()["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_compression_ratio_matches_python(spark, sf_dir):
+    """The pandas-UDF zlib ratio must equal a direct Python computation
+    row-for-row (same codec, same level, same rounding)."""
+    import zlib
+
+    rows = load_all()["text_compression_ratio"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        raw = t.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 4) if t else 1.0
+        assert abs(r["compress_ratio"] - want) < 1e-9
+        assert r["is_templated"] == (want < 0.3)
