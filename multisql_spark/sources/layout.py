@@ -237,3 +237,103 @@ def vacuum_snapshots(path: str, keep: int = 1) -> list[int]:
     for v in doomed:
         shutil.rmtree(f"{path}/v={v}", ignore_errors=True)
     return doomed
+
+
+def write_key_sharded(
+    df: DataFrame, path: str, key_col: str, n_shards: int = 16
+) -> None:
+    """Write a hive-style md5-key-sharded layout (``shard=K``
+    directories): the deterministic 16-way sharding of
+    `pipeline_shard_layout` made physical, so any by-key maintenance
+    (targeted deletes, point lookups, incremental re-writes) touches one
+    directory instead of the whole table."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % n_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def delete_keys(spark, path: str, key_col: str, keys: list) -> dict:
+    """Targeted deletion (GDPR / right-to-be-forgotten shape) over a
+    key-sharded layout: compute each key's shard, rewrite ONLY those
+    shard directories with the keys filtered out, leave every other
+    shard's files untouched (atomic per-shard swap).
+
+    At 100 TB this is the difference between rewriting ~keys/16 of the
+    table and rewriting all of it; the same routine drives CCPA
+    deletes, per-customer retention purges and poisoned-document
+    removal.  Returns {"shards_rewritten", "rows_deleted"}."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    n_shards = sum(
+        1 for d in os.listdir(path) if d.startswith("shard=")
+    )
+    hit = sorted(
+        {
+            int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % n_shards
+            for k in keys
+        }
+    )
+    deleted = 0
+    for s in hit:
+        sdir = os.path.join(path, f"shard={s}")
+        sub = spark.read.parquet(sdir)
+        before = sub.count()
+        kept = sub.filter(~F.col(key_col).isin([*keys]))
+        after = kept.count()
+        if after == before:
+            continue
+        tmp = tempfile.mkdtemp(prefix="msql_del_")
+        kept.coalesce(max(1, len(os.listdir(sdir)) - 1)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = tempfile.mkdtemp(prefix="msql_del_old_")
+        for f in os.listdir(sdir):
+            shutil.move(os.path.join(sdir, f), os.path.join(old, f))
+        for f in os.listdir(tmp):
+            shutil.move(os.path.join(tmp, f), os.path.join(sdir, f))
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        deleted += before - after
+    spark.catalog.refreshByPath(path)
+    return {"shards_rewritten": len(hit), "rows_deleted": deleted}
+
+
+def file_stats_report(path: str, small_kb: int = 64) -> dict:
+    """Layout-health report for a parquet directory tree: file count,
+    byte total, small-file count/fraction, largest/smallest — the
+    numbers that decide when `compact_dir` is worth running (many small
+    files → scan scheduling overhead dominates).  Metadata-only: walks
+    the directory, reads no data."""
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("part-") or f.endswith(".parquet"):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    if not sizes:
+        return {
+            "n_files": 0, "total_bytes": 0, "n_small": 0,
+            "small_frac": 0.0, "min_bytes": 0, "max_bytes": 0,
+        }
+    small = sum(1 for s in sizes if s < small_kb * 1024)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "n_small": small,
+        "small_frac": round(small / len(sizes), 4),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+    }

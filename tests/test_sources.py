@@ -462,3 +462,46 @@ def test_snapshot_schema_evolution(spark, sf_dir, tmp_path_factory):
     assert "extra" in merged.columns and "v" in [
         c for c in merged.columns if c == "v"
     ]
+
+
+def test_key_sharded_targeted_delete(spark, sf_dir, tmp_path):
+    """GDPR-shape targeted delete: only the shards containing the keys
+    are rewritten; all other shard files keep their exact mtimes."""
+    import os
+
+    from multisql_spark.sources import layout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "sharded")
+    layout.write_key_sharded(docs, root, "doc_id", n_shards=16)
+    total = docs.count()
+
+    before = {}
+    for d in os.listdir(root):
+        if d.startswith("shard="):
+            for f in os.listdir(os.path.join(root, d)):
+                p = os.path.join(root, d, f)
+                before[p] = os.path.getmtime(p)
+
+    victims = [3, 17, 42]
+    res = layout.delete_keys(spark, root, "doc_id", victims)
+    assert res["rows_deleted"] == 3
+    assert res["shards_rewritten"] <= 3
+
+    after = spark.read.parquet(root)
+    assert after.count() == total - 3
+    assert after.filter(after.doc_id.isin(victims)).count() == 0
+
+    import hashlib
+
+    hit = {
+        int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % 16
+        for k in victims
+    }
+    for p, mt in before.items():
+        shard = int(p.split("shard=")[1].split(os.sep)[0])
+        if shard not in hit and os.path.exists(p):
+            assert os.path.getmtime(p) == mt, f"untouched shard rewritten: {p}"
+
+    stats = layout.file_stats_report(root)
+    assert stats["n_files"] >= 16 and stats["total_bytes"] > 0
