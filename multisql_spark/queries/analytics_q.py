@@ -5753,3 +5753,59 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_3min").cast("long").alias("peak_3min"),
         )
     )
+
+
+@register(
+    "events_realtime_rollup",
+    oracle=f"""
+    SELECT event_type,
+           ({_EPOCH} // 3600) * 3600 AS hour_start,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "realtime", "continuous-aggregate"),
+)
+def events_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (the TimescaleDB real-time view
+    shape): the hourly rollup is served as MATERIALIZED-part ∪ LIVE-tail
+    — history older than the materialization watermark comes from the
+    precomputed aggregate, only the newest slice re-aggregates raw
+    events, and the two merge by summing partial states (counts and
+    exact cent sums are mergeable, `operators.incremental`'s property).
+
+    The oracle is the full recompute, so the query PROVES
+    merge(matview(old), agg(tail)) ≡ recompute.  At 100 TB the
+    materialized part is a bounded stored table maintained by
+    `matview_incremental_merge` / `stream_rollup_sink`, the tail scan
+    is partition-pruned to the last slice by the watermark predicate,
+    and serving cost is O(groups) + O(tail), independent of history."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    wm = ev.agg(
+        (F.max(F.unix_timestamp("ts")) - 2 * 3600).alias("wm")
+    )
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type", hour.alias("hour_start")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("value_cents"),
+        )
+
+    with_wm = ev.join(F.broadcast(wm))
+    mat = rollup(with_wm.filter(F.unix_timestamp("ts") < F.col("wm")))
+    live = rollup(with_wm.filter(F.unix_timestamp("ts") >= F.col("wm")))
+    return (
+        mat.unionByName(live)
+        .groupBy("event_type", "hour_start")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
