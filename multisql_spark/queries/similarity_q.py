@@ -1165,3 +1165,194 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_dist_q").cast("long").alias("max_dist_q"),
         )
     )
+
+
+def _mmr_oracle(k_sel: int = 5, shortlist: int = 20) -> str:
+    """Chained-CTE replay of MMR selection over int8 shortlists."""
+    base = f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CASE WHEN mx = 0 THEN 0
+                    ELSE CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) END)
+               AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                 AS mx
+        FROM embeddings
+      )
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS qq FROM q8 WHERE vec_id < 5),
+    rel AS (
+      SELECT q_id, cand_id, r FROM (
+        SELECT q.q_id, c.vec_id AS cand_id,
+               list_dot_product(q.qq, c.qv) AS r,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_dot_product(q.qq, c.qv) DESC, c.vec_id) AS rn
+        FROM qs q JOIN q8 c ON c.vec_id <> q.q_id
+      ) WHERE rn <= {shortlist}
+    ),
+    sims AS (
+      SELECT a.q_id, a.cand_id AS c1, b.cand_id AS c2,
+             list_dot_product(x.qv, y.qv) AS s
+      FROM rel a
+      JOIN rel b ON a.q_id = b.q_id AND a.cand_id <> b.cand_id
+      JOIN q8 x ON x.vec_id = a.cand_id
+      JOIN q8 y ON y.vec_id = b.cand_id
+    ),
+    s1 AS (
+      SELECT q_id, cand_id, 1 AS step FROM (
+        SELECT q_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY r DESC, cand_id) AS rn
+        FROM rel
+      ) WHERE rn = 1
+    )"""
+    prev_union = "SELECT q_id, cand_id, step FROM s1"
+    for k in range(2, k_sel + 1):
+        base += f""",
+    sel{k - 1} AS ({prev_union}),
+    s{k} AS (
+      SELECT q_id, cand_id, {k} AS step FROM (
+        SELECT r.q_id, r.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY r.q_id
+                 ORDER BY 7 * r.r - 3 * ms.maxsim DESC, r.cand_id) AS rn
+        FROM rel r
+        JOIN (
+          SELECT s.q_id, s.c1 AS cand_id, max(s.s) AS maxsim
+          FROM sims s
+          JOIN sel{k - 1} d ON d.q_id = s.q_id AND d.cand_id = s.c2
+          GROUP BY s.q_id, s.c1
+        ) ms ON ms.q_id = r.q_id AND ms.cand_id = r.cand_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{k - 1} d
+          WHERE d.q_id = r.q_id AND d.cand_id = r.cand_id
+        )
+      ) WHERE rn = 1
+    )"""
+        prev_union += f" UNION ALL SELECT q_id, cand_id, step FROM s{k}"
+    return f"""{base}
+    SELECT CAST(q_id AS BIGINT) AS q_id,
+           CAST(step AS BIGINT) AS step,
+           CAST(cand_id AS BIGINT) AS cand_id
+    FROM ({prev_union})
+    """
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "mmr", "diversity", "retrieval"),
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick 5
+    results per query that are RELEVANT but mutually DIVERSE —
+    iteratively argmax λ·rel(c) − (1−λ)·max sim(c, selected) with
+    λ = 0.7 (integer-scaled 7·rel − 3·maxsim) — the re-rank layer that
+    stops near-duplicate passages from filling a retrieval context
+    window.
+
+    MMR's iterations are inherently sequential, so the scale design
+    confines them to a per-query SHORTLIST (top-20 by relevance — a
+    WindowGroupLimit heap over the int8 scoring pass); all pairwise
+    similarities live inside shortlists (20² per query, never corpus²).
+    Int8 dots make every score an exact integer — selection ties break
+    on cand_id identically in both engines, and the chained-CTE oracle
+    replays all five steps."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array_max(
+            F.transform(F.col("embedding"), lambda x: F.abs(x))
+        ).alias("mx"),
+    )
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(x * 127.0 / F.col("mx") + 0.5).cast("long")
+            ),
+        ).alias("qv"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qs = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    cands = q8.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
+    )
+    wrel = W.partitionBy("q_id").orderBy(F.desc("r"), F.asc("cand_id"))
+    rel = (
+        qs.crossJoin(F.broadcast(cands))
+        .filter(F.col("cand_id") != F.col("q_id"))
+        .select("q_id", "cand_id", "cv", idot.alias("r"))
+        .withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = rel.select("q_id", F.col("cand_id").alias("c1"),
+                   F.col("cv").alias("v1"))
+    b = rel.select(F.col("q_id").alias("q2"),
+                   F.col("cand_id").alias("c2"), F.col("cv").alias("v2"))
+    sims = (
+        a.join(b, (F.col("q_id") == F.col("q2"))
+               & (F.col("c1") != F.col("c2")))
+        .select("q_id", "c1", "c2", pdot.alias("s"))
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.desc("r"), F.asc("cand_id"))
+    selected = (
+        rel.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "cand_id", F.lit(1).alias("step"))
+    )
+    for k in range(2, 6):
+        ms = (
+            sims.join(
+                selected.select(
+                    F.col("q_id").alias("qd"), F.col("cand_id").alias("c2d")
+                ),
+                (sims.q_id == F.col("qd")) & (sims.c2 == F.col("c2d")),
+            )
+            .groupBy(sims.q_id.alias("mq"), sims.c1.alias("mc"))
+            .agg(F.max("s").alias("maxsim"))
+        )
+        wk = W.partitionBy("q_id").orderBy(
+            F.desc(7 * F.col("r") - 3 * F.col("maxsim")), F.asc("cand_id")
+        )
+        pick = (
+            rel.join(
+                selected.select("q_id", "cand_id"),
+                ["q_id", "cand_id"],
+                "left_anti",
+            )
+            .join(
+                ms,
+                (F.col("q_id") == F.col("mq"))
+                & (F.col("cand_id") == F.col("mc")),
+            )
+            .drop("mq", "mc")
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "cand_id", F.lit(k).alias("step"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("cand_id").cast("long").alias("cand_id"),
+    )

@@ -1091,3 +1091,139 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the scan stage so only (id, ratio) crosses any exchange."""
     t = load_tables(spark, sf_dir, ["documents"])
     return textan.compression_ratio(t["documents"])
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, toks[i] AS tok,
+             toks[i] IN ('the', 'a', 'of', 'and') AS is_stop
+      FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+    ),
+    seg AS (
+      SELECT doc_id, p, tok, is_stop,
+             count(*) FILTER (is_stop) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS phrase_id
+      FROM pos
+    ),
+    phr AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY p) AS phrase,
+             count(*) AS plen
+      FROM seg WHERE NOT is_stop
+      GROUP BY doc_id, phrase_id
+    ),
+    wstat AS (
+      SELECT s.tok,
+             count(*) AS freq,
+             sum(ph.plen) AS degree
+      FROM seg s
+      JOIN phr ph ON ph.doc_id = s.doc_id AND ph.phrase_id = s.phrase_id
+      WHERE NOT s.is_stop
+      GROUP BY s.tok
+    ),
+    wscore AS (
+      SELECT tok,
+             CAST(floor(degree * 1000000.0 / freq) AS BIGINT) AS ws_q
+      FROM wstat
+    ),
+    pscore AS (
+      SELECT ph.phrase,
+             count(*) AS n_occurrences,
+             any_value(sc.ps_q) AS score_q
+      FROM phr ph
+      JOIN (
+        SELECT s.doc_id, s.phrase_id, sum(w.ws_q) AS ps_q
+        FROM seg s JOIN wscore w ON s.tok = w.tok
+        WHERE NOT s.is_stop
+        GROUP BY s.doc_id, s.phrase_id
+      ) sc ON sc.doc_id = ph.doc_id AND sc.phrase_id = ph.phrase_id
+      GROUP BY ph.phrase
+    )
+    SELECT phrase,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(score_q AS BIGINT) AS score_q
+    FROM pscore
+    ORDER BY score_q DESC, phrase
+    LIMIT 15
+    """,
+    tags=("text", "keyphrase", "rake"),
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs; each word scores
+    degree/frequency (degree = Σ lengths of phrases containing it);
+    a phrase scores the sum of its words' scores.  Top-15 corpus
+    keyphrases with occurrence counts.
+
+    Phrase segmentation is a per-document running stopword count — a
+    window PARTITIONED by doc_id (high-cardinality → scale-safe), never
+    a global sort; word and phrase statistics are two vocabulary- and
+    phrase-bounded aggregations.  Word scores quantize to 1e-6 integers
+    so phrase scores are order-free integer sums; the final top-15 is a
+    heap with a (score, phrase) total order."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pos = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    ).withColumn(
+        "is_stop", F.col("tok").isin("the", "a", "of", "and")
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w),
+    )
+    words = seg.filter(~F.col("is_stop"))
+    phr = words.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(" ", F.array_sort(
+            F.collect_list(F.struct("p", "tok"))
+        ).getField("tok")).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstat = (
+        words.join(phr, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    wscore = wstat.select(
+        "tok",
+        F.floor(F.col("degree") * 1000000.0 / F.col("freq"))
+        .cast("long")
+        .alias("ws_q"),
+    )
+    sc = (
+        words.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("ws_q").alias("ps_q"))
+    )
+    return (
+        phr.join(sc, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.first("ps_q").alias("score_q"),
+        )
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score_q").cast("long").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(15)
+    )
