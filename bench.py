@@ -98,6 +98,10 @@ def bench_queries(spark: SparkSession):
         "cdc_apply": "pipeline_cdc_apply",
         "active_users": "events_active_users",
         "quantized_topk": "sim_quantized_topk",
+        "heavy_hitters_cms": "text_heavy_hitters_cms",
+        "pca_power_iteration": "sim_pca_power_iteration",
+        "bpe_pair_stats": "text_bpe_pair_stats",
+        "tpch_local_supplier": "tpch_local_supplier_volume",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect
