@@ -527,6 +527,10 @@ class MultiSQLSession:
             return self._show(stmt)
         if kw == "EXECUTE":
             return self._execute_file(stmt)
+        if kw == "EXPORT":
+            return self._export_database(stmt)
+        if kw == "IMPORT":
+            return self._import_database(stmt)
         if kw == "REFRESH":
             return self._refresh_matview(stmt)
         raise UnsupportedError(f"unsupported statement: {stmt[:60]}")
@@ -1712,3 +1716,94 @@ class MultiSQLSession:
         with open(m.group(1)) as fh:
             payloads = self.execute_many(fh.read())
         return payloads[-1] if payloads else Payload.success()
+
+    def _export_database(self, stmt: str) -> Payload:
+        """EXPORT DATABASE TO '<dir>' (beyond ref): dump every managed
+        table as parquet plus a schema manifest (column options and
+        auto-increment counters), so a session's whole state survives a
+        restart / ships to another cluster.  One directory per table —
+        at scale each table export is a parallel parquet write."""
+        import json as _json
+        import os
+
+        m = re.match(
+            r"\s*EXPORT\s+DATABASE\s+TO\s+'([^']+)'\s*$", stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse EXPORT DATABASE: {stmt[:80]}")
+        root = m.group(1)
+        os.makedirs(root, exist_ok=True)
+        manifest = {}
+        n = 0
+        for name, state in self.tables.items():
+            if "__" in name:
+                continue  # attached-db shadow entries export via their db
+            state.df.write.mode("overwrite").parquet(
+                os.path.join(root, name)
+            )
+            manifest[name] = {
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type": c.type_str,
+                        "not_null": c.not_null,
+                        "unique": c.unique,
+                        "default": c.default,
+                        "auto_increment": c.auto_increment,
+                    }
+                    for c in state.columns
+                ],
+                "auto_counter": state.auto_counter,
+            }
+            n += 1
+        with open(os.path.join(root, "_manifest.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1, sort_keys=True)
+        return Payload(kind="Select", labels=["exported"], rows=[(n,)])
+
+    def _import_database(self, stmt: str) -> Payload:
+        """IMPORT DATABASE FROM '<dir>': restore every table exported by
+        EXPORT DATABASE — schema options, auto-increment counters and
+        rows — into the current session (existing same-named tables are
+        replaced)."""
+        import json as _json
+        import os
+
+        m = re.match(
+            r"\s*IMPORT\s+DATABASE\s+FROM\s+'([^']+)'\s*$", stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EngineError(f"cannot parse IMPORT DATABASE: {stmt[:80]}")
+        root = m.group(1)
+        mpath = os.path.join(root, "_manifest.json")
+        if not os.path.exists(mpath):
+            raise EngineError(f"no database manifest at {root}")
+        with open(mpath) as fh:
+            manifest = _json.load(fh)
+        for name, meta in sorted(manifest.items()):
+            df = self.spark.read.parquet(os.path.join(root, name))
+            cols = [
+                ColumnDef(
+                    name=c["name"],
+                    type_str=c["type"],
+                    not_null=c["not_null"],
+                    unique=c["unique"],
+                    default=c["default"],
+                    auto_increment=c["auto_increment"],
+                )
+                for c in meta["columns"]
+            ]
+            df = df.localCheckpoint(eager=True)
+            df.createOrReplaceTempView(name)
+            self.tables[name] = TableState(
+                name=name,
+                columns=cols,
+                df=df,
+                auto_counter={
+                    k: int(v) for k, v in meta["auto_counter"].items()
+                },
+            )
+        return Payload(
+            kind="Select", labels=["imported"], rows=[(len(manifest),)]
+        )

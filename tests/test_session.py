@@ -615,3 +615,37 @@ def test_show_statements(glue, sf_dir):
 
     with _pytest.raises(UnsupportedError):
         glue.execute("SHOW GRANTS")
+
+
+def test_export_import_database(glue, tmp_path):
+    _fresh(glue, "exp1")
+    _fresh(glue, "exp2")
+    glue.execute(
+        "CREATE TABLE exp1 (id INTEGER AUTO_INCREMENT, v TEXT UNIQUE)"
+    )
+    glue.execute("INSERT INTO exp1 (v) VALUES ('a'), ('b')")
+    glue.execute("CREATE TABLE exp2 (x INTEGER NULL)")
+    glue.execute("INSERT INTO exp2 VALUES (1), (NULL)")
+    root = str(tmp_path / "dump")
+    out = glue.execute(f"EXPORT DATABASE TO '{root}'")
+    assert out.rows[0][0] >= 2
+
+    glue.execute("DROP TABLE exp1")
+    glue.execute("DROP TABLE exp2")
+    res = glue.execute(f"IMPORT DATABASE FROM '{root}'")
+    assert res.rows[0][0] >= 2
+    assert sorted(glue.execute("SELECT * FROM exp1").rows) == [
+        (1, "a"), (2, "b"),
+    ]
+    assert sorted(
+        glue.execute("SELECT * FROM exp2").rows, key=lambda r: (r[0] is None, r)
+    ) == [(1,), (None,)]
+    # options survive: auto-increment continues, UNIQUE still enforced
+    glue.execute("INSERT INTO exp1 (v) VALUES ('c')")
+    assert (3, "c") in glue.execute("SELECT * FROM exp1").rows
+    import pytest as _pytest
+
+    from multisql_spark.session import UniqueViolation
+
+    with _pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO exp1 (v) VALUES ('a')")
