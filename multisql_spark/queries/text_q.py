@@ -1227,3 +1227,114 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_q"), F.asc("phrase"))
         .limit(15)
     )
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'prev': toks[i], 'cur': toks[i + 1]})) AS u
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    pair_cnt AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+    ctx AS (
+      SELECT prev, sum(c2) AS c1, count(*) AS n_follow
+      FROM pair_cnt GROUP BY prev
+    ),
+    cont AS (SELECT cur, count(*) AS n_prec FROM pair_cnt GROUP BY cur),
+    ntypes AS (SELECT count(*) * 1.0 AS nt FROM pair_cnt),
+    lp AS (
+      SELECT p.prev, p.cur,
+             CAST(round(ln(
+               greatest(p.c2 - 0.75, 0) / c.c1
+               + 0.75 * c.n_follow / c.c1 * (k.n_prec / ntypes.nt)
+             ) * 1e6) AS BIGINT) AS lp_q
+      FROM pair_cnt p
+      JOIN ctx c ON c.prev = p.prev
+      JOIN cont k ON k.cur = p.cur
+      CROSS JOIN ntypes
+    )
+    SELECT bg.doc_id AS doc_id,
+           count(*) AS n_bigrams,
+           round(sum(lp.lp_q) / count(*) / 1e6, 4) AS avg_logprob_kn
+    FROM bg JOIN lp ON lp.prev = bg.prev AND lp.cur = bg.cur
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm", "kneser-ney"),
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney-smoothed bigram scoring (absolute discount D = 0.75):
+    P(w|u) = max(c(u,w)−D, 0)/c(u) + D·N₁₊(u·)/c(u) · N₁₊(·w)/N_types —
+    the continuation-probability backoff that makes KN the standard
+    n-gram smoother (a word seen after MANY contexts backs off high,
+    "Francisco" backs off low no matter how frequent).  Per-doc mean
+    log-prob under the corpus's own KN model — the perplexity filter
+    upgrade over `text_bigram_logprob`'s MLE.
+
+    Every model table (bigram types, context totals, continuation
+    counts) is vocabulary-bounded, built map-side-combined, and
+    broadcast back onto the bigram stream; per-TYPE log-probs quantize
+    to 1e-6 BIGINTs so per-doc scores are order-free integer sums."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.col("text"), " ")
+    bg = (
+        t["documents"]
+        .filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("prev"),
+                        F.element_at(toks, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.prev").alias("prev"),
+                F.col("b.cur").alias("cur"))
+    )
+    pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pair_cnt.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = pair_cnt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_prec"))
+    ntypes = pair_cnt.agg((F.count(F.lit(1)) * 1.0).alias("nt"))
+    lp = (
+        pair_cnt.join(ctx, "prev")
+        .join(cont, "cur")
+        .join(F.broadcast(ntypes))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    F.greatest(F.col("c2") - 0.75, F.lit(0.0)) / F.col("c1")
+                    + 0.75
+                    * F.col("n_follow")
+                    / F.col("c1")
+                    * (F.col("n_prec") / F.col("nt"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lp), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp_q") / F.count(F.lit(1)) / 1e6, 4)
+            .alias("avg_logprob_kn"),
+        )
+    )
