@@ -5809,3 +5809,193 @@ def events_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
     )
+
+
+@register(
+    "events_hill_tail_index",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    topk AS (
+      SELECT cnt FROM per_user
+      ORDER BY cnt DESC, user_id LIMIT 101
+    ),
+    xmin AS (SELECT min(cnt) * 1.0 AS xm FROM topk),
+    terms AS (
+      SELECT CAST(round(ln(t.cnt / x.xm) * 1e9) AS BIGINT) AS lr_q
+      FROM topk t, xmin x
+      ORDER BY lr_q DESC LIMIT 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(lr_q) AS BIGINT) AS sum_logratio_q,
+           round(count(*) * 1e9 / sum(lr_q), 4) AS hill_alpha
+    FROM terms
+    """,
+    tags=("telemetry", "power-law", "hill"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail exponent of per-user
+    activity (α = k / Σ ln(xᵢ/x_min) over the top-k order statistics) —
+    the quantitative form of "how heavy is the heavy-user tail", which
+    prices every per-user-keyed operation's skew risk (α ≲ 2 means the
+    top users dominate and salting is mandatory).
+
+    The only ordered operation is a top-101 heap over the bounded
+    per-user aggregate (the 101st value is x_min); log-ratios quantize
+    to 1e-9 integers so the sum is order-free.  Companion to
+    `events_concentration_gini` (which integrates the whole
+    distribution; Hill characterizes the tail)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    topk = (
+        per_user.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(101)
+        .select("cnt")
+    )
+    xmin = topk.agg((F.min("cnt") * 1.0).alias("xm"))
+    terms = (
+        topk.join(F.broadcast(xmin))
+        .select(
+            F.round(F.log(F.col("cnt") / F.col("xm")) * 1e9)
+            .cast("long")
+            .alias("lr_q")
+        )
+        .orderBy(F.desc("lr_q"))
+        .limit(100)
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lr_q").cast("long").alias("sum_logratio_q"),
+        F.round(
+            F.count(F.lit(1)) * 1e9 / F.sum("lr_q"), 4
+        ).alias("hill_alpha"),
+    )
+
+
+@register(
+    "monitor_value_drift_psi",
+    oracle=f"""
+    WITH ranges AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    split AS (
+      SELECT CASE WHEN {_EPOCH} < (
+               SELECT CAST(floor(date_part('epoch', min(ts))) AS BIGINT)
+                 + ((SELECT CAST(floor(date_part('epoch', max(ts)))
+                     AS BIGINT) FROM events)
+                  - (SELECT CAST(floor(date_part('epoch', min(ts)))
+                     AS BIGINT) FROM events)) // 2
+               FROM events
+             ) THEN 'ref' ELSE 'cur' END AS period,
+             least(9, greatest(0, CAST(floor(
+               (value - r.lo) / ((r.hi - r.lo) / 10.0)) AS INT))) AS b
+      FROM events, ranges r
+    ),
+    cnt AS (
+      SELECT period, b, count(*) AS n FROM split GROUP BY period, b
+    ),
+    tot AS (SELECT period, sum(n) * 1.0 AS t FROM cnt GROUP BY period),
+    probs AS (
+      SELECT b,
+             sum(CASE WHEN c.period = 'ref' THEN (c.n + 1)
+                 / (t1.t + 10.0) ELSE 0 END) AS p,
+             sum(CASE WHEN c.period = 'cur' THEN (c.n + 1)
+                 / (t1.t + 10.0) ELSE 0 END) AS q
+      FROM cnt c JOIN tot t1 ON t1.period = c.period
+      GROUP BY b
+    ),
+    terms AS (
+      SELECT b,
+             CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS term_q
+      FROM (
+        SELECT b, CASE WHEN p = 0 THEN 1 / 1e9 ELSE p END AS p,
+                  CASE WHEN q = 0 THEN 1 / 1e9 ELSE q END AS q
+        FROM probs
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(term_q) AS BIGINT) AS psi_q,
+           round(sum(term_q) / 1e9, 6) AS psi
+    FROM terms
+    """,
+    tags=("monitoring", "drift", "psi"),
+)
+def monitor_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's value distribution — THE model-monitoring drift
+    number (rule of thumb: PSI < 0.1 stable, > 0.25 investigate),
+    complementing `monitor_value_drift_ks` (KS detects shape shifts;
+    PSI weights by probability mass and is additive by bucket).
+
+    Ten fixed buckets from the broadcast global range; both period
+    histograms come from ONE aggregation (constant-size shuffle);
+    add-one smoothing removes empty-bucket infinities; per-bucket terms
+    quantize to 1e-9 integers so the sum is order-free and
+    engine-identical."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    ranges = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    ).select(
+        (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("mid")
+    )
+    b = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+        ),
+    )
+    split = ev.join(F.broadcast(ranges)).join(F.broadcast(bounds)).select(
+        F.when(F.unix_timestamp("ts") < F.col("mid"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        b.alias("b"),
+    )
+    cnt = split.groupBy("period", "b").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("period").agg((F.sum("n") * 1.0).alias("t"))
+    probs = (
+        cnt.join(tot, "period")
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("period") == "ref",
+                    (F.col("n") + 1) / (F.col("t") + 10.0),
+                ).otherwise(0.0)
+            ).alias("p"),
+            F.sum(
+                F.when(
+                    F.col("period") == "cur",
+                    (F.col("n") + 1) / (F.col("t") + 10.0),
+                ).otherwise(0.0)
+            ).alias("q"),
+        )
+    )
+    safe = probs.select(
+        "b",
+        F.when(F.col("p") == 0, 1 / 1e9).otherwise(F.col("p")).alias("p"),
+        F.when(F.col("q") == 0, 1 / 1e9).otherwise(F.col("q")).alias("q"),
+    )
+    terms = safe.select(
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1e9
+        )
+        .cast("long")
+        .alias("term_q")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("term_q").cast("long").alias("psi_q"),
+        F.round(F.sum("term_q") / 1e9, 6).alias("psi"),
+    )
