@@ -5999,3 +5999,65 @@ def monitor_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_q").cast("long").alias("psi_q"),
         F.round(F.sum("term_q") / 1e9, 6).alias("psi"),
     )
+
+
+@register(
+    "orders_rolling_12m_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+             + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    roll AS (
+      SELECT cur.mi,
+             sum(past.rev_cents) AS ltm_cents,
+             count(*) AS n_months_present
+      FROM m cur JOIN m past ON cur.mi - past.mi BETWEEN 0 AND 11
+      GROUP BY cur.mi
+    )
+    SELECT CAST(mi // 12 AS BIGINT) AS year,
+           CAST(mi % 12 + 1 AS BIGINT) AS month,
+           CAST(ltm_cents AS BIGINT) AS ltm_cents,
+           CAST(n_months_present AS BIGINT) AS n_months_present
+    FROM roll
+    """,
+    tags=("business", "rolling", "ltm"),
+)
+def orders_rolling_12m_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-twelve-month (LTM) revenue per month — the smoothed
+    top-line every finance dashboard leads with, computed WITHOUT a
+    sequential window: the monthly rollup is bounded, so the trailing
+    sum is a ≤12-fanout self-join on month index (the
+    `events_ewma_hourly` scheme with unit weights).  Exact integer
+    cents; months absent from the data drop out of both the sum and the
+    presence count identically in any engine."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = t["orders"].groupBy(mi.alias("mi")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    cur = m.select(F.col("mi").alias("cur_mi"))
+    past = m.select(F.col("mi").alias("past_mi"), "rev_cents")
+    roll = (
+        cur.join(
+            past,
+            (F.col("cur_mi") - F.col("past_mi")).between(0, 11),
+        )
+        .groupBy("cur_mi")
+        .agg(
+            F.sum("rev_cents").alias("ltm_cents"),
+            F.count(F.lit(1)).alias("n_months_present"),
+        )
+    )
+    return roll.select(
+        F.floor(F.col("cur_mi") / 12).cast("long").alias("year"),
+        (F.col("cur_mi") % 12 + 1).cast("long").alias("month"),
+        F.col("ltm_cents").cast("long").alias("ltm_cents"),
+        F.col("n_months_present").cast("long").alias("n_months_present"),
+    )

@@ -1980,3 +1980,70 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+@register(
+    "pipeline_epoch_shuffle_plan",
+    oracle="""
+    WITH shards AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 16
+               AS shard
+      FROM documents
+    ),
+    epochs AS (SELECT unnest([0, 1, 2]) AS epoch),
+    ordered AS (
+      SELECT e.epoch, s.shard,
+             row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(s.shard AS VARCHAR)), s.shard
+             ) - 1 AS position
+      FROM epochs e, shards s
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(position AS BIGINT) AS position
+    FROM ordered
+    """,
+    tags=("pipeline", "training", "epoch-shuffle"),
+)
+def pipeline_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shard shuffling: each training epoch reads
+    the 16 shards in a different but REPRODUCIBLE order (md5 of
+    epoch:shard), so data order — which affects the trained model — is
+    part of the experiment's recorded configuration instead of runtime
+    nondeterminism, and any epoch can be replayed exactly (the
+    data-loader side of `sample_kfold`'s reproducibility story).
+
+    The plan table is epochs × shards (bounded); the only data-scale
+    work is the DISTINCT shard discovery, which at 100 TB is a listing
+    of the sharded layout's directories rather than a scan."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 16
+    )
+    shards = t["documents"].select(shard.alias("shard")).distinct()
+    epochs = spark.createDataFrame([(0,), (1,), (2,)], "epoch INT")
+    key = F.md5(
+        F.concat(
+            F.lit("epoch"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("shard").cast("string"),
+        )
+    )
+    w = W.partitionBy("epoch").orderBy(key, F.col("shard"))
+    return (
+        epochs.crossJoin(F.broadcast(shards))
+        .withColumn("position", F.row_number().over(w) - 1)
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+            F.col("position").cast("long").alias("position"),
+        )
+    )
