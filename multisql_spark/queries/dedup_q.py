@@ -1094,3 +1094,102 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("clustering_coeff"),
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE simpairs AS ({_minhash_oracle()}),
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM simpairs WHERE est_sim >= 0.5
+    ),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    edges AS (SELECT DISTINCT u, v FROM und),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS cluster FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT d.doc_id AS node,
+             COALESCE(c2.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c2 ON c2.node = d.doc_id
+    ),
+    rep AS (
+      SELECT cluster, node AS representative, d AS rep_degree FROM (
+        SELECT m.cluster, m.node, COALESCE(g.d, 0) AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY m.cluster
+                 ORDER BY COALESCE(g.d, 0) DESC, m.node
+               ) AS rn
+        FROM members m LEFT JOIN deg g ON g.u = m.node
+      ) WHERE rn = 1
+    )
+    SELECT CAST(r.cluster AS BIGINT) AS cluster,
+           CAST(r.representative AS BIGINT) AS representative,
+           CAST(r.rep_degree AS BIGINT) AS rep_degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM rep r JOIN members m ON m.cluster = r.cluster
+    GROUP BY 1, 2, 3
+    """,
+    tags=("dedup", "graph", "representative"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision that completes the dedup pipeline: for every
+    near-dup cluster, elect the most CENTRAL member (highest candidate-
+    graph degree, ties → smallest id) as the survivor — degree
+    centrality picks the member most representative of its family,
+    where min-id keeps an arbitrary one.
+
+    Reuses the connected-components labels and the candidate-pair
+    degree table; election is a WindowGroupLimit head per cluster
+    (bounded groups).  Everything that shuffles is (id, label) /
+    (id, degree) longs — the blob-free dedup discipline throughout."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+        F.col("est_sim") >= 0.5
+    )
+    und = pairs.select(F.col("doc_a").alias("u")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    comp = dedup.connected_components(pairs)
+    docs = t["documents"].select(F.col("doc_id").cast("long").alias("node"))
+    members = docs.join(comp, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("cluster")
+    )
+    w = W.partitionBy("cluster").orderBy(
+        F.desc("d"), F.asc("node")
+    )
+    rep = (
+        members.join(deg, members.node == deg.u, "left")
+        .select(
+            "cluster", "node", F.coalesce("d", F.lit(0)).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("node").alias("representative"),
+            F.col("d").alias("rep_degree"),
+        )
+    )
+    return (
+        members.join(rep, "cluster")
+        .groupBy("cluster", "representative", "rep_degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("representative").cast("long").alias("representative"),
+            F.col("rep_degree").cast("long").alias("rep_degree"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
