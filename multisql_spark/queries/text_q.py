@@ -1338,3 +1338,39 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob_kn"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH scored AS ({_langid_oracle()})
+    SELECT labeled_lang, predicted_lang,
+           count(*) AS n,
+           CAST(sum(CASE WHEN labeled_lang = predicted_lang
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    tags=("text", "langid", "evaluation", "confusion"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled × predicted counts over the
+    marker-token classifier — the evaluation artifact that decides
+    whether the heuristic is good enough to gate ingestion per language
+    (off-diagonal mass shows exactly WHICH language pairs it confuses).
+
+    One bounded aggregation over the classifier's output (≤|langs|²
+    rows); the classification itself is the same pure-codegen argmax as
+    `text_langid`."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = textan.lang_id(t["documents"])
+    return scored.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("predicted_lang"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
