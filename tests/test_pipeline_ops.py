@@ -683,3 +683,25 @@ def test_compression_ratio_matches_python(spark, sf_dir):
         want = round(len(zlib.compress(raw, 6)) / len(raw), 4) if t else 1.0
         assert abs(r["compress_ratio"] - want) < 1e-9
         assert r["is_templated"] == (want < 0.3)
+
+
+def test_driver_window_well_formed():
+    """Rotation guard: every _DRIVER_WINDOW name must exist in the
+    registry (a typo would silently shrink the driver-checked set), the
+    window must be duplicate-free, and every windowed query must carry
+    an oracle (the window exists to win hash-match rows)."""
+    from multisql_spark.queries import _DRIVER_WINDOW, load_all
+
+    reg = load_all()
+    missing = [n for n in _DRIVER_WINDOW if n not in reg]
+    assert not missing, f"window names not in registry: {missing}"
+    assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
+    no_oracle = [
+        n for n in _DRIVER_WINDOW
+        if reg[n].oracle is None and not n.startswith("stream_")
+    ]
+    assert not no_oracle, f"windowed queries without oracle: {no_oracle}"
+    # ordering contract: the window is literally the registry prefix
+    assert list(reg)[: len(_DRIVER_WINDOW)] == [
+        n for n in _DRIVER_WINDOW if n in reg
+    ]
