@@ -1720,9 +1720,12 @@ class MultiSQLSession:
     def _export_database(self, stmt: str) -> Payload:
         """EXPORT DATABASE TO '<dir>' (beyond ref): dump every managed
         table as parquet plus a schema manifest (column options and
-        auto-increment counters), so a session's whole state survives a
-        restart / ships to another cluster.  One directory per table —
-        at scale each table export is a parallel parquet write."""
+        auto-increment counters), so the session's managed-table state
+        survives a restart / ships to another cluster.  Attached-db
+        tables are EXCLUDED by design — they already live in their
+        backing files (parquet/csv/xlsx/jdbc) and re-attach via CREATE
+        DATABASE LOCATION.  One directory per table — at scale each
+        table export is a parallel parquet write."""
         import json as _json
         import os
 
@@ -1737,8 +1740,12 @@ class MultiSQLSession:
         manifest = {}
         n = 0
         for name, state in self.tables.items():
-            if "__" in name:
-                continue  # attached-db shadow entries export via their db
+            # Attached-db shadow entries are identified structurally
+            # (they carry a persist_path to their backing file), never
+            # by a "__" name substring — a managed table legitimately
+            # named a__b must export too (ADVICE r2 #3).
+            if state.persist_path is not None:
+                continue
             state.df.write.mode("overwrite").parquet(
                 os.path.join(root, name)
             )

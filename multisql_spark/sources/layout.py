@@ -247,6 +247,9 @@ def write_key_sharded(
     `pipeline_shard_layout` made physical, so any by-key maintenance
     (targeted deletes, point lookups, incremental re-writes) touches one
     directory instead of the whole table."""
+    import json
+    import os
+
     shard = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 2), 16, 10)
         .cast("int")
@@ -259,26 +262,48 @@ def write_key_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
+    # Persist the sharding modulus: partitionBy only materializes
+    # directories for POPULATED shards, so counting `shard=` dirs at
+    # delete time under-infers n_shards whenever a shard is empty (and a
+    # NULL key adds a __HIVE_DEFAULT_PARTITION__ dir) — the delete would
+    # then hash keys with the wrong modulus and silently miss rows.
+    with open(os.path.join(path, "_shards.json"), "w") as f:
+        json.dump({"key_col": key_col, "n_shards": n_shards}, f)
 
 
-def delete_keys(spark, path: str, key_col: str, keys: list) -> dict:
+def delete_keys(
+    spark, path: str, key_col: str, keys: list, n_shards: int | None = None
+) -> dict:
     """Targeted deletion (GDPR / right-to-be-forgotten shape) over a
     key-sharded layout: compute each key's shard, rewrite ONLY those
     shard directories with the keys filtered out, leave every other
-    shard's files untouched (atomic per-shard swap).
+    shard's files untouched (atomic per-shard directory swap).
+
+    The sharding modulus comes from the ``_shards.json`` sidecar that
+    ``write_key_sharded`` persists (or an explicit ``n_shards``
+    argument); it is NEVER inferred from directory counts, which
+    under-count when a shard happens to be empty.
 
     At 100 TB this is the difference between rewriting ~keys/16 of the
     table and rewriting all of it; the same routine drives CCPA
     deletes, per-customer retention purges and poisoned-document
     removal.  Returns {"shards_rewritten", "rows_deleted"}."""
     import hashlib
+    import json
     import os
     import shutil
     import tempfile
 
-    n_shards = sum(
-        1 for d in os.listdir(path) if d.startswith("shard=")
-    )
+    if n_shards is None:
+        sidecar = os.path.join(path, "_shards.json")
+        if not os.path.exists(sidecar):
+            raise ValueError(
+                f"no _shards.json sidecar under {path!r}; pass n_shards "
+                "explicitly (directory counting is unsafe: empty shards "
+                "have no directory)"
+            )
+        with open(sidecar) as f:
+            n_shards = int(json.load(f)["n_shards"])
     hit = sorted(
         {
             int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % n_shards
@@ -286,28 +311,33 @@ def delete_keys(spark, path: str, key_col: str, keys: list) -> dict:
         }
     )
     deleted = 0
+    rewritten = 0
     for s in hit:
         sdir = os.path.join(path, f"shard={s}")
+        if not os.path.isdir(sdir):  # shard empty at write time
+            continue
         sub = spark.read.parquet(sdir)
         before = sub.count()
         kept = sub.filter(~F.col(key_col).isin([*keys]))
         after = kept.count()
         if after == before:
             continue
-        tmp = tempfile.mkdtemp(prefix="msql_del_")
+        parent = os.path.dirname(sdir)
+        tmp = tempfile.mkdtemp(prefix="shard_new_", dir=parent)
         kept.coalesce(max(1, len(os.listdir(sdir)) - 1)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        old = tempfile.mkdtemp(prefix="msql_del_old_")
-        for f in os.listdir(sdir):
-            shutil.move(os.path.join(sdir, f), os.path.join(old, f))
-        for f in os.listdir(tmp):
-            shutil.move(os.path.join(tmp, f), os.path.join(sdir, f))
+        # Atomic swap for concurrent readers: two same-filesystem
+        # renames, not per-file moves.
+        old = os.path.join(parent, f".shard_old_{s}")
         shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(sdir, old)
+        os.rename(tmp, sdir)
+        shutil.rmtree(old, ignore_errors=True)
         deleted += before - after
+        rewritten += 1
     spark.catalog.refreshByPath(path)
-    return {"shards_rewritten": len(hit), "rows_deleted": deleted}
+    return {"shards_rewritten": rewritten, "rows_deleted": deleted}
 
 
 def file_stats_report(path: str, small_kb: int = 64) -> dict:

@@ -649,3 +649,28 @@ def test_export_import_database(glue, tmp_path):
 
     with _pytest.raises(UniqueViolation):
         glue.execute("INSERT INTO exp1 (v) VALUES ('a')")
+
+
+def test_export_includes_dunder_named_table(glue, tmp_path, sf_dir):
+    """A managed table legitimately named a__b must survive the dump:
+    attached-db shadow entries are excluded structurally (persist_path),
+    not by a '__' name substring (ADVICE r2 #3)."""
+    _fresh(glue, "a__b")
+    glue.execute("CREATE TABLE a__b (id INTEGER)")
+    glue.execute("INSERT INTO a__b VALUES (7)")
+    glue.execute(
+        f"CREATE DATABASE IF NOT EXISTS expdb LOCATION '{sf_dir}/'"
+    )
+    root = str(tmp_path / "dump2")
+    glue.execute(f"EXPORT DATABASE TO '{root}'")
+    import json
+    import os
+
+    with open(os.path.join(root, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert "a__b" in manifest
+    # attached-db tables are excluded by design (they live in sf_dir)
+    assert not any(k.startswith("expdb__") for k in manifest)
+    glue.execute("DROP TABLE a__b")
+    glue.execute(f"IMPORT DATABASE FROM '{root}'")
+    assert glue.execute("SELECT * FROM a__b").rows == [(7,)]

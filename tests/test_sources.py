@@ -505,3 +505,42 @@ def test_key_sharded_targeted_delete(spark, sf_dir, tmp_path):
 
     stats = layout.file_stats_report(root)
     assert stats["n_files"] >= 16 and stats["total_bytes"] > 0
+
+
+def test_key_sharded_delete_with_empty_shards(spark, tmp_path):
+    """The sharding modulus must come from the _shards.json sidecar, not
+    from counting shard= directories: with only a handful of keys most
+    of the 16 shards are EMPTY (no directory), so directory counting
+    would infer the wrong modulus and hash keys to the wrong shard —
+    a silent GDPR-delete miss (ADVICE r2 #1)."""
+    import os
+
+    import pytest
+
+    from multisql_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(k, f"payload-{k}") for k in (3, 17, 42)], "doc_id int, body string"
+    )
+    root = str(tmp_path / "sparse")
+    layout.write_key_sharded(df, root, "doc_id", n_shards=16)
+    n_dirs = sum(1 for d in os.listdir(root) if d.startswith("shard="))
+    assert n_dirs < 16  # the trap: dir count != modulus
+    assert os.path.exists(os.path.join(root, "_shards.json"))
+
+    res = layout.delete_keys(spark, root, "doc_id", [17])
+    assert res["rows_deleted"] == 1
+    assert res["shards_rewritten"] == 1  # only shards actually rewritten
+    left = spark.read.parquet(root)
+    assert sorted(r.doc_id for r in left.collect()) == [3, 42]
+
+    # deleting a key that hits only an empty / clean shard rewrites nothing
+    res2 = layout.delete_keys(spark, root, "doc_id", [999999])
+    assert res2 == {"shards_rewritten": 0, "rows_deleted": 0}
+
+    # no sidecar and no explicit modulus -> hard error, never a guess
+    os.remove(os.path.join(root, "_shards.json"))
+    with pytest.raises(ValueError, match="_shards.json"):
+        layout.delete_keys(spark, root, "doc_id", [3])
+    res3 = layout.delete_keys(spark, root, "doc_id", [3], n_shards=16)
+    assert res3["rows_deleted"] == 1

@@ -30,10 +30,18 @@ def main() -> int:
         [sys.executable, os.path.join(here, "bench.py")],
         capture_output=True, text=True, timeout=1200,
     )
-    line = [
+    if out.returncode != 0:
+        print(f"bench.py exited {out.returncode}", file=sys.stderr)
+        print(out.stderr, file=sys.stderr)
+        return 2
+    lines = [
         ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')
-    ][-1]
-    cur = json.loads(line)["queries"]
+    ]
+    if not lines:
+        print("bench.py printed no metric line", file=sys.stderr)
+        print(out.stderr, file=sys.stderr)
+        return 2
+    cur = json.loads(lines[-1])["queries"]
 
     flags = []
     for q, t0 in sorted(base.items()):
