@@ -121,6 +121,49 @@ class TableState:
         return None
 
 
+def assign_dense_ids(
+    df: DataFrame, col: str, start: int, dtype: str
+) -> DataFrame:
+    """Fill ``col`` with dense sequential ids ``start+1 .. start+n`` via
+    block allocation — the scale path for AUTO_INCREMENT.
+
+    The reference reserves contiguous id blocks transactionally
+    (sled/auto_increment.rs:12-55); the Spark equivalent: count rows per
+    partition (one tiny aggregate, ≤#partitions rows to the driver),
+    cumulate per-partition starting offsets, then assign partition-LOCAL
+    row_numbers plus the broadcast offset.  Ids come out identical to a
+    global ``row_number() OVER (ORDER BY monotonically_increasing_id())``
+    — mono ids order by (partition, local position) — but no
+    single-reducer Window exists anywhere in the plan; every data-scale
+    operation is partition-parallel.  Same trick as scale-safe NTILE
+    (queries/core.py:911).
+
+    The input is locally checkpointed first so the partition layout is
+    pinned between the count job and the fill job (a re-planned source
+    could otherwise repartition between the two)."""
+    spark = df.sparkSession
+    from pyspark.sql import Window as W
+
+    need = df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    counts = (
+        need.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+    )
+    offs, acc = [], start
+    for r in sorted(counts, key=lambda x: x["__pid"]):
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["__c"])
+    off_df = spark.createDataFrame(offs, "__pid int, __off bigint")
+    w_local = W.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    return (
+        need.withColumn("__rn", F.row_number().over(w_local))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(col, (F.col("__rn") + F.col("__off")).cast(dtype))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def _spark_type(t: str) -> T.DataType:
     return {
         "boolean": T.BooleanType(),
@@ -1026,8 +1069,6 @@ class MultiSQLSession:
         # rejected insert doesn't burn counter values
         for cdef in state.columns:
             if cdef.auto_increment:
-                from pyspark.sql import Window as W
-
                 start = state.auto_counter.get(cdef.name, 0)
                 # only NULL ids are filled and only they advance the
                 # counter — explicit values don't consume it (reference
@@ -1037,15 +1078,14 @@ class MultiSQLSession:
                 have = aligned.filter(F.col(cdef.name).isNotNull())
                 n_fill = stats[f"__ai_{cdef.name}"]
                 if n_fill:
-                    # dense sequential ids need a global row_number — fine
-                    # at DML scale; documented tradeoff for 100 TB
-                    # (SURVEY §7.2)
-                    w = W.orderBy(F.monotonically_increasing_id())
-                    filled = need.withColumn(
+                    # block-allocated dense ids — partition-local
+                    # row_number + broadcast offsets, no single-reducer
+                    # window (see assign_dense_ids)
+                    filled = assign_dense_ids(
+                        need,
                         cdef.name,
-                        (F.row_number().over(w) + start).cast(
-                            state.df.schema[cdef.name].dataType.simpleString()
-                        ),
+                        start,
+                        state.df.schema[cdef.name].dataType.simpleString(),
                     )
                     aligned = have.unionByName(filled)
                 state.auto_counter[cdef.name] = start + n_fill

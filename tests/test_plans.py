@@ -514,3 +514,30 @@ def test_q6_full_pushdown_and_heap_topk(spark):
     for name in ("tpch_shipping_priority", "tpch_returned_items"):
         plan = plans.formatted_plan(REGISTRY[name].fn(spark, SF))
         assert "TakeOrderedAndProject" in plan
+
+
+def test_auto_increment_fill_has_no_global_window(spark):
+    """Block-allocated AUTO_INCREMENT (reference
+    sled/auto_increment.rs:12-55 reserves contiguous blocks): the fill
+    must use a partition-local window + broadcast offsets — never a
+    single-reducer ``row_number() OVER (ORDER BY ...)`` — and still
+    produce exactly the dense sequential ids of the global form."""
+    from multisql_spark.session import assign_dense_ids
+
+    base = spark.range(0, 1000, 1, 8).select(
+        F.lit(None).cast("long").alias("id"), F.col("id").alias("payload")
+    )
+    filled = assign_dense_ids(base, "id", 100, "bigint")
+    rows = filled.collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(101, 1101))  # dense, gap-free, offset by start
+    # payload↔id pairing follows (partition, local position) order, i.e.
+    # identical to row_number over monotonically_increasing_id
+    by_payload = {r.payload: r.id for r in rows}
+    assert by_payload[0] < by_payload[1] < by_payload[2]
+
+    plan = plans.formatted_plan(filled)
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__pid" in line, line
+    assert "SinglePartition" not in plan
