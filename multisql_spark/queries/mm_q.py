@@ -52,12 +52,44 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(mm.attach_blobs(t["documents"]))
 
 
-@register("mm_frame_sample", oracle=None, tags=("multimodal", "frames"))
+@register(
+    "mm_frame_sample",
+    # the blob is a deterministic md5 chain of the text, so every-4th-byte
+    # sampling is exact hash algebra: sampled hex pairs sit at positions
+    # (i-1)*8+1 of md5(text)||md5('x'||text).  The sampled bytes are
+    # emitted as one hex string (not array<int>) so the cross-engine
+    # hash compare is canonical.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, upper(md5(text) || md5('x' || text)) AS hx
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           substr(hx, 1, 2) || substr(hx, 9, 2) || substr(hx, 17, 2)
+             || substr(hx, 25, 2) || substr(hx, 33, 2) || substr(hx, 41, 2)
+             || substr(hx, 49, 2) || substr(hx, 57, 2) AS sampled_hex,
+           CAST(8 AS INT) AS n_frames
+    FROM h
+    """,
+    tags=("multimodal", "frames"),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-4th-byte 'frame' sampling over blobs (JVM-side array algebra
-    — the subsample-before-shuffle pattern)."""
+    — the subsample-before-shuffle pattern).  The int frames are joined
+    into a hex string at the output boundary so the driver's value-hash
+    compare sees a scalar column on both engines."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.frame_sample(mm.attach_blobs(t["documents"]), every=4)
+    frames = mm.frame_sample(mm.attach_blobs(t["documents"]), every=4)
+    return frames.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "sampled_bytes", lambda b: F.lpad(F.hex(b), 2, "0")
+            ),
+            "",
+        ).alias("sampled_hex"),
+        "n_frames",
+    )
 
 
 @register(

@@ -490,7 +490,40 @@ def pipeline_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_pack_sequences",
-    oracle=None,  # greedy packing is stateful-sequential, not closed-form SQL
+    # greedy packing is stateful-sequential, not closed-form SQL — but it
+    # IS an exact recursive CTE: the walk advances every group one doc
+    # per iteration (~max-group-size iterations over a #groups-row
+    # working table), replaying the same first-fit-in-order rule
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                  ::BIGINT % 16 AS INT) AS grp,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT grp, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    walk AS (
+      SELECT grp, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_seq, n_tokens AS cur_total
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.grp, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.cur_total + o.n_tokens > 128
+                  THEN w.pack_seq + 1 ELSE w.pack_seq END,
+             CASE WHEN w.cur_total + o.n_tokens > 128
+                  THEN o.n_tokens ELSE w.cur_total + o.n_tokens END
+      FROM walk w JOIN o ON o.grp = w.grp AND o.rn = w.rn + 1
+    )
+    SELECT grp, pack_seq, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY grp, pack_seq)
+                AS BIGINT) AS pack_total
+    FROM walk
+    """,
     tags=("pipeline", "packing"),
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

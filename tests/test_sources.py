@@ -185,6 +185,26 @@ def test_xlsx_database_roundtrip(spark, tmp_path_factory):
     ]
 
 
+def test_xlsx_flush_rejects_oversized_sheet(spark, tmp_path_factory):
+    """The whole-book rewrite collects the sheet to the driver; a table
+    beyond the XLSX format's 1,048,576-row sheet limit must raise a
+    typed error BEFORE collecting, not OOM (VERDICT r2 #2)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from multisql_spark.session import UnsupportedError
+    from multisql_spark.sources import xlsx
+
+    book = str(tmp_path_factory.mktemp("xlbig") / "big.xlsx")
+    xlsx.write_workbook(book, {"t": [["id"], [1]]})
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE xlbig LOCATION '{book}'")
+    state = g.tables["xlbig__t"]
+    state.df = spark.range(1_200_000).select(F.col("id").cast("long"))
+    with pytest.raises(UnsupportedError, match="1,048,576"):
+        g._flush(state)
+
+
 def test_xlsx_shared_strings_and_mixed_types(spark, tmp_path_factory):
     """Reader handles sharedStrings-style books (ours writes inline
     strings, so synthesize one) and demotes mixed columns to string."""
