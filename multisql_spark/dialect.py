@@ -320,9 +320,13 @@ def _xform_pow(args: list[str]) -> str:
     force one CASE result type and lose the int-ness anyway)."""
     if len(args) != 2:
         raise ValueError(f"POW takes 2 arguments, found {len(args)}")
-    a, b = (x.strip() for x in args)
+    # untokenize renders a signed literal as "- 1"; compact whitespace
+    # before the literal match or POW(-1, 0) would silently fall to the
+    # float power() path (found by test_property_dialect)
+    a, b = (re.sub(r"\s+", "", x) for x in args)
     if _INT_LITERAL_RE.match(a) and _INT_LITERAL_RE.match(b):
         return f"CAST(round(power(({a}), ({b}))) AS BIGINT)"
+    a, b = (x.strip() for x in args)
     return f"power(({a}), ({b}))"
 
 
