@@ -564,14 +564,30 @@ def _take_operand_forward(
     return operand, i
 
 
-def _rewrite_division(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """Rewrite ``a / b`` into the type-dispatching division CASE.
+def _is_static_int(expr: str, int_cols: frozenset[str] | set[str]) -> bool:
+    """Operand is provably I64: an int literal or a column the caller's
+    schema snapshot types integral in every providing table."""
+    compact = re.sub(r"\s+", "", expr)
+    if _INT_LITERAL_RE.match(compact):
+        return True
+    return compact.lower() in int_cols
+
+
+def _rewrite_division(
+    tokens: list[tuple[str, str]],
+    int_cols: frozenset[str] | set[str] = frozenset(),
+) -> list[tuple[str, str]]:
+    """Rewrite ``a / b`` into reference division semantics
+    (binary.rs:66-92: int ÷ int is integer division → I64).
 
     Operands are primaries (literal / column / call / paren group) — for
     mixed `*`//` chains the reference's left-assoc grouping may differ;
-    parenthesize explicitly in such queries. Two integer *literals*
-    dispatch statically to ``div`` so the result stays I64 like the
-    reference (runtime CASE dispatch would coerce to one column type)."""
+    parenthesize explicitly in such queries. When BOTH operands are
+    provably integral (int literals, or columns the schema snapshot
+    types integral — see ``_visible_schema``) the rewrite dispatches
+    statically to ``div`` so the declared result type stays I64 like the
+    reference; otherwise a runtime ``typeof`` CASE picks int-vs-float
+    division per row, necessarily DOUBLE-typed (DIVERGENCES #3)."""
     out: list[tuple[str, str]] = []
     i = 0
     while i < len(tokens):
@@ -580,7 +596,8 @@ def _rewrite_division(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             right, j = _take_operand_forward(tokens, i + 1)
             if left and right:
                 lhs, rhs = untokenize(left), untokenize(right)
-                if _INT_LITERAL_RE.match(lhs) and _INT_LITERAL_RE.match(rhs):
+                if _is_static_int(lhs, int_cols) and \
+                        _is_static_int(rhs, int_cols):
                     out.extend(tokenize(f"(({lhs}) div ({rhs}))"))
                 else:
                     out.extend(tokenize(_div_case(lhs, rhs)))
@@ -720,6 +737,112 @@ _JOIN_TERMINATORS = {
     "UNION", "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "INNER",
     "FULL", "CROSS", "OUTER", "NATURAL", "AS",
 }
+
+_INTEGRAL_TYPE_NAMES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+}
+
+
+def _visible_schema(
+    tokens: list[tuple[str, str]],
+    schema: dict[str, dict[str, str]] | None,
+):
+    """Resolve the statement's visible columns against the caller's
+    catalog snapshot ``{table_name: {column: spark_type}}``.
+
+    Returns ``(unique_owner, int_cols)``:
+
+    - ``unique_owner``: column → the single FROM-clause alias providing
+      it (for reference ``table.column`` labeling of bare columns);
+    - ``int_cols``: lower-cased names (bare and ``alias.col``) whose type
+      is integral in EVERY providing table (safe static int-division
+      dispatch).
+
+    Conservative by design: bails to ``({}, set())`` when the statement
+    has a CTE or a subquery (a name might shadow a table column with a
+    computed type) or references a table missing from the catalog
+    (views, table functions).  The reference dialect has neither CTEs
+    nor subqueries, so every reference-shaped query gets the exact
+    static typing/labeling; beyond-reference queries keep the runtime
+    dispatch.  ``schema[""]`` marks fragment mode (UPDATE SET / DEFAULT
+    expressions): its columns are ambient — visible without a FROM."""
+    empty: tuple[dict, set] = ({}, set())
+    if not schema:
+        return empty
+    if "" in schema:  # fragment mode: ambient single-table columns
+        int_cols = {
+            c.lower()
+            for c, t in schema[""].items()
+            if t.lower() in _INTEGRAL_TYPE_NAMES
+        }
+        return {}, int_cols
+    for k, (kind, text) in enumerate(tokens):
+        if kind == "ident" and text.upper() == "WITH":
+            return empty
+        if text == "(" and k + 1 < len(tokens) and \
+                tokens[k + 1][0] == "ident" and \
+                tokens[k + 1][1].upper() == "SELECT":
+            return empty
+    # collect FROM/JOIN relations (with aliases) at paren depth 0
+    rels: list[tuple[str, str]] = []  # (alias, table_name)
+    i, depth, in_from = 0, 0, False
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+        if depth:
+            i += 1
+            continue
+        up = text.upper() if kind == "ident" else ""
+        if up in ("FROM", "JOIN") or (in_from and text == ","):
+            j = i + 1
+            if j < len(tokens) and tokens[j][0] == "ident":
+                name = tokens[j][1]
+                j += 1
+                while j + 1 < len(tokens) and tokens[j][1] == "." and \
+                        tokens[j + 1][0] == "ident":
+                    name += "." + tokens[j + 1][1]
+                    j += 2
+                alias = name
+                if j < len(tokens) and tokens[j][0] == "ident" and \
+                        tokens[j][1].upper() == "AS":
+                    j += 1
+                if j < len(tokens) and tokens[j][0] == "ident" and \
+                        tokens[j][1].upper() not in _CLAUSE_KWS and \
+                        tokens[j][1].upper() not in _JOIN_TERMINATORS:
+                    alias = tokens[j][1]
+                rels.append((alias, name))
+            in_from = up == "FROM" or (in_from and text == ",")
+        elif in_from and up in _CLAUSE_KWS and up != "FROM":
+            in_from = False
+        i += 1
+    if not rels:
+        return empty
+    lowered = {k.lower(): v for k, v in schema.items()}
+    owners: dict[str, set[str]] = {}
+    all_int: dict[str, bool] = {}
+    for alias, name in rels:
+        cols = lowered.get(name.lower())
+        if cols is None:
+            return empty  # unknown relation (view/function) — bail
+        for c, t in cols.items():
+            cl = c.lower()
+            owners.setdefault(cl, set()).add(alias)
+            all_int[cl] = all_int.get(cl, True) and (
+                t.lower() in _INTEGRAL_TYPE_NAMES
+            )
+    int_cols: set[str] = set()
+    for cl, als in owners.items():
+        if all_int[cl]:
+            int_cols.add(cl)
+            for a in als:
+                int_cols.add(f"{a.lower()}.{cl}")
+    unique_owner = {
+        cl: next(iter(als)) for cl, als in owners.items() if len(als) == 1
+    }
+    return unique_owner, int_cols
 
 
 def _bare_join_on_true(
@@ -1044,14 +1167,17 @@ _CLAUSE_KWS = {
 
 
 def _label_select_items(
-    tokens: list[tuple[str, str]]
+    tokens: list[tuple[str, str]],
+    unique_owner: dict[str, str] | None = None,
 ) -> list[tuple[str, str]]:
     """Reference label parity for unaliased top-level SELECT items
     (src/data/recipe/planned.rs:252-274 via refine_item.rs:15):
 
     - bare column → its column name; when the query reads more than one
       table (plan/mod.rs:58 ``include_table = joins.len() != 1``) a
-      dotted ``t.c`` keeps the ``table.column`` label;
+      dotted ``t.c`` keeps the ``table.column`` label, and a bare
+      un-dotted column resolves to its owning table via the caller's
+      schema snapshot (``unique_owner``) so it labels ``t.c`` too;
     - any other expression → ``unnamed_{i}``.
 
     Conservative: top-level statement only; items with an explicit or
@@ -1131,7 +1257,16 @@ def _label_select_items(
             continue
         bare = all(t[0] == "ident" or t[1] == "." for t in item)
         if bare and len(item) == 1:
-            rebuilt.extend(item)  # plain column: Spark label == name
+            owner = (unique_owner or {}).get(item[0][1].lower())
+            if multi_table and owner:
+                # reference labels bare columns table.column whenever the
+                # query reads >1 table — resolve the owner from schema
+                rebuilt.extend(item)
+                rebuilt.append(("ident", "AS"))
+                rebuilt.append(("qident", f"`{owner}.{item[0][1]}`"))
+                changed = True
+            else:
+                rebuilt.extend(item)  # plain column: Spark label == name
         elif bare and len(item) == 3 and item[1][1] == ".":
             if multi_table:
                 rebuilt.extend(item)
@@ -1239,23 +1374,31 @@ def rewrite(
     variables: dict[str, str] | None = None,
     db_names: set[str] | None = None,
     int_division: bool = False,
+    schema: dict[str, dict[str, str]] | None = None,
 ) -> str:
-    """Rewrite a MultiSQL-dialect query into Spark SQL."""
+    """Rewrite a MultiSQL-dialect query into Spark SQL.
+
+    ``schema`` is an optional catalog snapshot ``{table: {col: type}}``
+    (``""`` key = ambient fragment columns); with it, subquery-free
+    statements get exact reference label parity for bare columns in
+    multi-table queries and static I64 typing for int÷int on known
+    integer columns (see ``_visible_schema``)."""
     tokens = tokenize(sql)
     tokens = _strip_top(tokens)
     tokens = _rewrite_qualify(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
+    unique_owner, int_cols = _visible_schema(tokens, schema)
     tokens = _rewrite_cast_timestamp(tokens)
     tokens = _rewrite_cast_types(tokens)
     tokens = _rewrite_nested_values(tokens)
     tokens = _bare_join_on_true(tokens)
-    tokens = _label_select_items(tokens)
+    tokens = _label_select_items(tokens, unique_owner)
     tokens = _loose_group_by(tokens)
     tokens = _transform(tokens)
     tokens = _floatify_literals(tokens)
     if int_division:
-        tokens = _rewrite_division(tokens)
+        tokens = _rewrite_division(tokens, int_cols)
     if _has_values_operand(tokens):
         tokens = _rewrite_values_statement(tokens)
     return untokenize(tokens)

@@ -198,8 +198,12 @@ def multi_database_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     federation, src/glue/mod.rs:34-36, src/data/types.rs:29-33)."""
     g = _engine(spark, sf_dir)
     g.execute(f"CREATE DATABASE lake LOCATION '{sf_dir}/'")
+    # r_name is aliased explicitly: with attached-db schemas visible the
+    # dialect now labels bare columns `table.column` in multi-table
+    # queries (reference planned.rs:252-274), and the oracle contract
+    # wants the plain name
     return g.sql(
-        "SELECT r_name, COUNT(*) AS n_nations"
+        "SELECT r_name AS r_name, COUNT(*) AS n_nations"
         " FROM lake.nation n JOIN lake.region r"
         " ON n.n_regionkey = r.r_regionkey GROUP BY r_name"
     )

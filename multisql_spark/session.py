@@ -454,7 +454,20 @@ class MultiSQLSession:
             variables=self.variables,
             db_names=set(self.databases),
             int_division=True,
+            schema=self._schema_snapshot(),
         )
+
+    def _schema_snapshot(self) -> dict[str, dict[str, str]]:
+        """Catalog snapshot {table: {col: spark_type}} for the dialect's
+        schema-aware rewrites (reference label parity for bare columns,
+        static I64 int-division typing — DIVERGENCES #3/#21)."""
+        snap: dict[str, dict[str, str]] = {}
+        for name, state in self.tables.items():
+            try:
+                snap[name] = dict(state.df.dtypes)
+            except Exception:
+                continue
+        return snap
 
     def _table(self, name: str) -> TableState:
         key = name.lower()
@@ -984,12 +997,24 @@ class MultiSQLSession:
         )
         return Payload.affected("Insert", n)
 
-    def _rewrite_fragment(self, fragment: str) -> str:
+    def _rewrite_fragment(
+        self, fragment: str, table: TableState | None = None
+    ) -> str:
+        schema = None
+        if table is not None:
+            try:
+                # "" = ambient fragment columns (no FROM clause): lets the
+                # division rewrite type int columns statically in UPDATE
+                # SET / WHERE expressions (reference binary.rs int-`/`)
+                schema = {"": dict(table.df.dtypes)}
+            except Exception:
+                schema = None
         return dialect.rewrite(
             fragment,
             variables=self.variables,
             db_names=set(self.databases),
             int_division=True,
+            schema=schema,
         )
 
     def _insert_df(
@@ -1133,13 +1158,14 @@ class MultiSQLSession:
             raise EngineError("jdbc databases are insert-only")
         state = self._table(name)
         cond = (
-            F.expr(self._rewrite_fragment(where)) if where else F.lit(True)
+            F.expr(self._rewrite_fragment(where, state))
+            if where else F.lit(True)
         )
         assignments = {}
         for part in self._split_top_level(sets_src):
             col, expr = part.split("=", 1)
             assignments[col.strip().strip('`"').lower()] = F.expr(
-                self._rewrite_fragment(expr.strip())
+                self._rewrite_fragment(expr.strip(), state)
             )
         n = state.df.filter(cond).count()
         # validate assignment targets and types before touching state

@@ -51,8 +51,11 @@ def attach_database(
         return _attach_orc(spark, name, path)
     if path.endswith(".xls"):
         raise NotImplementedError(
-            "legacy .xls (BIFF) is unsupported; save as .xlsx "
-            "(reference parity: src/databases/sheet/)"
+            "legacy .xls (BIFF) is unsupported — the reference's sheet "
+            "backend (src/databases/sheet/) is xlsx-only too. Convert "
+            "once with `libreoffice --headless --convert-to xlsx "
+            "book.xls` (or Save As in any spreadsheet app) and attach "
+            "the .xlsx"
         )
     if os.path.isdir(path) or path.endswith("/"):
         return _attach_parquet_dir(spark, name, path)

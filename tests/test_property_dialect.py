@@ -184,11 +184,23 @@ def test_math_transform_parity(engines, items):
 
 # --- cluster 2: the division rewrite ---------------------------------------
 
-# column-involving int expressions (NEVER a bare literal — two bare
-# literals around `/` take the static `div` dispatch, a different
-# result type, exercised by its own strategy below)
-int_col_expr = st.one_of(
+# Static-int operands: bare int literals AND bare int columns — the
+# engine's schema snapshot types dprop's i/j columns, so the division
+# rewrite dispatches them statically to `div` (I64 result), exactly the
+# reference's int ÷ int (binary.rs:66-92, DIVERGENCES #3 closed).
+static_int = st.one_of(
+    st.integers(0, 9).map(lambda n: (str(n), str(n))),
     st.sampled_from([("i", "i"), ("j", "j")]),
+)
+# divisors that can never evaluate to zero (j has no zero in ROWS; NULL
+# propagates to NULL on both engines)
+static_nonzero = st.one_of(
+    st.integers(1, 9).map(lambda n: (str(n), str(n))),
+    st.just(("j", "j")),
+)
+# parenthesized int expressions are NOT schema-resolvable → the runtime
+# typeof CASE picks int division per row, necessarily DOUBLE-typed
+runtime_int = st.one_of(
     st.tuples(
         st.sampled_from(["i", "j"]), st.integers(-4, 9)
     ).map(lambda t: (f"({t[0]} + {t[1]})", f"({t[0]} + {t[1]})")),
@@ -196,21 +208,26 @@ int_col_expr = st.one_of(
         st.sampled_from(["i", "j"]), st.integers(2, 4)
     ).map(lambda t: (f"({t[0]} * {t[1]})", f"({t[0]} * {t[1]})")),
 )
-
-# divisors that can never evaluate to zero: the j column (no zero in
-# ROWS; NULL propagates to NULL on both engines) and j*2
-nonzero_int = st.one_of(
-    st.just(("j", "j")),
-    st.just(("(j * 2)", "(j * 2)")),
-)
+runtime_nonzero = st.just(("(j * 2)", "(j * 2)"))
 
 div_item = st.one_of(
-    # two bare int literals → static `div` dispatch, result stays I64
-    st.tuples(st.integers(0, 9), st.integers(1, 9)).map(
-        lambda t: (f"{t[0]} / {t[1]}", f"({t[0]} // {t[1]})")
+    # both operands statically int (literal or schema-typed column) →
+    # `div` dispatch, result declared I64 like the reference
+    st.tuples(static_int, static_nonzero).map(
+        lambda t: (
+            f"{t[0][0]} / {t[1][0]}",
+            f"({t[0][1]} // {t[1][1]})",
+        )
     ),
-    # int-typed operands → runtime CASE → truncating div, DOUBLE-typed
-    st.tuples(int_atom, nonzero_int).map(
+    # non-resolvable int expressions → runtime CASE → DOUBLE-typed value
+    st.tuples(runtime_int, runtime_nonzero).map(
+        lambda t: (
+            f"{t[0][0]} / {t[1][0]}",
+            f"CAST((CAST({t[0][1]} AS BIGINT) // CAST({t[1][1]} AS BIGINT))"
+            " AS DOUBLE)",
+        )
+    ),
+    st.tuples(static_int, runtime_nonzero).map(
         lambda t: (
             f"{t[0][0]} / {t[1][0]}",
             f"CAST((CAST({t[0][1]} AS BIGINT) // CAST({t[1][1]} AS BIGINT))"
@@ -232,7 +249,7 @@ div_item = st.one_of(
     ),
     # division nested inside arithmetic — exercises operand extraction
     # (_take_operand_back/_take_operand_forward) around the `/` token
-    st.tuples(int_atom, nonzero_int, st.integers(1, 5)).map(
+    st.tuples(runtime_int, runtime_nonzero, st.integers(1, 5)).map(
         lambda t: (
             f"({t[0][0]} / {t[1][0]}) + {t[2]}",
             f"(CAST((CAST({t[0][1]} AS BIGINT) // CAST({t[1][1]} AS BIGINT))"

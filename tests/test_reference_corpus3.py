@@ -270,5 +270,36 @@ def test_select_item_labels(glue):
         " JOIN lbl_b ON lbl_a.id = lbl_b.id"
     )
     assert out.labels == ["lbl_a.num", "lbl_b.tag"]
+    # BARE columns in a multi-table query also label table.column —
+    # the schema snapshot resolves each column's owning table
+    # (planned.rs:252-274 include_table; closes DIVERGENCES #21)
+    out = glue.execute(
+        "SELECT num, tag FROM lbl_a JOIN lbl_b ON lbl_a.id = lbl_b.id"
+    )
+    assert out.labels == ["lbl_a.num", "lbl_b.tag"]
+    # aliased relations label alias.column (the name as written)
+    out = glue.execute(
+        "SELECT num, tag FROM lbl_a x JOIN lbl_b y ON x.id = y.id"
+    )
+    assert out.labels == ["x.num", "y.tag"]
     # explicit aliases always win
     assert glue.execute("SELECT num + 1 AS n1 FROM lbl_a").labels == ["n1"]
+
+
+def test_int_division_static_type(glue):
+    """Reference int `/` int is I64 (binary.rs:66-92).  With the schema
+    snapshot the dialect statically types known-int column divisions, so
+    the declared result type is BIGINT — not the runtime-dispatch DOUBLE
+    (closes DIVERGENCES #3 for subquery-free queries)."""
+    glue.execute("DROP TABLE IF EXISTS divt")
+    glue.execute("CREATE TABLE divt (a INTEGER, b INTEGER, f FLOAT)")
+    glue.execute("INSERT INTO divt VALUES (7, 2, 1.5)")
+    out = glue.execute("SELECT a / b FROM divt")
+    assert out.rows == [(3,)]
+    assert isinstance(out.rows[0][0], int)  # I64, not 3.5 / not 3.0
+    # mixed int/float stays float division
+    out = glue.execute("SELECT a / f FROM divt")
+    assert out.rows == [(pytest.approx(7 / 1.5),)]
+    # UPDATE SET int/int writes back integer-typed (DIVERGENCES #22)
+    glue.execute("UPDATE divt SET a = a / b")
+    assert glue.execute("SELECT a FROM divt").rows == [(3,)]

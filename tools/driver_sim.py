@@ -56,12 +56,15 @@ def main() -> int:
     con = duckdb_connection(sf_dir)
     registry = load_all()
 
+    import time
+
     names = [n for n in registry if not only or n in only]
     report: dict[str, dict] = {}
     n_red = 0
     for i, name in enumerate(names):
         spec = registry[name]
         row: dict = {}
+        t0 = time.perf_counter()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
             if spec.oracle is None:
@@ -102,6 +105,7 @@ def main() -> int:
                             ]
         except Exception:
             row = {"err": traceback.format_exc(limit=3)[-800:]}
+        row["wall_sec"] = round(time.perf_counter() - t0, 3)
         ok = row.get("hash_match", row.get("rows_only", False)) and not row.get("err")
         if not ok:
             n_red += 1
@@ -110,7 +114,8 @@ def main() -> int:
         print(f"[{i + 1:3d}/{len(names)}] {tag} {name} {'' if ok else json.dumps(row)[:400]}", flush=True)
 
     print(f"\n{len(names) - n_red}/{len(names)} green")
-    with open("/tmp/driver_sim.json", "w") as f:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    with open(f"/tmp/driver_sim_{tag}.json", "w") as f:
         json.dump(report, f, indent=1, default=str)
     return 1 if n_red else 0
 
