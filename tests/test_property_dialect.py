@@ -426,3 +426,105 @@ str_item = st.one_of(
 @given(items=st.lists(str_item, min_size=1, max_size=4))
 def test_string_transform_parity(engines, items):
     _run(engines, items)
+
+
+# --- cluster 6: schema-aware labeling (pure rewrite, no Spark) -------------
+
+label_schema = {
+    "ta": {"id": "bigint", "num": "bigint", "shared": "bigint"},
+    "tb": {"id": "bigint", "tag": "string", "shared": "bigint"},
+}
+
+
+def _select_labels(sql: str) -> list[str | None]:
+    """Extract the AS label (or None) of each top-level select item from
+    a rewritten statement."""
+    from multisql_spark.dialect import _split_args, tokenize
+
+    toks = tokenize(sql)
+    assert toks[0][1].upper() == "SELECT"
+    end = len(toks)
+    depth = 0
+    for k in range(1, len(toks)):
+        if toks[k][1] == "(":
+            depth += 1
+        elif toks[k][1] == ")":
+            depth -= 1
+        elif depth == 0 and toks[k][0] == "ident" and \
+                toks[k][1].upper() == "FROM":
+            end = k
+            break
+    out = []
+    for item in _split_args(toks[1:end]):
+        label = None
+        for k, (kind, text) in enumerate(item):
+            if kind == "ident" and text.upper() == "AS" and k + 1 < len(item):
+                label = item[k + 1][1].strip("`")
+        out.append(label)
+    return out
+
+
+@settings(max_examples=40, **SETTINGS)
+@given(
+    items=st.lists(
+        st.sampled_from(
+            ["num", "tag", "shared", "ta.num", "tb.tag", "num + 1",
+             "UPPER(tag)", "num AS n"]
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    alias_a=st.sampled_from(["ta", "x"]),
+    alias_b=st.sampled_from(["tb", "y"]),
+)
+def test_multi_table_label_rule(items, alias_a, alias_b):
+    """Pure-rewrite property: in a two-table query the reference label
+    rule (planned.rs:252-274) holds for every select-item shape —
+    uniquely-owned bare columns label alias.column, ambiguous bare
+    columns stay plain, dotted stay dotted, expressions get unnamed_{i},
+    explicit aliases win."""
+    from multisql_spark.dialect import rewrite
+
+    sel = ", ".join(
+        it.replace("ta.", f"{alias_a}.").replace("tb.", f"{alias_b}.")
+        for it in items
+    )
+    sql = (
+        f"SELECT {sel} FROM ta {('' if alias_a=='ta' else alias_a)} "
+        f"JOIN tb {('' if alias_b=='tb' else alias_b)} ON "
+        f"{alias_a}.id = {alias_b}.id"
+    )
+    got = _select_labels(
+        rewrite(sql, int_division=True, schema=label_schema)
+    )
+    want = []
+    for n, it in enumerate(items):
+        if it == "num":
+            want.append(f"{alias_a}.num")
+        elif it == "tag":
+            want.append(f"{alias_b}.tag")
+        elif it == "shared":
+            want.append(None)  # ambiguous: both tables own it → plain
+        elif it == "ta.num":
+            want.append(f"{alias_a}.num")
+        elif it == "tb.tag":
+            want.append(f"{alias_b}.tag")
+        elif it == "num AS n":
+            want.append("n")  # explicit alias left untouched
+        else:
+            want.append(f"unnamed_{n}")
+    assert got == want, f"\nsql: {sql}\ngot: {got}\nwant: {want}"
+
+
+def test_label_rule_bails_on_subqueries():
+    """CTE / subquery statements keep the conservative old behavior —
+    the snapshot cannot type names that shadow computed columns."""
+    from multisql_spark.dialect import rewrite
+
+    for sql in (
+        "WITH w AS (SELECT num FROM ta) SELECT num FROM w"
+        " JOIN tb ON w.num = tb.id",
+        "SELECT num FROM (SELECT * FROM ta) s JOIN tb ON s.id = tb.id",
+    ):
+        out = rewrite(sql, int_division=True, schema=label_schema)
+        assert "AS `" not in out, out
