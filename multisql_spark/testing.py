@@ -19,6 +19,13 @@ from multisql_spark.tables import TABLE_NAMES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's resources: a pair-explosive oracle at a large SF
+    # must FAIL FAST with a clean out-of-temp error, not spill until the
+    # machine's disk is full (the pagerank oracle wrote 73 GB of spill at
+    # sf0.1 before this cap existed).
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='.tmp'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS "
