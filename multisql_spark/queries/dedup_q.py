@@ -46,13 +46,15 @@ def _minhash_oracle() -> str:
         )
         band_cases.append(f"WHEN {b} THEN md5({parts})")
     band_case = "CASE band_id " + " ".join(band_cases) + " END"
-    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
-    a_sigs = ", ".join(f"a.sig_{i} AS la_{i}" for i in range(1, K + 1))
-    b_sigs = ", ".join(f"b.sig_{i} AS lb_{i}" for i in range(1, K + 1))
     agree = " + ".join(
-        f"(CASE WHEN la_{i} = lb_{i} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(1, K + 1)
     )
+    # Mirror of the engine's narrowed band join (operators/dedup.py:
+    # round-2 fix): the DISTINCT over candidate pairs carries ids ONLY,
+    # and the K signature columns re-join by id afterwards — without
+    # this the oracle drags 2K md5 strings through the pair dedup and
+    # spills tens of GB at sf0.1 while the engine side runs fine.
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -64,19 +66,21 @@ def _minhash_oracle() -> str:
       FROM toks GROUP BY doc_id
     ),
     bandk AS (
-      SELECT doc_id, {sig_list}, band_id, {band_case} AS band_key
+      SELECT doc_id, band_id, {band_case} AS band_key
       FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
     ),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {a_sigs}, {b_sigs}
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandk a
       JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
       WHERE a.doc_id < b.doc_id
     )
-    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
            round(({agree}) / {K}.0, 4) AS est_sim
-    FROM pairs
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
     """
 
 
@@ -381,7 +385,6 @@ def _incremental_minhash_oracle() -> str:
         )
         band_cases.append(f"WHEN {b} THEN md5({parts})")
     band_case = "CASE band_id " + " ".join(band_cases) + " END"
-    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
     agree = " + ".join(
         f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(1, K + 1)
@@ -399,7 +402,7 @@ def _incremental_minhash_oracle() -> str:
     ),
     flagged AS (SELECT *, doc_id % 10 = 0 AS is_new FROM sigs),
     bandk AS (
-      SELECT doc_id, is_new, {sig_list}, band_id, {band_case} AS band_key
+      SELECT doc_id, is_new, band_id, {band_case} AS band_key
       FROM flagged, (VALUES {vals}) AS bb(band_id)
     ),
     cands AS (
@@ -463,7 +466,6 @@ def _ensemble_oracle() -> str:
         )
         band_cases.append(f"WHEN {b} THEN md5({parts})")
     band_case = "CASE band_id " + " ".join(band_cases) + " END"
-    sig_list = ", ".join(f"sig_{i}" for i in range(1, K + 1))
     agree = " + ".join(
         f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(1, K + 1)
