@@ -354,6 +354,39 @@ def _xform_nullif(args: list[str]) -> str:
     return f"nullif(({args[0]}), ({args[1]}))"
 
 
+def _xform_iif(args: list[str]) -> str:
+    """Reference IIF (function.rs) over ``Value::Any``: the two branches
+    may carry DIFFERENT types and the result takes the chosen branch's
+    type per row (``IIF(1=1, 'String', 1)`` → Str, ``IIF(0=1, 'String',
+    1)`` → I64).  A Spark column has one static type, but Spark 4's
+    VARIANT holds per-row dynamic values — so mixed-KIND literal
+    branches are emitted as ``if(cond, parse_json(...), parse_json(...))``
+    and the Payload layer converts VariantVal cells back to native
+    Python values, reproducing the reference's dynamic result exactly
+    (closes the literal-branch half of DIVERGENCES #4).  A literal NULL
+    condition is rejected like the reference (func_other.rs:105)."""
+    if len(args) != 3:
+        raise ValueError(f"IIF takes 3 arguments, found {len(args)}")
+    cond = args[0].strip()
+    if cond.upper() == "NULL":
+        raise ValueError("IIF condition must be BOOLEAN, found NULL")
+    ka, kb = _literal_kind(args[1]), _literal_kind(args[2])
+    if ka and kb and ka != kb:
+        import json as _json
+
+        def as_json(arg: str, kind: str) -> str:
+            arg = arg.strip()
+            if kind == "str":
+                return _json.dumps(arg[1:-1]).replace("'", "''")
+            return arg
+
+        j1, j2 = as_json(args[1], ka), as_json(args[2], kb)
+        return (
+            f"if(({cond}), parse_json('{j1}'), parse_json('{j2}'))"
+        )
+    return f"if(({args[0]}), ({args[1]}), ({args[2]}))"
+
+
 def _xform_avg(args: list[str]) -> str:
     """Reference AVG is rewritten at plan time to SUM(x)/COUNT(x)
     (src/data/recipe/new.rs:117-129,183-193) — integer division when the
@@ -380,11 +413,11 @@ _CALL_TRANSFORMS = {
     "RAND": _xform_rand,
     "POW": _xform_pow,
     "NULLIF": _xform_nullif,
+    "IIF": _xform_iif,
 }
 
 _SIMPLE_RENAMES = {
     "LEN": "octet_length",
-    "IIF": "if",
     "UUID": "uuid",
     "NOW": "unix_timestamp",
 }

@@ -13,6 +13,23 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+def _native(v):
+    """Collapse Spark VARIANT cells to native Python values.
+
+    VARIANT backs the reference's ``Value::Any`` dynamic typing (mixed-
+    branch IIF — see dialect._xform_iif): each row carries its own type,
+    so ``IIF(1=1, 'String', 1)`` surfaces the Python str ``'String'``
+    and ``IIF(0=1, 'String', 1)`` the int ``1``, exactly the reference's
+    per-row result."""
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # older Spark: no VARIANT, nothing to collapse
+        return v
+    if isinstance(v, VariantVal):
+        return v.toPython()
+    return v
+
+
 @dataclass
 class Payload:
     kind: str  # Select | Insert | Update | Delete | Create | ...
@@ -28,7 +45,7 @@ class Payload:
         return cls(
             kind="Select",
             labels=list(df.columns),
-            rows=[tuple(r) for r in collected],
+            rows=[tuple(_native(v) for v in r) for r in collected],
             count=len(collected),
             dataframe=df,
         )

@@ -90,6 +90,18 @@ def test_iif(glue):
     assert one(glue, "VALUES (IIF(1=1, 0, 1))") == (0,)
     assert one(glue, "VALUES (IIF(1=0, 0, 1))") == (1,)
     assert one(glue, "VALUES (IIF(NULL=0, 0, 1))") == (1,)
+    # Value::Any mixed-branch results (func_other.rs:58-63): the chosen
+    # branch keeps ITS OWN type per row — VARIANT-backed here, the
+    # Payload surfaces a native int or str exactly like the reference
+    r = one(glue, "VALUES (IIF(0=1, 'String', 1))")
+    assert r == (1,) and isinstance(r[0], int)
+    r = one(glue, "VALUES (IIF(1=1, 'String', 1))")
+    assert r == ("String",) and isinstance(r[0], str)
+    # non-boolean conditions error (func_other.rs:105-106)
+    with pytest.raises(Exception):
+        glue.execute("VALUES (IIF(NULL, 0, 1))")
+    with pytest.raises(Exception):
+        glue.execute("VALUES (IIF(7, 0, 1))")
 
 
 def test_len_round_pow(glue):
