@@ -76,67 +76,74 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver records correctness rows for the first 50 registered queries
 # only, so registration order is load-bearing.  This window rotates per
 # round: round 1 verified the core relational set; round 2 the
-# functions/timestamp/similarity/text/streaming/TPC-H head (50/50 green,
-# CORRECTNESS_r02).  Round 3 fronts 50 *never-checked* names per
-# VERDICT.md r2 ask #1: the dedup/stream/text/pipeline family
-# representatives the judge named, all 15 remaining TPC-H mirrors, and
-# the full monitor family.  Queries outside the window keep their local
-# pytest oracle gate (strictly stronger: exact multiset equality).
+# functions/timestamp/similarity/text/streaming/TPC-H head; round 3 the
+# dedup/stream/monitor/TPC-H-tail reps (each 50/50 green, see
+# CORRECTNESS_r0{1,2,3}.json).  Round 4 fronts 50 more *never-checked*
+# names per VERDICT.md r3 ask #1: the full events-analytics and orders
+# family tails, both incremental streaming queries, and the remaining
+# sample/text/sim/pipeline representatives.  Queries outside the window
+# keep their local pytest oracle gate (strictly stronger: exact multiset
+# equality).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # judge-named family representatives (VERDICT.md "Next round" #1)
-    "dedup_bloom_prefilter",
-    "dedup_incremental_minhash",
-    "dedup_ensemble_verdict",
-    "sim_ann_pq",
-    "sim_ann_ivfadc",
-    "sim_ann_recall",
-    "stream_dedup",
-    "stream_upsert_sink",
-    "stream_heavy_hitters_cms",
-    "text_contamination",
-    "text_tfidf_topk",
-    "text_bpe_pair_stats",
-    "sample_domain_mix",
-    "pipeline_cdc_apply",
-    "pipeline_scd2_history",
-    "matview_incremental_merge",
-    "events_sessionize_batch",
-    # all 15 TPC-H mirrors without a driver row
-    "tpch_nation_volume",
-    "tpch_promo_share",
-    "tpch_disjunctive_revenue",
-    "tpch_market_share",
-    "tpch_wealthy_inactive",
-    "tpch_shipping_priority",
-    "tpch_forecast_revenue",
-    "tpch_returned_items",
-    "tpch_local_supplier_volume",
-    "tpch_product_profit",
-    "tpch_important_stock",
-    "tpch_shipmode_priority",
-    "tpch_part_promotion",
-    "tpch_waiting_suppliers",
-    "tpch_small_qty_revenue",
-    # the whole monitoring/drift family
-    "monitor_expectations",
-    "monitor_value_drift_ks",
-    "monitor_value_drift_psi",
-    "monitor_lang_chisq",
-    "monitor_lang_drift",
-    "monitor_source_entropy",
-    "monitor_source_kl_matrix",
-    "monitor_embedding_drift",
-    "monitor_score_auc",
-    "monitor_ab_experiment",
-    "monitor_stale_entities",
-    # remaining high-value family reps to fill 50
-    "dml_merge_upsert",
-    "dml_matview_refresh",
-    "window_frame_stats",
-    "window_rank_distribution",
-    "sample_weighted",
-    "text_normalize",
-    "stream_rollup_sink",
+    # events analytics tail (judge-named: survival, concurrency,
+    # attribution, funnel, retention, gap-fill, trend, seasonality,
+    # burst, changepoint, autocorr)
+    "events_survival_km",
+    "events_peak_concurrency",
+    "events_attribution_last_touch",
+    "events_attribution_first_touch",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_gapfill_locf",
+    "events_value_trend",
+    "events_seasonality_profile",
+    "events_burst_hours",
+    "events_changepoint_cusum",
+    "events_autocorr_daily",
+    # the whole orders_* business-analytics family
+    "orders_rfm_segments",
+    "orders_abc_parts",
+    "orders_benford_screen",
+    "orders_cohort_ltv",
+    "orders_mix_decomposition",
+    "orders_business_kpis",
+    "orders_rolling_12m_revenue",
+    "orders_aging_report",
+    "orders_duplicate_screen",
+    "orders_share_hierarchy",
+    # incremental streaming (last two stream queries without a row)
+    "stream_incremental_dedup",
+    "stream_incremental_minhash",
+    # sampling/splitting reps
+    "sample_time_split",
+    "sample_kfold",
+    "sample_class_balance",
+    "sample_neyman_allocation",
+    "sample_temperature_mix",
+    "sample_importance_dsir",
+    # text analysis reps
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_bigram_kneser_ney",
+    "text_lm_holdout_eval",
+    "text_zipf_fit",
+    "text_keyword_search",
+    # similarity / semantic-dedup reps
+    "sim_kmeans_cluster_stats",
+    "sim_pca_power_iteration",
+    "sim_random_projection",
+    "sim_mmr_diversified_topk",
+    "sim_ann_lsh_multiprobe",
+    "dedup_semantic",
+    # corpus-pipeline reps
+    "pipeline_prepare_corpus",
+    "pipeline_shard_layout",
+    "pipeline_pack_sequences",
+    "pipeline_dataset_card",
+    "pipeline_dataset_diff",
+    "pipeline_budget_select",
+    "pipeline_stage_funnel",
 )
 
 
@@ -162,10 +169,10 @@ def load_all() -> dict[str, QuerySpec]:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     # Past the explicit window, front queries that have never had a
-    # driver correctness row (rounds 1/2 checked exactly the names in
-    # _ROUND1_CHECKED / _ROUND2_CHECKED): under ANY driver cap this
-    # maximizes the number of first-time driver rows per round.
-    checked = _ROUND1_CHECKED | _ROUND2_CHECKED
+    # driver correctness row (rounds 1/2/3 checked exactly the names in
+    # _ROUND{1,2,3}_CHECKED): under ANY driver cap this maximizes the
+    # number of first-time driver rows per round.
+    checked = _ROUND1_CHECKED | _ROUND2_CHECKED | _ROUND3_CHECKED
     for name, spec in REGISTRY.items():
         if name not in ordered and name not in checked:
             ordered[name] = spec
@@ -217,4 +224,29 @@ _ROUND2_CHECKED: frozenset[str] = frozenset({
     "tpch_cheapest_lineitem", "tpch_cust_distribution",
     "tpch_large_orders", "tpch_order_priority", "tpch_top_supplier",
     "window_ntile_quartiles", "window_running_lag",
+})
+
+# The 50 queries that received a CORRECTNESS_r03 driver row (all green).
+_ROUND3_CHECKED: frozenset[str] = frozenset({
+    "dedup_bloom_prefilter", "dedup_incremental_minhash",
+    "dedup_ensemble_verdict", "sim_ann_pq", "sim_ann_ivfadc",
+    "sim_ann_recall", "stream_dedup", "stream_upsert_sink",
+    "stream_heavy_hitters_cms", "text_contamination", "text_tfidf_topk",
+    "text_bpe_pair_stats", "sample_domain_mix", "pipeline_cdc_apply",
+    "pipeline_scd2_history", "matview_incremental_merge",
+    "events_sessionize_batch", "tpch_nation_volume", "tpch_promo_share",
+    "tpch_disjunctive_revenue", "tpch_market_share",
+    "tpch_wealthy_inactive", "tpch_shipping_priority",
+    "tpch_forecast_revenue", "tpch_returned_items",
+    "tpch_local_supplier_volume", "tpch_product_profit",
+    "tpch_important_stock", "tpch_shipmode_priority",
+    "tpch_part_promotion", "tpch_waiting_suppliers",
+    "tpch_small_qty_revenue", "monitor_expectations",
+    "monitor_value_drift_ks", "monitor_value_drift_psi",
+    "monitor_lang_chisq", "monitor_lang_drift", "monitor_source_entropy",
+    "monitor_source_kl_matrix", "monitor_embedding_drift",
+    "monitor_score_auc", "monitor_ab_experiment",
+    "monitor_stale_entities", "dml_merge_upsert", "dml_matview_refresh",
+    "window_frame_stats", "window_rank_distribution", "sample_weighted",
+    "text_normalize", "stream_rollup_sink",
 })

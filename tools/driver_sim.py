@@ -117,6 +117,33 @@ def main() -> int:
     tag = os.path.basename(sf_dir.rstrip("/"))
     with open(f"/tmp/driver_sim_{tag}.json", "w") as f:
         json.dump(report, f, indent=1, default=str)
+    # Durable, repo-tracked sweep evidence (VERDICT r3 ask #2): every run
+    # also lands a segment artifact under sweeps/, keyed by the sweep
+    # label (SWEEP_LABEL, e.g. "r4"), the sf tag, and a digest of the
+    # query-name set — so re-running the same segment overwrites its own
+    # file instead of clobbering other segments, and the full per-round
+    # record is auditable from git without rerunning Spark.
+    label = os.environ.get("SWEEP_LABEL", "adhoc")
+    seg = hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()[:8]
+    sweeps_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sweeps"
+    )
+    os.makedirs(sweeps_dir, exist_ok=True)
+    out = os.path.join(sweeps_dir, f"{label}_{tag}_{len(names)}q_{seg}.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "label": label,
+                "sf": tag,
+                "n_queries": len(names),
+                "n_green": len(names) - n_red,
+                "queries": report,
+            },
+            f,
+            indent=1,
+            default=str,
+        )
+    print(f"sweep artifact: {out}")
     return 1 if n_red else 0
 
 
