@@ -377,7 +377,12 @@ def _xform_iif(args: list[str]) -> str:
         def as_json(arg: str, kind: str) -> str:
             arg = arg.strip()
             if kind == "str":
-                return _json.dumps(arg[1:-1]).replace("'", "''")
+                # undo the SQL '' escaping first, THEN re-escape single
+                # quotes for embedding inside the parse_json('...') SQL
+                # string — otherwise IIF(c, 'it''s', 1) surfaces "it''s"
+                return _json.dumps(
+                    arg[1:-1].replace("''", "'")
+                ).replace("'", "''")
             return arg
 
         j1, j2 = as_json(args[1], ka), as_json(args[2], kb)
@@ -779,17 +784,28 @@ _INTEGRAL_TYPE_NAMES = {
 def _visible_schema(
     tokens: list[tuple[str, str]],
     schema: dict[str, dict[str, str]] | None,
+    db_names: set[str] | None = None,
 ):
     """Resolve the statement's visible columns against the caller's
     catalog snapshot ``{table_name: {column: spark_type}}``.
 
-    Returns ``(unique_owner, int_cols)``:
+    Returns ``(unique_owner, int_cols, alias_real)``:
 
-    - ``unique_owner``: column → the single FROM-clause alias providing
-      it (for reference ``table.column`` labeling of bare columns);
+    - ``unique_owner``: column → the *real* table name of the single
+      FROM-clause relation providing it (for reference ``table.column``
+      labeling of bare columns).  The reference labels with
+      ``column.table.name`` — the plain table name with any alias and
+      database qualifier stripped (refine_item.rs:42, planned.rs:263
+      format ``{}.{}`` on ``ComplexTableName.name``) — so an attached
+      ``lake.nation`` (rewritten ``lake__nation``) labels
+      ``nation.n_name`` and ``FROM lbl_a x`` labels ``lbl_a.num``;
     - ``int_cols``: lower-cased names (bare and ``alias.col``) whose type
       is integral in EVERY providing table (safe static int-division
-      dispatch).
+      dispatch) — these keep the *alias*, because that is how the query
+      text references them;
+    - ``alias_real``: FROM-clause alias (lower-cased) → real table name,
+      so explicit ``alias.col`` select items can also label with the
+      real table name like the reference does.
 
     Conservative by design: bails to ``({}, set())`` when the statement
     has a CTE or a subquery (a name might shadow a table column with a
@@ -799,16 +815,23 @@ def _visible_schema(
     static typing/labeling; beyond-reference queries keep the runtime
     dispatch.  ``schema[""]`` marks fragment mode (UPDATE SET / DEFAULT
     expressions): its columns are ambient — visible without a FROM."""
-    empty: tuple[dict, set] = ({}, set())
+    empty: tuple[dict, set, dict] = ({}, set(), {})
     if not schema:
         return empty
     if "" in schema:  # fragment mode: ambient single-table columns
+        # The same CTE/subquery bail as the statement path: a fragment
+        # (UPDATE SET/WHERE) containing a scalar subquery could statically
+        # dispatch div on a subquery column that merely shares its name
+        # with an integral target-table column.
+        for k, (kind, text) in enumerate(tokens):
+            if kind == "ident" and text.upper() in ("WITH", "SELECT"):
+                return empty
         int_cols = {
             c.lower()
             for c, t in schema[""].items()
             if t.lower() in _INTEGRAL_TYPE_NAMES
         }
-        return {}, int_cols
+        return {}, int_cols, {}
     for k, (kind, text) in enumerate(tokens):
         if kind == "ident" and text.upper() == "WITH":
             return empty
@@ -854,12 +877,27 @@ def _visible_schema(
     if not rels:
         return empty
     lowered = {k.lower(): v for k, v in schema.items()}
-    owners: dict[str, set[str]] = {}
+    db_lowered = {d.lower() for d in (db_names or set())}
+
+    def real_name(name: str) -> str:
+        # reference ComplexTableName.name: strip database qualifiers —
+        # both dotted (`lake.nation`) and the attached-db rewrite
+        # (`lake__nation`) label as plain `nation`
+        if "." in name:
+            name = name.rsplit(".", 1)[1]
+        head, sep, tail = name.partition("__")
+        if sep and tail and head.lower() in db_lowered:
+            return tail
+        return name
+
+    owners: dict[str, set[str]] = {}  # col → providing aliases
     all_int: dict[str, bool] = {}
+    alias_real: dict[str, str] = {}
     for alias, name in rels:
         cols = lowered.get(name.lower())
         if cols is None:
             return empty  # unknown relation (view/function) — bail
+        alias_real[alias.lower()] = real_name(name)
         for c, t in cols.items():
             cl = c.lower()
             owners.setdefault(cl, set()).add(alias)
@@ -873,9 +911,11 @@ def _visible_schema(
             for a in als:
                 int_cols.add(f"{a.lower()}.{cl}")
     unique_owner = {
-        cl: next(iter(als)) for cl, als in owners.items() if len(als) == 1
+        cl: alias_real[next(iter(als)).lower()]
+        for cl, als in owners.items()
+        if len(als) == 1
     }
-    return unique_owner, int_cols
+    return unique_owner, int_cols, alias_real
 
 
 def _bare_join_on_true(
@@ -1202,15 +1242,18 @@ _CLAUSE_KWS = {
 def _label_select_items(
     tokens: list[tuple[str, str]],
     unique_owner: dict[str, str] | None = None,
+    alias_real: dict[str, str] | None = None,
 ) -> list[tuple[str, str]]:
     """Reference label parity for unaliased top-level SELECT items
     (src/data/recipe/planned.rs:252-274 via refine_item.rs:15):
 
     - bare column → its column name; when the query reads more than one
-      table (plan/mod.rs:58 ``include_table = joins.len() != 1``) a
-      dotted ``t.c`` keeps the ``table.column`` label, and a bare
-      un-dotted column resolves to its owning table via the caller's
-      schema snapshot (``unique_owner``) so it labels ``t.c`` too;
+      table (plan/mod.rs:58 ``include_table = joins.len() != 1``) the
+      label is ``table.column`` with the *real* table name
+      (``column.table.name`` — alias and database prefix stripped): a
+      dotted ``a.c`` resolves its alias through ``alias_real`` and a
+      bare un-dotted column resolves its owning table via the caller's
+      schema snapshot (``unique_owner``);
     - any other expression → ``unnamed_{i}``.
 
     Conservative: top-level statement only; items with an explicit or
@@ -1302,9 +1345,15 @@ def _label_select_items(
                 rebuilt.extend(item)  # plain column: Spark label == name
         elif bare and len(item) == 3 and item[1][1] == ".":
             if multi_table:
+                # reference labels with the real table name even when the
+                # query references the column through an alias
+                # (ColumnInfo.table keeps alias separate from name)
+                owner = (alias_real or {}).get(
+                    item[0][1].lower(), item[0][1]
+                )
                 rebuilt.extend(item)
                 rebuilt.append(("ident", "AS"))
-                rebuilt.append(("qident", f"`{item[0][1]}.{item[2][1]}`"))
+                rebuilt.append(("qident", f"`{owner}.{item[2][1]}`"))
                 changed = True
             else:
                 rebuilt.extend(item)  # single table: bare column name
@@ -1421,12 +1470,14 @@ def rewrite(
     tokens = _rewrite_qualify(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
-    unique_owner, int_cols = _visible_schema(tokens, schema)
+    unique_owner, int_cols, alias_real = _visible_schema(
+        tokens, schema, db_names
+    )
     tokens = _rewrite_cast_timestamp(tokens)
     tokens = _rewrite_cast_types(tokens)
     tokens = _rewrite_nested_values(tokens)
     tokens = _bare_join_on_true(tokens)
-    tokens = _label_select_items(tokens, unique_owner)
+    tokens = _label_select_items(tokens, unique_owner, alias_real)
     tokens = _loose_group_by(tokens)
     tokens = _transform(tokens)
     tokens = _floatify_literals(tokens)

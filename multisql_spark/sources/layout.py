@@ -314,6 +314,16 @@ def delete_keys(
     rewritten = 0
     for s in hit:
         sdir = os.path.join(path, f"shard={s}")
+        old = os.path.join(path, f".shard_old_{s}")
+        # Crash recovery from a previous run: a leftover .shard_old_N
+        # with no live shard directory means we died between the two
+        # renames — the parked data IS the shard, so restore it.  If
+        # both exist, the swap completed and only the cleanup was lost.
+        if os.path.isdir(old):
+            if not os.path.isdir(sdir):
+                os.rename(old, sdir)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
         if not os.path.isdir(sdir):  # shard empty at write time
             continue
         sub = spark.read.parquet(sdir)
@@ -323,13 +333,15 @@ def delete_keys(
         if after == before:
             continue
         parent = os.path.dirname(sdir)
-        tmp = tempfile.mkdtemp(prefix="shard_new_", dir=parent)
+        # Dot-prefixed temp dir: Spark/parquet partition discovery skips
+        # hidden paths, so a crash mid-write can't leave a half-written
+        # non-hidden shard_new_* that breaks whole-table reads.
+        tmp = tempfile.mkdtemp(prefix=".shard_new_", dir=parent)
         kept.coalesce(max(1, len(os.listdir(sdir)) - 1)).write.mode(
             "overwrite"
         ).parquet(tmp)
         # Atomic swap for concurrent readers: two same-filesystem
         # renames, not per-file moves.
-        old = os.path.join(parent, f".shard_old_{s}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(sdir, old)
         os.rename(tmp, sdir)

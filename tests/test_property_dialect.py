@@ -480,9 +480,10 @@ def _select_labels(sql: str) -> list[str | None]:
 def test_multi_table_label_rule(items, alias_a, alias_b):
     """Pure-rewrite property: in a two-table query the reference label
     rule (planned.rs:252-274) holds for every select-item shape —
-    uniquely-owned bare columns label alias.column, ambiguous bare
-    columns stay plain, dotted stay dotted, expressions get unnamed_{i},
-    explicit aliases win."""
+    bare and dotted columns label with the REAL table name (the
+    reference labels column.table.name with the alias stripped,
+    refine_item.rs:42), ambiguous bare columns stay plain, expressions
+    get unnamed_{i}, explicit aliases win."""
     from multisql_spark.dialect import rewrite
 
     sel = ", ".join(
@@ -500,15 +501,15 @@ def test_multi_table_label_rule(items, alias_a, alias_b):
     want = []
     for n, it in enumerate(items):
         if it == "num":
-            want.append(f"{alias_a}.num")
+            want.append("ta.num")
         elif it == "tag":
-            want.append(f"{alias_b}.tag")
+            want.append("tb.tag")
         elif it == "shared":
             want.append(None)  # ambiguous: both tables own it → plain
         elif it == "ta.num":
-            want.append(f"{alias_a}.num")
+            want.append("ta.num")  # real name even when written x.num
         elif it == "tb.tag":
-            want.append(f"{alias_b}.tag")
+            want.append("tb.tag")
         elif it == "num AS n":
             want.append("n")  # explicit alias left untouched
         else:

@@ -277,11 +277,18 @@ def test_select_item_labels(glue):
         "SELECT num, tag FROM lbl_a JOIN lbl_b ON lbl_a.id = lbl_b.id"
     )
     assert out.labels == ["lbl_a.num", "lbl_b.tag"]
-    # aliased relations label alias.column (the name as written)
+    # aliased relations STILL label with the real table name — the
+    # reference labels column.table.name (ComplexTableName keeps the
+    # alias separate; refine_item.rs:42, planned.rs:263)
     out = glue.execute(
         "SELECT num, tag FROM lbl_a x JOIN lbl_b y ON x.id = y.id"
     )
-    assert out.labels == ["x.num", "y.tag"]
+    assert out.labels == ["lbl_a.num", "lbl_b.tag"]
+    # ... including when the column is referenced THROUGH the alias
+    out = glue.execute(
+        "SELECT x.num, y.tag FROM lbl_a x JOIN lbl_b y ON x.id = y.id"
+    )
+    assert out.labels == ["lbl_a.num", "lbl_b.tag"]
     # explicit aliases always win
     assert glue.execute("SELECT num + 1 AS n1 FROM lbl_a").labels == ["n1"]
 
