@@ -1,0 +1,485 @@
+#!/usr/bin/env python
+"""Independent fixture oracle for the heavy dedup/graph queries.
+
+The 8 queries whose DuckDB SQL oracles are infeasible (or painfully
+slow) at sf0.1 — recursive transitive closure and all-candidate exact
+Jaccard spill tens of GB in single-node SQL — get their ground truth
+from THIS module instead: a pure-Python reimplementation (hashlib md5,
+set algebra, union-find, dict adjacency) that computes the same
+deterministic results in seconds because it is an algorithm, not a
+quadratic SQL replay.  It shares no code with the engine (no Spark, no
+DuckDB, no multisql_spark.operators import) — it is a second,
+independent implementation of the spec, same evidentiary standing as
+the SQL oracles (VERDICT r3 ask #3).
+
+Numeric contract replicated exactly:
+- all fingerprints are md5 hex (engine + oracles share this);
+- Spark ``F.round(x, d)`` = HALF_UP on the double's exact binary value
+  (java.math.BigDecimal(double)) — replicated with decimal.Decimal;
+- ``F.floor(x)`` on double division replicated with math.floor on the
+  same IEEE-754 quotient;
+- PageRank's driver-side ``round()`` literals are Python banker's
+  rounding in the engine, so plain ``round()`` here IS the replication.
+
+Usage:
+  python tools/heavy_oracle.py [sf_dir] [query ...]
+
+Runs each engine query (registry fn) on Spark, compares to the Python
+ground truth with the driver's canonicalization (sorted columns, sorted
+rows, repr-hash), prints ok/RED, and writes a sweeps/ segment artifact
+tagged ``oracle: python-fixture``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+from decimal import ROUND_HALF_UP, Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 12
+BANDS = 4
+ROWS_PER_BAND = K // BANDS
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _round_half_up(x: float, d: int) -> float:
+    """Spark F.round on DoubleType: HALF_UP over the exact binary value."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-d), ROUND_HALF_UP))
+
+
+# --------------------------------------------------------------------------
+# corpus model: everything downstream derives from these deterministic maps
+# --------------------------------------------------------------------------
+
+
+class Corpus:
+    """Per-document token sets, minhash signatures, band keys, simhash,
+    and the banded-LSH candidate pair list with estimated Jaccard —
+    computed once, shared by every query's ground truth."""
+
+    def __init__(self, sf_dir: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        self.doc_ids = [int(i) for i in ids]
+        # F.split(text, " ") + array_distinct == str.split(" ") + set
+        self.toks: dict[int, set] = {
+            int(i): set(tx.split(" ")) for i, tx in zip(ids, texts)
+        }
+        # sig_i = min over tokens of md5(tok + "#i"), i in 1..K
+        self.sigs: dict[int, list] = {}
+        tok_md5: dict[int, list] = {}
+        for d, ts in self.toks.items():
+            hs = [[_md5(f"{tok}#{i}") for i in range(1, K + 1)] for tok in ts]
+            self.sigs[d] = [min(h[i] for h in hs) for i in range(K)]
+            tok_md5[d] = [_md5(tok) for tok in ts]
+        # 32-bit simhash: bit j-1 set iff the count of token-md5s whose
+        # j-th hex digit has its high bit set is >= half (vote sum >= 0)
+        self.simhash: dict[int, int] = {}
+        high = set("89abcdef")
+        for d, hs in tok_md5.items():
+            v = 0
+            for j in range(32):
+                vote = sum(1 if h[j] in high else -1 for h in hs)
+                if vote >= 0:
+                    v |= 1 << j
+            self.simhash[d] = v
+        # banded LSH: band_key = md5(sig[b*r+1] | ... | sig[b*r+r])
+        buckets: dict[tuple, list] = {}
+        for d, sg in self.sigs.items():
+            for b in range(BANDS):
+                key = _md5(
+                    "|".join(sg[b * ROWS_PER_BAND + j] for j in range(ROWS_PER_BAND))
+                )
+                buckets.setdefault((b, key), []).append(d)
+        pair_set: set[tuple] = set()
+        for docs in buckets.values():
+            if len(docs) < 2:
+                continue
+            ds = sorted(docs)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    pair_set.add((ds[i], ds[j]))
+        # est_sim = round(agreeing-components / K, 4)
+        self.cand: dict[tuple, float] = {}
+        for a, b in pair_set:
+            agree = sum(
+                1 for i in range(K) if self.sigs[a][i] == self.sigs[b][i]
+            )
+            self.cand[(a, b)] = _round_half_up(agree / float(K), 4)
+
+    # -- derived graph over est_sim >= 0.5 pairs ---------------------------
+
+    def edges05(self) -> list[tuple]:
+        return [p for p, s in self.cand.items() if s >= 0.5]
+
+    def degree05(self) -> dict[int, int]:
+        deg: dict[int, int] = {}
+        for a, b in self.edges05():
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    def components(self) -> dict[int, int]:
+        """node -> min reachable doc_id (union-find), nodes with >=1 edge."""
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in self.edges05():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return {n: find(n) for n in parent}
+
+    def jaccard_counts(self, a: int, b: int) -> tuple:
+        sa, sb = self.toks[a], self.toks[b]
+        ni = len(sa & sb)
+        return ni, len(sa), len(sb)
+
+
+# --------------------------------------------------------------------------
+# per-query ground truth -> (columns, rows) with exact engine dtypes
+# --------------------------------------------------------------------------
+
+
+def gt_dedup_cluster_components(c: Corpus):
+    comp = c.components()
+    clusters: dict[int, list] = {}
+    for d in c.doc_ids:
+        clusters.setdefault(comp.get(d, d), []).append(d)
+    rows = [
+        (cl, len(ds), max(ds)) for cl, ds in clusters.items()
+    ]
+    return ["cluster", "n_docs", "max_doc"], rows, ["i", "i", "i"]
+
+
+def gt_dedup_family_histogram(c: Corpus):
+    comp = c.components()
+    sizes: dict[int, int] = {}
+    for d in c.doc_ids:
+        cl = comp.get(d, d)
+        sizes[cl] = sizes.get(cl, 0) + 1
+    hist: dict[int, list] = {}
+    for n in sizes.values():
+        e = hist.setdefault(n, [0, 0])
+        e[0] += 1
+        e[1] += n
+    rows = [(fs, nf, nt) for fs, (nf, nt) in hist.items()]
+    return (
+        ["family_size", "n_families", "n_docs_total"],
+        rows,
+        ["i", "i", "i"],
+    )
+
+
+def gt_dedup_cluster_representatives(c: Corpus):
+    comp = c.components()
+    deg = c.degree05()
+    clusters: dict[int, list] = {}
+    for d in c.doc_ids:
+        clusters.setdefault(comp.get(d, d), []).append(d)
+    rows = []
+    for cl, ds in clusters.items():
+        # highest degree, ties -> smallest id
+        rep = min(ds, key=lambda n: (-deg.get(n, 0), n))
+        rows.append((cl, rep, deg.get(rep, 0), len(ds)))
+    return (
+        ["cluster", "representative", "rep_degree", "n_docs"],
+        rows,
+        ["i", "i", "i", "i"],
+    )
+
+
+def gt_dedup_graph_pagerank(c: Corpus, iters: int = 3, damping: float = 0.85):
+    """Engine replication (operators/dedup.py pagerank_fixed): symmetric
+    distinct edges; rank init round(1e9/n) [Python round — the engine's
+    literal IS Python round]; contribution floor(rq/d) in double; new
+    rank = round((1-damping)*1e9/n) + HALF_UP(damping * sum)."""
+    und: set[tuple] = set()
+    for a, b in c.edges05():
+        und.add((a, b))
+        und.add((b, a))
+    deg: dict[int, int] = {}
+    for u, _v in und:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(deg)
+    if n == 0:
+        return ["node", "degree", "pr_q"], [], ["i", "i", "i"]
+    base_q = round((1.0 - damping) * 1e9 / n)
+    rank = {u: round(1e9 / n) for u in deg}
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for u, v in und:
+            contrib[v] = contrib.get(v, 0) + math.floor(rank[u] / deg[u])
+        rank = {
+            v: base_q
+            + int(
+                Decimal(damping * s).quantize(Decimal(1), ROUND_HALF_UP)
+            )
+            for v, s in contrib.items()
+        }
+    rows = [(u, deg[u], rank[u]) for u in rank]
+    return ["node", "degree", "pr_q"], rows, ["i", "i", "i"]
+
+
+def gt_dedup_minhash_calibration(c: Corpus):
+    groups: dict[float, list] = {}
+    for (a, b), est in c.cand.items():
+        ni, na, nb = c.jaccard_counts(a, b)
+        est_q = math.floor(est * 1000000 + 0.5)
+        jac_q = math.floor(ni * 1000000.0 / (na + nb - ni) + 0.5)
+        g = groups.setdefault(est, [0, 0, 0])
+        g[0] += 1
+        g[1] += jac_q
+        g[2] += abs(est_q - jac_q)
+    rows = [
+        (
+            est,
+            n,
+            _round_half_up(sj / n / 1000000.0, 6),
+            _round_half_up(se / n / 1000000.0, 6),
+        )
+        for est, (n, sj, se) in groups.items()
+    ]
+    return (
+        ["est_sim", "n_pairs", "mean_exact_jac", "mean_abs_err"],
+        rows,
+        ["f", "i", "f", "f"],
+    )
+
+
+def gt_dedup_lsh_precision_recall(c: Corpus):
+    tp = fp = fn = npred = ntruth = 0
+    for (a, b), est in c.cand.items():
+        ni, na, nb = c.jaccard_counts(a, b)
+        pred = est >= 0.5
+        truth = ni * 2 >= na + nb - ni
+        tp += pred and truth
+        fp += pred and not truth
+        fn += (not pred) and truth
+        npred += pred
+        ntruth += truth
+    prec = _round_half_up(tp / npred, 6) if npred else None
+    rec = _round_half_up(tp / ntruth, 6) if ntruth else None
+    return (
+        ["tp", "fp", "fn", "precision_at_05", "recall_within_candidates"],
+        [(tp, fp, fn, prec, rec)],
+        ["i", "i", "i", "f", "f"],
+    )
+
+
+def gt_dedup_ensemble_verdict(c: Corpus):
+    rows = []
+    for (a, b), est in c.cand.items():
+        ni, na, nb = c.jaccard_counts(a, b)
+        jac = _round_half_up(ni / float(na + nb - ni), 4)
+        ham = bin(c.simhash[a] ^ c.simhash[b]).count("1")
+        votes = (est >= 0.5) + (jac >= 0.5) + (ham <= 4)
+        rows.append((a, b, est, jac, ham, votes >= 2))
+    return (
+        ["doc_a", "doc_b", "est_sim", "jaccard", "hamming", "is_dup"],
+        rows,
+        ["i", "i", "f", "f", "i", "b"],
+    )
+
+
+def gt_dedup_graph_triangles(c: Corpus, cap: int = 64):
+    e = c.edges05()
+    deg = c.degree05()
+    hubs = {u for u, d in deg.items() if d > cap}
+    ke = [(a, b) for a, b in e if a not in hubs and b not in hubs]
+    kdeg: dict[int, int] = {}
+    fwd: dict[int, set] = {}
+    for a, b in ke:
+        kdeg[a] = kdeg.get(a, 0) + 1
+        kdeg[b] = kdeg.get(b, 0) + 1
+        fwd.setdefault(a, set()).add(b)
+    n_tri = 0
+    for a, b in ke:
+        n_tri += len(fwd.get(a, set()) & fwd.get(b, set()))
+    n_wedges = sum(d * (d - 1) // 2 for d in kdeg.values())
+    coeff = (
+        _round_half_up(3.0 * n_tri / n_wedges, 6) if n_wedges > 0 else 0.0
+    )
+    rows = [
+        (len(deg), len(e), len(hubs), len(ke), n_wedges, n_tri, coeff)
+    ]
+    return (
+        [
+            "n_nodes", "n_edges", "n_hubs_excluded", "n_edges_capped",
+            "n_wedges", "n_triangles", "clustering_coeff",
+        ],
+        rows,
+        ["i", "i", "i", "i", "i", "i", "f"],
+    )
+
+
+GROUND_TRUTH = {
+    "dedup_cluster_components": gt_dedup_cluster_components,
+    "dedup_family_histogram": gt_dedup_family_histogram,
+    "dedup_cluster_representatives": gt_dedup_cluster_representatives,
+    "dedup_graph_pagerank": gt_dedup_graph_pagerank,
+    "dedup_minhash_calibration": gt_dedup_minhash_calibration,
+    "dedup_lsh_precision_recall": gt_dedup_lsh_precision_recall,
+    "dedup_ensemble_verdict": gt_dedup_ensemble_verdict,
+    "dedup_graph_triangles": gt_dedup_graph_triangles,
+}
+
+_DTYPES = {"i": "int64", "f": "float64", "b": "bool"}
+
+
+def _gt_frame(cols, rows, kinds):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    for col, kind in zip(cols, kinds):
+        if df[col].isna().any():  # nullable float stays object-free
+            df[col] = df[col].astype("float64" if kind == "f" else "object")
+        else:
+            df[col] = df[col].astype(_DTYPES[kind])
+    return df
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _hash(df) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+    names = [n for n in GROUND_TRUTH if not only or n in only]
+
+    t0 = time.perf_counter()
+    corpus = Corpus(sf_dir)
+    print(
+        f"corpus model: {len(corpus.doc_ids)} docs, "
+        f"{len(corpus.cand)} LSH candidates "
+        f"({time.perf_counter() - t0:.1f}s)",
+        flush=True,
+    )
+
+    from pyspark.sql import SparkSession
+
+    from multisql_spark.queries import load_all
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("heavy-oracle")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    report: dict[str, dict] = {}
+    n_red = 0
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        row: dict = {}
+        try:
+            cols, rows, kinds = GROUND_TRUTH[name](corpus)
+            gt = _canon(_gt_frame(cols, rows, kinds))
+            sdf = _canon(registry[name].fn(spark, sf_dir).toPandas())
+            row = {
+                "rows_match": len(sdf) == len(gt),
+                "schema_match": sorted(sdf.columns) == sorted(gt.columns),
+                "hash_match": _hash(sdf) == _hash(gt),
+                "spark_rows": len(sdf),
+                "oracle_rows": len(gt),
+                "oracle": "python-fixture",
+            }
+            if not row["hash_match"] and row["rows_match"]:
+                for col in sdf.columns:
+                    if col not in gt.columns:
+                        continue
+                    a = sdf[col].astype(str).values
+                    b = gt[col].astype(str).values
+                    bad = a != b
+                    if bad.any():
+                        k = bad.argmax()
+                        row.setdefault("first_diff", {})[col] = [
+                            str(a[k]), str(b[k]),
+                        ]
+        except Exception:
+            import traceback
+
+            row = {"err": traceback.format_exc(limit=3)[-800:]}
+        row["wall_sec"] = round(time.perf_counter() - t0, 3)
+        ok = row.get("hash_match", False) and not row.get("err")
+        if not ok:
+            n_red += 1
+        report[name] = row
+        tag = "ok " if ok else "RED"
+        print(
+            f"[{i + 1}/{len(names)}] {tag} {name} "
+            f"{'' if ok else json.dumps(row)[:400]}",
+            flush=True,
+        )
+
+    print(f"\n{len(names) - n_red}/{len(names)} green")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    label = os.environ.get("SWEEP_LABEL", "adhoc")
+    seg = hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()[:8]
+    sweeps_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sweeps"
+    )
+    os.makedirs(sweeps_dir, exist_ok=True)
+    out = os.path.join(
+        sweeps_dir, f"{label}_{tag}_heavyfix_{len(names)}q_{seg}.json"
+    )
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "label": label,
+                "sf": tag,
+                "oracle": "python-fixture",
+                "n_queries": len(names),
+                "n_green": len(names) - n_red,
+                "queries": report,
+            },
+            f,
+            indent=1,
+            default=str,
+        )
+    print(f"sweep artifact: {out}")
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
