@@ -711,6 +711,49 @@ def _rewrite_cast_timestamp(
     return out
 
 
+def _strip_cast_any(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """``CAST(x AS ANY)`` is the identity in the reference — casting to
+    ``ValueType::Any`` returns the value unchanged (value_type/cast.rs:14)
+    — so drop the CAST wrapper and keep the parenthesized operand."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        kind, text = tokens[i]
+        if (
+            kind == "ident"
+            and text.upper() in ("CAST", "TRY_CAST")
+            and i + 1 < n
+            and tokens[i + 1][1] == "("
+        ):
+            depth, j = 0, i + 1
+            while j < n:
+                if tokens[j][1] == "(":
+                    depth += 1
+                elif tokens[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if (
+                j < n
+                and j - 2 > i + 1
+                and tokens[j - 1][0] == "ident"
+                and tokens[j - 1][1].upper() == "ANY"
+                and tokens[j - 2][0] == "ident"
+                and tokens[j - 2][1].upper() == "AS"
+            ):
+                out.append(("punct", "("))
+                out.extend(_strip_cast_any(tokens[i + 2:j - 2]))
+                out.append(("punct", ")"))
+                i = j + 1
+                continue
+        out.append((kind, text))
+        i += 1
+    return out
+
+
 def _rewrite_cast_types(
     tokens: list[tuple[str, str]]
 ) -> list[tuple[str, str]]:
@@ -1474,6 +1517,7 @@ def rewrite(
         tokens, schema, db_names
     )
     tokens = _rewrite_cast_timestamp(tokens)
+    tokens = _strip_cast_any(tokens)
     tokens = _rewrite_cast_types(tokens)
     tokens = _rewrite_nested_values(tokens)
     tokens = _bare_join_on_true(tokens)

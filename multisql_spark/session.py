@@ -82,7 +82,12 @@ _TYPE_MAP = {
     "STRING": "string",
     "VARCHAR": "string",
     "TIMESTAMP": "timestamp",
-    "ANY": "string",
+    # reference ValueType::Any (value_type/mod.rs:17, the DataType
+    # fallthrough at :47): a column that accepts any value per row.
+    # Spark 4 VARIANT carries per-row dynamic values; the Payload layer
+    # collapses VariantVal cells back to native bool/int/float/str
+    # (DIVERGENCES #4 — closed for declared-Any columns in r4).
+    "ANY": "variant",
 }
 
 
@@ -171,6 +176,7 @@ def _spark_type(t: str) -> T.DataType:
         "double": T.DoubleType(),
         "string": T.StringType(),
         "timestamp": T.TimestampType(),
+        "variant": T.VariantType(),
     }[t]
 
 
@@ -202,13 +208,29 @@ _VALUETYPE_DISPLAY = {
     "string": "Text",
     "timestamp": "Timestamp",
     "timestamp_ntz": "Timestamp",
+    "variant": "Any",
 }
+
+
+def _uq_key(cdef: ColumnDef):
+    """Equality key for UNIQUE checks: variant (declared-Any) columns are
+    not comparable/groupable in Spark, but their JSON rendering is a
+    faithful per-kind equality key, so Any-typed UNIQUE dedups on it."""
+    return (
+        F.to_json(F.col(cdef.name))
+        if cdef.type_str == "variant"
+        else F.col(cdef.name)
+    )
 
 
 def _check_write_type(
     cdef: ColumnDef, incoming: T.DataType, ctx: str
 ) -> None:
     if isinstance(incoming, T.NullType):
+        return
+    if cdef.type_str == "variant":
+        # reference Value::is: (ValueType::Any, _) => Ok(()) —
+        # an Any column accepts every incoming type (value/mod.rs:240)
         return
     allowed = _WRITE_COMPAT.get(cdef.type_str)
     if allowed is None:  # adapter-inferred exotic type: no declared contract
@@ -924,9 +946,22 @@ class MultiSQLSession:
         if src.upper().startswith("VALUES"):
             body = src[len("VALUES"):].strip()
             alias_cols = ", ".join(stated)
+            body = self._rewrite_fragment(body)
+            # Declared-Any targets: Spark's VALUES unifies mixed literal
+            # types to a common type (string), which would erase per-row
+            # kinds before the variant conversion — wrap each Any-bound
+            # expression in CAST(… AS VARIANT) so every row keeps its own
+            # type (reference ValueType::Any, value/mod.rs:240)
+            variant_pos = [
+                i
+                for i, s in enumerate(stated)
+                if (c := state.column(s)) is not None
+                and c.type_str == "variant"
+            ]
+            if variant_pos:
+                body = self._wrap_values_variant(body, variant_pos)
             df = self.spark.sql(
-                f"SELECT * FROM VALUES {self._rewrite_fragment(body)} "
-                f"AS __v({alias_cols})"
+                f"SELECT * FROM VALUES {body} AS __v({alias_cols})"
             )
         else:
             df = self.sql(src)
@@ -1060,9 +1095,9 @@ class MultiSQLSession:
                 )
             if cdef.unique:
                 checks.append(
-                    (F.count(nm) - F.count_distinct(F.col(nm))).alias(
-                        f"__uq_{nm}"
-                    )
+                    (
+                        F.count(_uq_key(cdef)) - F.count_distinct(_uq_key(cdef))
+                    ).alias(f"__uq_{nm}")
                 )
             if cdef.auto_increment:
                 checks.append(
@@ -1087,15 +1122,27 @@ class MultiSQLSession:
                 # collision against existing rows: one semi-join count per
                 # unique column (reference validate_unique.rs
                 # scan-sort-merge)
-                dup_old = (
-                    aligned.filter(F.col(cdef.name).isNotNull())
-                    .join(
-                        state.df.select(cdef.name),
-                        on=cdef.name,
-                        how="left_semi",
+                if cdef.type_str == "variant":
+                    dup_old = (
+                        aligned.filter(F.col(cdef.name).isNotNull())
+                        .select(_uq_key(cdef).alias("__k"))
+                        .join(
+                            state.df.select(_uq_key(cdef).alias("__k")),
+                            on="__k",
+                            how="left_semi",
+                        )
+                        .count()
                     )
-                    .count()
-                )
+                else:
+                    dup_old = (
+                        aligned.filter(F.col(cdef.name).isNotNull())
+                        .join(
+                            state.df.select(cdef.name),
+                            on=cdef.name,
+                            how="left_semi",
+                        )
+                        .count()
+                    )
                 if dup_old:
                     raise UniqueViolation(
                         f"UNIQUE violated for {state.name}.{cdef.name}"
@@ -1224,9 +1271,9 @@ class MultiSQLSession:
                 )
             if cdef.unique:
                 checks.append(
-                    (F.count(nm) - F.count_distinct(F.col(nm))).alias(
-                        f"__uq_{nm}"
-                    )
+                    (
+                        F.count(_uq_key(cdef)) - F.count_distinct(_uq_key(cdef))
+                    ).alias(f"__uq_{nm}")
                 )
         if checks:
             stats = candidate.agg(*checks).collect()[0]
@@ -1245,6 +1292,24 @@ class MultiSQLSession:
         self._bound_lineage(state)
         self._register(state)
         return Payload.affected("Update", n)
+
+    @classmethod
+    def _wrap_values_variant(cls, body: str, positions: list[int]) -> str:
+        """Rewrite a VALUES body ``(e, …), (e, …)`` wrapping the
+        expressions at ``positions`` in CAST(… AS VARIANT)."""
+        tuples = cls._split_top_level(body)
+        out_tuples = []
+        for tup in tuples:
+            t = tup.strip()
+            if not (t.startswith("(") and t.endswith(")")):
+                out_tuples.append(tup)
+                continue
+            exprs = cls._split_top_level(t[1:-1])
+            for p in positions:
+                if p < len(exprs):
+                    exprs[p] = f"CAST(({exprs[p]}) AS VARIANT)"
+            out_tuples.append("(" + ", ".join(e.strip() for e in exprs) + ")")
+        return ", ".join(out_tuples)
 
     @staticmethod
     def _split_top_level(src: str) -> list[str]:
@@ -1427,8 +1492,8 @@ class MultiSQLSession:
             if cdef.unique:
                 checks.append(
                     (
-                        F.count(cdef.name)
-                        - F.count_distinct(F.col(cdef.name))
+                        F.count(_uq_key(cdef))
+                        - F.count_distinct(_uq_key(cdef))
                     ).alias(f"__uq_{cdef.name}")
                 )
         if checks:

@@ -1,0 +1,70 @@
+"""Declared-``ANY`` columns carry per-row dynamic values.
+
+Reference semantics (``src/data/value/value_type/mod.rs:17`` —
+``ValueType::Any``; ``src/data/value/mod.rs:240`` —
+``(ValueType::Any, _) => Ok(())``; ``src/data/value/value_type/cast.rs:14``
+— cast to Any is the identity): a column declared ``ANY`` accepts every
+value kind per row and surfaces each value with its own type.  The Spark
+implementation stores the column as VARIANT and the Payload layer
+collapses ``VariantVal`` cells to native Python values — the column-level
+completion of the ``IIF`` literal-branch VARIANT work (DIVERGENCES #4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from multisql_spark import MultiSQLSession
+from multisql_spark.session import UniqueViolation
+
+
+@pytest.fixture(scope="module")
+def glue(spark):
+    return MultiSQLSession(spark)
+
+
+def test_any_column_mixed_kinds_roundtrip(glue):
+    glue.execute("DROP TABLE IF EXISTS anyt")
+    glue.execute("CREATE TABLE anyt (id INTEGER, x ANY NULL)")
+    glue.execute(
+        "INSERT INTO anyt (id, x) VALUES (1, 'word'), (2, 17), "
+        "(3, 2.5), (4, TRUE), (5, NULL)"
+    )
+    out = glue.execute("SELECT id, x FROM anyt")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == "word" and isinstance(got[1], str)
+    assert got[2] == 17 and isinstance(got[2], int)
+    assert got[3] == 2.5 and isinstance(got[3], float)
+    assert got[4] is True
+    assert got[5] is None
+
+
+def test_any_column_insert_select_passthrough(glue):
+    glue.execute("DROP TABLE IF EXISTS anys; DROP TABLE IF EXISTS anyd")
+    glue.execute("CREATE TABLE anys (v TEXT)")
+    glue.execute("INSERT INTO anys (v) VALUES ('alpha'), ('beta')")
+    glue.execute("CREATE TABLE anyd (v ANY)")
+    glue.execute("INSERT INTO anyd (v) SELECT v FROM anys")
+    out = glue.execute("SELECT v FROM anyd")
+    assert sorted(r[0] for r in out.rows) == ["alpha", "beta"]
+
+
+def test_cast_to_any_is_identity(glue):
+    # reference cast.rs:14: (ValueType::Any, _) => Ok(self.clone())
+    out = glue.execute("SELECT CAST(5 AS ANY) AS a, CAST('x' AS ANY) AS b")
+    assert out.rows == [(5, "x")]
+    assert out.labels == ["a", "b"]
+
+
+def test_any_column_unique_enforced(glue):
+    glue.execute("DROP TABLE IF EXISTS anyu")
+    glue.execute("CREATE TABLE anyu (x ANY UNIQUE)")
+    glue.execute("INSERT INTO anyu (x) VALUES (1), ('1')")  # distinct kinds
+    with pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO anyu (x) VALUES (1)")
+
+
+def test_any_column_explain_displays_any(glue):
+    glue.execute("DROP TABLE IF EXISTS anye")
+    glue.execute("CREATE TABLE anye (x ANY NULL)")
+    out = glue.execute("EXPLAIN anye")
+    assert any("Any" in str(r) for r in out.rows)
