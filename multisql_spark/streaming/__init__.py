@@ -555,6 +555,31 @@ def stream_rollup_to_table(
     return spark.read.parquet(out_dir)
 
 
+def upsert_merge_batch(
+    spark: SparkSession, out_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """The keyed-upsert foreachBatch body (module-level so the crash-
+    recovery test drives the exact production merge): anti-join out the
+    batch's keys, union the fresh rows, atomic directory swap.  The merge
+    is IDEMPOTENT under Structured Streaming's batch redelivery — if the
+    sink applied a batch but the checkpoint commit was lost, re-applying
+    the same (key, latest-state) rows replaces them with themselves."""
+    import os
+    import shutil
+
+    updates = batch_df.localCheckpoint(eager=True)
+    existing = spark.read.parquet(out_dir)
+    merged = existing.join(
+        updates.select("user_id"), "user_id", "left_anti"
+    ).unionByName(updates)
+    tmp = f"{out_dir}.__batch{batch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{out_dir}.__old{batch_id}"
+    os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def stream_upsert_to_table(
     spark: SparkSession,
     sf_dir: str,
@@ -625,17 +650,7 @@ def stream_upsert_to_table(
     ).parquet(out_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        updates = batch_df.localCheckpoint(eager=True)
-        existing = spark.read.parquet(out_dir)
-        merged = existing.join(
-            updates.select("user_id"), "user_id", "left_anti"
-        ).unionByName(updates)
-        tmp = f"{out_dir}.__batch{batch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{out_dir}.__old{batch_id}"
-        os.rename(out_dir, old)
-        os.rename(tmp, out_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        upsert_merge_batch(spark, out_dir, batch_df, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -672,6 +687,58 @@ def _cms_bucket(tok_col, r_col):
         ).cast("long")
         % 512
     )
+
+
+def cms_merge_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """The CMS foreachBatch body (module-level so the crash-recovery test
+    drives the exact production merge).  Exactly-once under redelivery:
+    the applied-batch LEDGER row lands in the same atomic directory swap
+    as the merged cells, so a batch whose apply succeeded but whose
+    checkpoint commit was lost is detected by id and skipped — additive
+    sketch cells would otherwise double-count."""
+    import os
+    import shutil
+
+    state = spark.read.parquet(state_dir)
+    if state.filter(F.col("bid") == batch_id).limit(1).count() > 0:
+        return  # redelivered batch: already applied
+    toks = batch_df.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    rows_ = F.array([F.lit(r) for r in range(4)])
+    partial = (
+        toks.select("tok", F.explode(rows_).alias("r"))
+        .select("r", _cms_bucket(F.col("tok"), F.col("r")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    cells = (
+        state.filter(F.col("bid").isNull())
+        .select("r", "bucket", "cell")
+        .unionByName(partial)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+        .withColumn("bid", F.lit(None).cast("long"))
+    )
+    ledger = state.select("bid").filter(
+        F.col("bid").isNotNull()
+    ).unionByName(
+        spark.createDataFrame([(batch_id,)], "bid LONG")
+    ).select(
+        F.lit(None).cast("int").alias("r"),
+        F.lit(None).cast("long").alias("bucket"),
+        F.lit(None).cast("long").alias("cell"),
+        "bid",
+    )
+    merged = cells.unionByName(ledger)
+    tmp = f"{state_dir}.__tmp{batch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{state_dir}.__old{batch_id}"
+    os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def stream_cms_heavy_hitters(
@@ -717,44 +784,7 @@ def stream_cms_heavy_hitters(
     ).parquet(stream_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        state = spark.read.parquet(state_dir)
-        if state.filter(F.col("bid") == batch_id).limit(1).count() > 0:
-            return  # redelivered batch: already applied
-        toks = batch_df.select(
-            F.explode(F.split("text", " ")).alias("tok")
-        )
-        rows_ = F.array([F.lit(r) for r in range(4)])
-        partial = (
-            toks.select("tok", F.explode(rows_).alias("r"))
-            .select("r", _cms_bucket(F.col("tok"), F.col("r")).alias("bucket"))
-            .groupBy("r", "bucket")
-            .agg(F.count(F.lit(1)).alias("cell"))
-        )
-        cells = (
-            state.filter(F.col("bid").isNull())
-            .select("r", "bucket", "cell")
-            .unionByName(partial)
-            .groupBy("r", "bucket")
-            .agg(F.sum("cell").alias("cell"))
-            .withColumn("bid", F.lit(None).cast("long"))
-        )
-        ledger = state.select("bid").filter(
-            F.col("bid").isNotNull()
-        ).unionByName(
-            spark.createDataFrame([(batch_id,)], "bid LONG")
-        ).select(
-            F.lit(None).cast("int").alias("r"),
-            F.lit(None).cast("long").alias("bucket"),
-            F.lit(None).cast("long").alias("cell"),
-            "bid",
-        )
-        merged = cells.unionByName(ledger)
-        tmp = f"{state_dir}.__tmp{batch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{state_dir}.__old{batch_id}"
-        os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        cms_merge_batch(spark, state_dir, batch_df, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
