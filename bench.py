@@ -30,7 +30,7 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
 
 
 def build_session() -> SparkSession:
-    return (
+    b = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("multisql_spark_bench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -41,8 +41,20 @@ def build_session() -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .getOrCreate()
     )
+    # SPARK_GRAFT_PROFILE=cluster replays the 1000-executor profile's
+    # query-planning confs (AQE skew thresholds, 64 MB broadcast ceiling,
+    # 256 MB splits) in this local session — validates that the generated
+    # cluster posture serves the same plans (tools/cluster_profile.py)
+    if os.environ.get("SPARK_GRAFT_PROFILE") == "cluster":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from cluster_profile import local_shape_profile
+
+        for k, v in local_shape_profile().items():
+            b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def bench_queries(spark: SparkSession):
