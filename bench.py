@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+def _parse_sf(d: str) -> float:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+SF = _parse_sf(SF_DIR)
 
 
 def build_session() -> SparkSession:

@@ -65,20 +65,33 @@ def main() -> int:
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: single copy ({df.count()} rows)")
 
+    # ONE shared base across every key domain: a foreign key and the
+    # primary key it references (o_custkey / c_custkey, l_partkey /
+    # p_partkey, …) must offset by the SAME amount per replica or the
+    # referential joins only match within replica 0
+    top = 0
+    frames = {}
     for name, keys in KEY_COLS.items():
         path = os.path.join(src, f"{name}.parquet")
         if not os.path.exists(path):
             print(f"{name}: missing in {src}, skipped")
             continue
         df = spark.read.parquet(path)
+        frames[name] = df
         present = [k for k in keys if k in df.columns]
         max_key = df.agg(
             *[F.max(F.col(k).cast("long")).alias(k) for k in present]
         ).collect()[0]
-        base = 10
-        top = max(int(max_key[k] or 0) for k in present)
-        while base <= top:
-            base *= 10
+        top = max(top, *(int(max_key[k] or 0) for k in present))
+    base = 10
+    while base <= top:
+        base *= 10
+
+    for name, keys in KEY_COLS.items():
+        if name not in frames:
+            continue
+        df = frames[name]
+        present = [k for k in keys if k in df.columns]
         rep = F.explode(
             F.array(*[F.lit(r) for r in range(reps)])
         ).alias("__rep")
