@@ -354,40 +354,67 @@ def _xform_nullif(args: list[str]) -> str:
     return f"nullif(({args[0]}), ({args[1]}))"
 
 
+# Reference ValueType kind of each IIF branch, resolved statically:
+# - literals: quoted string, int, float, bool;
+# - bare columns (and alias.col paths): the reference kind of the
+#   column's Spark type from the session schema snapshot, installed by
+#   rewrite() for the duration of the statement's transform pass.
+# The engine rewrites on the driver thread only, so a module-level slot
+# (reset per rewrite() call) is safe.
+_IIF_COL_KINDS: dict[str, str] = {}
+
+_SPARK_KIND = {
+    "boolean": "bool",
+    "tinyint": "i64", "smallint": "i64", "int": "i64", "bigint": "i64",
+    "long": "i64",
+    "float": "f64", "double": "f64",
+    "string": "str", "varchar": "str",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "variant": "any",
+}
+
+
+def _iif_branch_kind(arg: str) -> str | None:
+    s = arg.strip()
+    if s.startswith("'"):
+        return "str"
+    compact = re.sub(r"\s+", "", s)
+    if _INT_LITERAL_RE.match(compact):
+        return "i64"
+    if _NUM_LITERAL_RE.match(compact):
+        return "f64"
+    if s.upper() in ("TRUE", "FALSE"):
+        return "bool"
+    if re.match(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)?$", compact):
+        return _IIF_COL_KINDS.get(compact.lower())
+    return None
+
+
 def _xform_iif(args: list[str]) -> str:
     """Reference IIF (function.rs) over ``Value::Any``: the two branches
     may carry DIFFERENT types and the result takes the chosen branch's
     type per row (``IIF(1=1, 'String', 1)`` → Str, ``IIF(0=1, 'String',
     1)`` → I64).  A Spark column has one static type, but Spark 4's
-    VARIANT holds per-row dynamic values — so mixed-KIND literal
-    branches are emitted as ``if(cond, parse_json(...), parse_json(...))``
-    and the Payload layer converts VariantVal cells back to native
-    Python values, reproducing the reference's dynamic result exactly
-    (closes the literal-branch half of DIVERGENCES #4).  A literal NULL
-    condition is rejected like the reference (func_other.rs:105)."""
+    VARIANT holds per-row dynamic values — so mixed-KIND branches
+    (literals since r3; int-vs-float literals and schema-typed COLUMN
+    branches since r4) are emitted as
+    ``if(cond, CAST(b1 AS VARIANT), CAST(b2 AS VARIANT))`` and the
+    Payload layer converts VariantVal cells back to native Python
+    values, reproducing the reference's per-row dynamic result exactly
+    (DIVERGENCES #4).  A literal NULL condition is rejected like the
+    reference (func_other.rs:105)."""
     if len(args) != 3:
         raise ValueError(f"IIF takes 3 arguments, found {len(args)}")
     cond = args[0].strip()
     if cond.upper() == "NULL":
         raise ValueError("IIF condition must be BOOLEAN, found NULL")
-    ka, kb = _literal_kind(args[1]), _literal_kind(args[2])
-    if ka and kb and ka != kb:
-        import json as _json
-
-        def as_json(arg: str, kind: str) -> str:
-            arg = arg.strip()
-            if kind == "str":
-                # undo the SQL '' escaping first, THEN re-escape single
-                # quotes for embedding inside the parse_json('...') SQL
-                # string — otherwise IIF(c, 'it''s', 1) surfaces "it''s"
-                return _json.dumps(
-                    arg[1:-1].replace("''", "'")
-                ).replace("'", "''")
-            return arg
-
-        j1, j2 = as_json(args[1], ka), as_json(args[2], kb)
+    ka, kb = _iif_branch_kind(args[1]), _iif_branch_kind(args[2])
+    if ka and kb and (ka != kb or "any" in (ka, kb)):
+        # fractional literals inside the CAST still get the DOUBLE wrap
+        # from _floatify_literals, so 2.5 surfaces as F64, not DECIMAL
         return (
-            f"if(({cond}), parse_json('{j1}'), parse_json('{j2}'))"
+            f"if(({cond}), CAST(({args[1]}) AS VARIANT), "
+            f"CAST(({args[2]}) AS VARIANT))"
         )
     return f"if(({args[0]}), ({args[1]}), ({args[2]}))"
 
@@ -848,7 +875,11 @@ def _visible_schema(
       text references them;
     - ``alias_real``: FROM-clause alias (lower-cased) → real table name,
       so explicit ``alias.col`` select items can also label with the
-      real table name like the reference does.
+      real table name like the reference does;
+    - ``col_kinds``: lower-cased bare and ``alias.col`` names → the
+      reference ValueType kind of the column's Spark type (bool / i64 /
+      f64 / str / ts / any), where the kind is unambiguous across
+      providers — feeds the mixed-kind IIF → VARIANT dispatch.
 
     Conservative by design: bails to ``({}, set())`` when the statement
     has a CTE or a subquery (a name might shadow a table column with a
@@ -858,7 +889,7 @@ def _visible_schema(
     static typing/labeling; beyond-reference queries keep the runtime
     dispatch.  ``schema[""]`` marks fragment mode (UPDATE SET / DEFAULT
     expressions): its columns are ambient — visible without a FROM."""
-    empty: tuple[dict, set, dict] = ({}, set(), {})
+    empty: tuple[dict, set, dict, dict] = ({}, set(), {}, {})
     if not schema:
         return empty
     if "" in schema:  # fragment mode: ambient single-table columns
@@ -874,7 +905,12 @@ def _visible_schema(
             for c, t in schema[""].items()
             if t.lower() in _INTEGRAL_TYPE_NAMES
         }
-        return {}, int_cols, {}
+        kinds = {
+            c.lower(): _SPARK_KIND[t.lower()]
+            for c, t in schema[""].items()
+            if t.lower() in _SPARK_KIND
+        }
+        return {}, int_cols, {}, kinds
     for k, (kind, text) in enumerate(tokens):
         if kind == "ident" and text.upper() == "WITH":
             return empty
@@ -936,6 +972,8 @@ def _visible_schema(
     owners: dict[str, set[str]] = {}  # col → providing aliases
     all_int: dict[str, bool] = {}
     alias_real: dict[str, str] = {}
+    kind_sets: dict[str, set[str]] = {}
+    col_kinds: dict[str, str] = {}
     for alias, name in rels:
         cols = lowered.get(name.lower())
         if cols is None:
@@ -947,6 +985,13 @@ def _visible_schema(
             all_int[cl] = all_int.get(cl, True) and (
                 t.lower() in _INTEGRAL_TYPE_NAMES
             )
+            k = _SPARK_KIND.get(t.lower())
+            if k:
+                kind_sets.setdefault(cl, set()).add(k)
+                col_kinds[f"{alias.lower()}.{cl}"] = k
+    for cl, ks in kind_sets.items():
+        if len(ks) == 1:  # every provider agrees on the kind
+            col_kinds[cl] = next(iter(ks))
     int_cols: set[str] = set()
     for cl, als in owners.items():
         if all_int[cl]:
@@ -958,7 +1003,7 @@ def _visible_schema(
         for cl, als in owners.items()
         if len(als) == 1
     }
-    return unique_owner, int_cols, alias_real
+    return unique_owner, int_cols, alias_real, col_kinds
 
 
 def _bare_join_on_true(
@@ -1513,7 +1558,7 @@ def rewrite(
     tokens = _rewrite_qualify(tokens)
     tokens = _substitute_variables(tokens, variables or {})
     tokens = _rewrite_db_names(tokens, db_names or set())
-    unique_owner, int_cols, alias_real = _visible_schema(
+    unique_owner, int_cols, alias_real, col_kinds = _visible_schema(
         tokens, schema, db_names
     )
     tokens = _rewrite_cast_timestamp(tokens)
@@ -1523,7 +1568,12 @@ def rewrite(
     tokens = _bare_join_on_true(tokens)
     tokens = _label_select_items(tokens, unique_owner, alias_real)
     tokens = _loose_group_by(tokens)
-    tokens = _transform(tokens)
+    global _IIF_COL_KINDS
+    _IIF_COL_KINDS = col_kinds
+    try:
+        tokens = _transform(tokens)
+    finally:
+        _IIF_COL_KINDS = {}
     tokens = _floatify_literals(tokens)
     if int_division:
         tokens = _rewrite_division(tokens, int_cols)

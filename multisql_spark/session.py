@@ -1248,8 +1248,16 @@ class MultiSQLSession:
         for cdef in state.columns:
             old = F.col(cdef.name)
             if cdef.name.lower() in assignments:
+                assigned = assignments[cdef.name.lower()]
+                if cdef.type_str == "variant":
+                    # Any column: the CASE branches must agree in type, so
+                    # the assigned expression converts to variant FIRST —
+                    # each updated row keeps the new value's own kind
+                    assigned = assigned.cast(
+                        state.df.schema[cdef.name].dataType
+                    )
                 new = (
-                    F.when(cond, assignments[cdef.name.lower()])
+                    F.when(cond, assigned)
                     .otherwise(old)
                     .cast(state.df.schema[cdef.name].dataType)
                 )
@@ -1466,8 +1474,14 @@ class MultiSQLSession:
         for cdef in state.columns:
             old = F.col(f"{talias}.{cdef.name}")
             if cdef.name.lower() in assignments:
+                assigned = assignments[cdef.name.lower()]
+                if cdef.type_str == "variant":
+                    # Any column: CASE branches must agree — convert first
+                    assigned = assigned.cast(
+                        state.df.schema[cdef.name].dataType
+                    )
                 new = (
-                    F.when(matched, assignments[cdef.name.lower()])
+                    F.when(matched, assigned)
                     .otherwise(old)
                     .cast(state.df.schema[cdef.name].dataType)
                 )

@@ -92,13 +92,84 @@ def _attach_parquet_dir(
     return db
 
 
+# the reference's CSV cell parse chain (src/databases/csv/record.rs:7-15):
+# bool -> u64 -> i64 -> f64 -> str.  Kind regexes mirror Rust's FromStr
+# acceptance: bool is exactly true/false; u64 takes an optional '+';
+# i64 adds '-'; f64 is everything try_cast(DOUBLE) accepts.
+_CSV_BOOL = r"^(true|false)$"
+_CSV_U64 = r"^\+?[0-9]+$"
+_CSV_I64 = r"^[+-]?[0-9]+$"
+
+
+def _csv_cell_kind(cell: str) -> str:
+    import re as _re
+
+    if _re.match(_CSV_BOOL, cell):
+        return "bool"
+    if _re.match(_CSV_U64, cell):
+        return "u64"
+    if _re.match(_CSV_I64, cell):
+        return "i64"
+    try:
+        float(cell)
+        return "f64"
+    except ValueError:
+        return "str"
+
+
+def _csv_any_variant_expr(col: str):
+    """Per-row dynamic conversion of a discerned-Any CSV column to
+    VARIANT, applying the reference's parse chain per cell."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("variant"))
+        .when(c.rlike(_CSV_BOOL), F.parse_json(c))
+        .when(c.rlike(_CSV_I64), c.cast("bigint").cast("variant"))
+        .when(
+            c.try_cast("double").isNotNull(), c.cast("double").cast("variant")
+        )
+        .otherwise(c.cast("variant"))
+        .alias(col)
+    )
+
+
 def _attach_csv(spark: SparkSession, name: str, path: str) -> SourceDatabase:
     db = SourceDatabase(name=name, path=path, kind="csv")
     tname = os.path.splitext(os.path.basename(path))[0]
     # reference infers header + types from a 100-row sample
     # (src/databases/csv/discern.rs:16-100); Spark's inferSchema is the
-    # built-in equivalent
+    # built-in equivalent for the single-typed columns
     df = spark.read.csv(path, header=True, inferSchema=True)
+    # Reference Any-column discernment (discern.rs:80-100): a sampled
+    # column whose cells parse to DIFFERENT value kinds becomes
+    # ValueType::Any — per-row dynamic values, not a string downgrade.
+    # Spark's inferSchema folds such columns to string; re-discern those
+    # from the same 100-row sample and lift mixed-kind ones to VARIANT
+    # with the reference's cell parse chain applied per row.
+    str_cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"]
+    if str_cols:
+        sample = df.select(str_cols).limit(100).collect()
+        any_cols = []
+        for colname in str_cols:
+            kinds = {
+                _csv_cell_kind(row[colname])
+                for row in sample
+                if row[colname] is not None
+            }
+            if len(kinds) > 1:
+                any_cols.append(colname)
+        if any_cols:
+            df = df.select(
+                *[
+                    _csv_any_variant_expr(f.name)
+                    if f.name in any_cols
+                    else df[f.name]
+                    for f in df.schema.fields
+                ]
+            )
     df.createOrReplaceTempView(f"{name}__{tname}")
     db.tables[tname] = df
     return db

@@ -63,6 +63,50 @@ def test_any_column_unique_enforced(glue):
         glue.execute("INSERT INTO anyu (x) VALUES (1)")
 
 
+def test_any_column_update_changes_kind(glue):
+    # UPDATE may swap an Any cell's kind per row (reference Value::is
+    # accepts any incoming value for ValueType::Any)
+    glue.execute("DROP TABLE IF EXISTS anyup")
+    glue.execute("CREATE TABLE anyup (id INTEGER, x ANY NULL)")
+    glue.execute("INSERT INTO anyup (id, x) VALUES (1, 'str'), (2, 2)")
+    glue.execute("UPDATE anyup SET x = 99 WHERE id = 1")
+    got = {r[0]: r[1] for r in glue.execute("SELECT id, x FROM anyup").rows}
+    assert got[1] == 99 and isinstance(got[1], int)
+    assert got[2] == 2
+
+
+def test_iif_mixed_column_branches_dynamic(glue):
+    """r4 completion of DIVERGENCES #4: IIF whose BRANCHES are columns
+    of different kinds returns each row with the chosen branch's own
+    type (reference function.rs over Value::Any) — the schema snapshot
+    types the branches and the dialect emits VARIANT."""
+    glue.execute("DROP TABLE IF EXISTS iifc")
+    glue.execute(
+        "CREATE TABLE iifc (id INTEGER, n INTEGER, s TEXT, f FLOAT)"
+    )
+    glue.execute(
+        "INSERT INTO iifc (id, n, s, f) VALUES"
+        " (1, 10, 'ten', 1.5), (2, 20, 'twenty', 2.5)"
+    )
+    out = glue.execute("SELECT id, IIF(id = 1, n, s) AS x FROM iifc")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 10 and isinstance(got[1], int)
+    assert got[2] == "twenty" and isinstance(got[2], str)
+    # int column vs float column: per-row I64 / F64, not a double column
+    out = glue.execute("SELECT id, IIF(id = 1, n, f) AS x FROM iifc")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 10 and isinstance(got[1], int)
+    assert got[2] == 2.5 and isinstance(got[2], float)
+    # int literal vs float literal likewise (r4: num kinds split)
+    out = glue.execute("SELECT id, IIF(id = 1, 1, 2.5) AS x FROM iifc")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 1 and isinstance(got[1], int)
+    assert got[2] == 2.5 and isinstance(got[2], float)
+    # same-kind branches keep the plain static column
+    out = glue.execute("SELECT id, IIF(id = 1, n, n + 1) AS x FROM iifc")
+    assert {r[0]: r[1] for r in out.rows} == {1: 10, 2: 21}
+
+
 def test_any_column_explain_displays_any(glue):
     glue.execute("DROP TABLE IF EXISTS anye")
     glue.execute("CREATE TABLE anye (x ANY NULL)")

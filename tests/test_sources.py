@@ -284,6 +284,35 @@ def test_jdbc_scan_and_insert_roundtrip(spark, tmp_path):
         g.execute("DELETE FROM remote.rt")
 
 
+def test_csv_mixed_column_discerns_any(spark, tmp_path):
+    """Reference CSV type discernment (discern.rs:80-100 +
+    record.rs:7-15): a sampled column whose cells parse to different
+    value kinds becomes ValueType::Any and each cell keeps its OWN type
+    — `1` is an integer, `x` a string, `2.5` a float, `true` a bool.
+    Single-kind columns keep their inferred static type."""
+    from multisql_spark.session import MultiSQLSession
+
+    p = tmp_path / "mix.csv"
+    p.write_text(
+        "id,v,w\n"
+        "1,7,aa\n"
+        "2,x,bb\n"
+        "3,2.5,cc\n"
+        "4,true,dd\n"
+    )
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE mixcsv LOCATION '{p}'")
+    out = g.execute("SELECT id, v, w FROM mixcsv.mix")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 7 and isinstance(got[1], int)
+    assert got[2] == "x" and isinstance(got[2], str)
+    assert got[3] == 2.5 and isinstance(got[3], float)
+    assert got[4] is True
+    # single-kind columns stay statically typed (id int, w string)
+    assert all(isinstance(r[0], int) for r in out.rows)
+    assert all(isinstance(r[2], str) for r in out.rows)
+
+
 def test_jdbc_predicate_pushdown(spark, tmp_path):
     """Filters on a JDBC-attached table reach the REMOTE side: the
     physical plan's JDBCRelation scan must carry the predicate in
