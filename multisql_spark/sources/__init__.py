@@ -70,7 +70,13 @@ def _read_parquet(spark: SparkSession, fpath: str):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(fpath)
-    arrow_schema = pq.read_schema(fpath)
+    try:
+        arrow_schema = pq.read_schema(fpath)
+    except OSError:
+        # files carrying logical types pyarrow doesn't know (e.g. the
+        # VARIANT type our Any columns persist) can't be probed for the
+        # nanos fixup — those are our own writes, never TIMESTAMP(NANOS)
+        return df
     for fld in arrow_schema:
         if str(fld.type) == "timestamp[ns]":
             df = df.withColumn(

@@ -107,6 +107,29 @@ def test_iif_mixed_column_branches_dynamic(glue):
     assert {r[0]: r[1] for r in out.rows} == {1: 10, 2: 21}
 
 
+def test_any_column_persists_through_attached_storage(glue, tmp_path):
+    """An Any column written back to an attached parquet database keeps
+    its per-row value kinds across a FRESH attach (VARIANT survives the
+    storage roundtrip; the pyarrow nanos probe skips files whose logical
+    types it can't parse)."""
+    from multisql_spark import MultiSQLSession
+
+    d = str(tmp_path / "anydb")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    glue.execute(f"CREATE DATABASE adper LOCATION '{d}/'")
+    glue.execute("CREATE TABLE adper.t (id INTEGER, x ANY NULL)")
+    glue.execute(
+        "INSERT INTO adper.t (id, x) VALUES (1, 'w'), (2, 9), (3, 2.5)"
+    )
+    g2 = MultiSQLSession(glue.spark)
+    g2.execute(f"CREATE DATABASE adper2 LOCATION '{d}/'")
+    rows = sorted(g2.execute("SELECT id, x FROM adper2.t").rows)
+    assert rows == [(1, "w"), (2, 9), (3, 2.5)]
+    assert isinstance(rows[1][1], int) and isinstance(rows[2][1], float)
+
+
 def test_any_column_explain_displays_any(glue):
     glue.execute("DROP TABLE IF EXISTS anye")
     glue.execute("CREATE TABLE anye (x ANY NULL)")
