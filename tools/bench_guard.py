@@ -5,7 +5,7 @@ a round so a plan change that silently de-optimized a headline query
 diff is still small.
 
 Usage: python tools/bench_guard.py [baseline_json] [threshold]
-         baseline_json defaults to BENCH_r02.json (the newest recorded
+         baseline_json defaults to BENCH_r03.json (the newest recorded
          round — the regression floor), threshold to 1.5×.
 """
 
@@ -20,7 +20,7 @@ import sys
 def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     baseline_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        here, "BENCH_r02.json"
+        here, "BENCH_r03.json"
     )
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
     with open(baseline_path) as f:
