@@ -1356,3 +1356,143 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("long").alias("step"),
         F.col("cand_id").cast("long").alias("cand_id"),
     )
+
+
+@register(
+    "sim_rrf_hybrid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    docfreq AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+    q AS (SELECT unnest(['spark', 'join', 'fast']) AS tok),
+    lex AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY score_q DESC, doc_id ASC) AS rank_lex
+      FROM (
+        SELECT tf.doc_id,
+               sum(tf.tf * CAST(round(ln(n_docs / df_docs) * 1e6) AS BIGINT))
+                 AS score_q
+        FROM tf JOIN q USING (tok) JOIN docfreq USING (tok), nd
+        GROUP BY tf.doc_id
+      ) QUALIFY rank_lex <= 50
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id, row_number() OVER (
+               ORDER BY cos_sim DESC, vec_id ASC) AS rank_vec
+      FROM (
+        SELECT c.vec_id, {{cos}} AS cos_sim
+        FROM emb c, qv WHERE c.vec_id <> 0
+      ) QUALIFY rank_vec <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             COALESCE(l.rank_lex, 0) AS rank_lex,
+             COALESCE(v.rank_vec, 0) AS rank_vec,
+             COALESCE(CAST(round(1e9 / (60 + l.rank_lex)) AS BIGINT), 0)
+             + COALESCE(CAST(round(1e9 / (60 + v.rank_vec)) AS BIGINT), 0)
+               AS rrf_q
+      FROM lex l FULL OUTER JOIN vec v ON v.vec_id = l.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_vec AS BIGINT) AS rank_vec,
+           round(rrf_q / 1e9, 6) AS rrf,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rn
+      FROM fused
+    ) WHERE rn <= 15
+    """.format(cos=_COS.format(a="qv", b="c.v")),
+    tags=("similarity", "retrieval", "hybrid", "rrf"),
+)
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (k=60): a lexical
+    shortlist (tf-idf over a fixed query term set, top-50) and a vector
+    shortlist (exact cosine against a fixed anchor embedding, top-50)
+    fuse by summed 1/(60+rank) — the standard production combination of
+    keyword and semantic search, linked on the shared doc_id = vec_id.
+
+    Scale shape: each arm is an already-proven bounded pattern (postings
+    broadcast-join + TakeOrdered heap; broadcast query vector + heap);
+    the fusion itself joins two ≤50-row shortlists — driver-free,
+    corpus-size-independent.  RRF contributions are 1e-9-quantized
+    BIGINTs so the fused ordering is engine-exact; absent ranks surface
+    as 0 (arm did not propose the document)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+
+    # lexical arm: identical scoring to text_keyword_search
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = t["documents"].agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    q = spark.createDataFrame([("spark",), ("join",), ("fast",)], ["tok"])
+    idf_q = F.round(
+        F.log(F.col("n_docs") / F.col("df_docs")) * 1e6
+    ).cast("long")
+    lex_scored = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(docfreq.crossJoin(F.broadcast(n_docs))), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * idf_q).alias("score_q"))
+    )
+    w_lex = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(w_lex))
+        .filter(F.col("rank_lex") <= 50)
+        .select("doc_id", "rank_lex")
+    )
+
+    # vector arm: exact cosine against the anchor embedding (vec_id 0)
+    emb = t["embeddings"].select(
+        F.col("vec_id"), sim.as_double("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    w_vec = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(sim.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .filter(F.col("rank_vec") <= 50)
+        .select("vec_id", "rank_vec")
+    )
+
+    rrf_arm = lambda r: F.round(1e9 / (60 + F.col(r))).cast("long")  # noqa: E731
+    fused = (
+        lex.join(vec, lex.doc_id == vec.vec_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+            (
+                F.coalesce(rrf_arm("rank_lex"), F.lit(0))
+                + F.coalesce(rrf_arm("rank_vec"), F.lit(0))
+            ).alias("rrf_q"),
+        )
+    )
+    w_f = W.orderBy(F.col("rrf_q").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rn") <= 15)
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("rank_lex").cast("long"),
+            F.col("rank_vec").cast("long"),
+            F.round(F.col("rrf_q") / 1e9, 6).alias("rrf"),
+            "rn",
+        )
+    )

@@ -676,6 +676,111 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) * 1.0 AS n_docs, sum(dl) * 1.0 AS sum_dl FROM dl
+    ),
+    q AS (SELECT unnest(['spark', 'join', 'fast']) AS tok),
+    df AS (
+      SELECT tok, count(*) AS df_docs FROM tf JOIN q USING (tok)
+      GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS n_matched,
+             sum(CAST(round(1e6
+                   * ln(1 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                     / (sum_dl / n_docs)))) AS BIGINT))
+               AS score_q
+      FROM tf JOIN q USING (tok) JOIN df USING (tok)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           round(score_q / 1e6, 4) AS score,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY score_q DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    tags=("text", "search", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75, Lucene idf) for a fixed query
+    term set — the production keyword-relevance standard the plain
+    tf-idf ranker (`text_keyword_search`) graduates to: tf saturates
+    (k1) and long documents are penalized toward the corpus average
+    length (b).
+
+    Scale shape identical to the tf-idf ranker: query terms broadcast
+    onto the (doc, term, tf) posting table, per-doc length and the two
+    corpus scalars broadcast back, per-(doc, term) contributions are
+    1e-6-quantized BIGINTs (order-free exact sums across any
+    parallelism), and the global top-10 is a TakeOrdered heap."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n_docs"),
+        (F.sum("dl") * 1.0).alias("sum_dl"),
+    )
+    q = spark.createDataFrame([("spark",), ("join",), ("fast",)], ["tok"])
+    df_docs = (
+        tf.join(F.broadcast(q), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    contrib = F.round(
+        1e6 * idf * (F.col("tf") * 2.2) / denom
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(q), "tok")
+        .join(F.broadcast(df_docs), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(contrib).alias("score_q"),
+        )
+    )
+    w = W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_matched").cast("long"),
+            F.round(F.col("score_q") / 1e6, 4).alias("score"),
+            "rn",
+        )
+    )
+
+
+@register(
     "text_bpe_pair_stats",
     oracle="""
     WITH t AS (
