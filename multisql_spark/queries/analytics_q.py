@@ -5515,6 +5515,89 @@ def monitor_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monitor_score_calibration",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(len(list_distinct(string_split(text, ' ')))
+                  * 10000.0 / len(string_split(text, ' '))) AS BIGINT)
+               AS score_q,
+             (lang = 'en') AS pos
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(CAST(score_q * 10 // 10000 AS BIGINT), 9) AS bin,
+             count(*) AS n,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             sum(score_q) AS sum_sq
+      FROM q GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) * 1.0 AS n_total FROM binned)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(sum_sq / (n * 10000.0), 6) AS mean_pred,
+           round(n_pos * 1.0 / n, 6) AS frac_pos,
+           round((n / n_total)
+                 * abs(n_pos * 1.0 / n - sum_sq / (n * 10000.0)), 6)
+             AS ece_term
+    FROM binned, tot
+    """,
+    tags=("monitoring", "calibration", "evaluation"),
+)
+def monitor_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error terms for the
+    same quality score `monitor_score_auc` evaluates: the score (token
+    diversity, read as a [0,1] confidence) buckets into 10 equal-width
+    bins; per bin the mean predicted value is compared to the empirical
+    positive rate, and `sum(ece_term)` IS the ECE.  AUC answers "does
+    the score rank well" — calibration answers "can its value be
+    trusted as a probability", the pair every model-gated ingestion
+    filter needs before thresholding.
+
+    One map-side-combined aggregation into ≤10 bins; every reported
+    value derives from exact integer aggregates (n, n_pos, 1e-4
+    quantized score sums), so the doubles are engine-deterministic.
+    Scales as a constant-size shuffle at any corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    q = t["documents"].select(
+        F.floor(
+            F.size(F.array_distinct(toks)) * 10000.0 / F.size(toks)
+        )
+        .cast("long")
+        .alias("score_q"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    binned = q.groupBy(
+        F.least(
+            (F.col("score_q") * 10 / 10000).cast("long"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum("score_q").alias("sum_sq"),
+    )
+    tot = binned.agg((F.sum("n") * 1.0).alias("n_total"))
+    return binned.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("sum_sq") / (F.col("n") * 10000.0), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("frac_pos"),
+        F.round(
+            (F.col("n") / F.col("n_total"))
+            * F.abs(
+                F.col("n_pos") * 1.0 / F.col("n")
+                - F.col("sum_sq") / (F.col("n") * 10000.0)
+            ),
+            6,
+        ).alias("ece_term"),
+    )
+
+
+@register(
     "events_ewma_hourly",
     oracle=f"""
     WITH rollup AS (
