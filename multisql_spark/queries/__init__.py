@@ -147,6 +147,31 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 
+def _officially_checked() -> frozenset[str]:
+    """Names that already hold an official driver CORRECTNESS row: the
+    pinned per-round sets, unioned with whatever CORRECTNESS_r0*.json
+    files exist in the repo root.  The on-disk union makes window
+    rotation self-maintaining — once the driver lands a round's
+    CORRECTNESS file, that round's window names stop fronting
+    automatically, so a stale ``_DRIVER_WINDOW`` can never waste
+    certification slots on already-certified queries."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    checked = set(_ROUND1_CHECKED | _ROUND2_CHECKED | _ROUND3_CHECKED)
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    for fp in _glob.glob(_os.path.join(root, "CORRECTNESS_r0*.json")):
+        try:
+            with open(fp) as f:
+                checked.update(_json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(checked)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY) and return
     them with the driver-checked window fronted (see _DRIVER_WINDOW)."""
@@ -164,15 +189,16 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_q,
     )
 
+    checked = _officially_checked()
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW:
-        if name in REGISTRY:
+        # a window name that ALREADY has an official row (its round's
+        # CORRECTNESS file landed) yields its slot to never-checked names
+        if name in REGISTRY and name not in checked:
             ordered[name] = REGISTRY[name]
     # Past the explicit window, front queries that have never had a
-    # driver correctness row (rounds 1/2/3 checked exactly the names in
-    # _ROUND{1,2,3}_CHECKED): under ANY driver cap this maximizes the
+    # driver correctness row: under ANY driver cap this maximizes the
     # number of first-time driver rows per round.
-    checked = _ROUND1_CHECKED | _ROUND2_CHECKED | _ROUND3_CHECKED
     for name, spec in REGISTRY.items():
         if name not in ordered and name not in checked:
             ordered[name] = spec
