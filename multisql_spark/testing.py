@@ -26,11 +26,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET memory_limit='24GB'")
     con.execute("SET temp_directory='.tmp'")
     con.execute("SET max_temp_directory_size='20GB'")
+    import os
+
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS "
-            f"SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        # derived scale factors (tools/make_scaled_sf.py) are Spark
+        # multi-file parquet DIRECTORIES; the driver's testdata is
+        # single files — glob accordingly
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
     return con
 
 
