@@ -158,19 +158,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(t["embeddings"], F.col("vec_id") < 5, k=5)
 
 
-def _kmeans_fit_ctes(n_lists: int = 8, iters: int = 2) -> str:
+def _kmeans_fit_ctes(
+    n_lists: int = 8, iters: int = 2, where: str = ""
+) -> str:
     """SQL replay of the deterministic KMeans fit (hash seeds →
     fixed-point Lloyd updates → argmin assignment), exactly mirroring
     ``operators.similarity.kmeans_fit`` — the fixed-point mean (values
     quantized to 1e-6, summed as BIGINTs) is what makes the two engines
     bit-identical regardless of accumulation order. Ends with ``af``
-    (vec_id, v, list_id) and the final centroid CTE ``c{iters}``."""
+    (vec_id, v, list_id) and the final centroid CTE ``c{iters}``.
+    ``where`` optionally restricts the fit/assign corpus (incremental
+    index maintenance fits on the standing corpus only)."""
     score = (
         "list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c)"
     )
+    where_sql = f"WHERE {where}" if where else ""
     sql = f"""
     WITH emb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings {where_sql}
     ),
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
@@ -1495,4 +1500,116 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rrf_q") / 1e9, 6).alias("rrf"),
             "rn",
         )
+    )
+
+
+@register(
+    "sim_ivf_incremental_add",
+    oracle=_kmeans_fit_ctes(where="vec_id % 10 <> 0")
+    + """,
+    newb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 10 = 0
+    ),
+    assigned_new AS (
+      SELECT vec_id, cid AS list_id,
+             CAST(round(score * 1000000) AS BIGINT) AS sq
+      FROM (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(c.c, c.c)
+                 - 2 * list_dot_product(e.v, c.c) AS score,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.c, c.c)
+                          - 2 * list_dot_product(e.v, c.c), c.cid) AS rn
+        FROM newb e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    old_counts AS (
+      SELECT list_id, count(*) AS n_old FROM af GROUP BY list_id
+    ),
+    add_counts AS (
+      SELECT list_id, count(*) AS n_added,
+             sum(sq) AS ssq
+      FROM assigned_new GROUP BY list_id
+    )
+    SELECT CAST(o.list_id AS BIGINT) AS list_id,
+           CAST(o.n_old AS BIGINT) AS n_old,
+           CAST(COALESCE(a.n_added, 0) AS BIGINT) AS n_added,
+           CAST(o.n_old + COALESCE(a.n_added, 0) AS BIGINT) AS n_total,
+           round(COALESCE(a.n_added, 0) * 1.0 / o.n_old, 6) AS growth,
+           round(a.ssq / a.n_added / 1000000.0, 6) AS mean_add_score
+    FROM old_counts o LEFT JOIN add_counts a USING (list_id)
+    """,
+    tags=("similarity", "ivf", "incremental", "maintenance"),
+)
+def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the coarse quantizer is fitted
+    on the STANDING corpus only (vec_id % 10 ≠ 0), then the new batch
+    (vec_id % 10 = 0) assigns to the FROZEN centroids — adds never
+    retrain, which is what makes continuous embedding ingestion cheap.
+    Reports per list: standing size, additions, growth, and the mean
+    assignment score of the added vectors — the drift signal that says
+    when new data has moved away from the existing centroids and a
+    re-train is due.
+
+    Scale shape: the fit touches the corpus (sampled at 100 TB); the
+    per-batch add is ONE narrow map over the new vectors against
+    broadcast centroid literals plus a ≤n_lists-row aggregation —
+    cost tracks the batch, never the index.  Assignment scores quantize
+    to 1e-6 integers so the per-list means are engine-exact."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select(
+        F.col("vec_id"), sim.as_double("embedding").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    newb = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids = sim.kmeans_fit(
+        corpus, n_lists=8, iters=2, id_col="vec_id", vec_col="v"
+    )
+
+    def assign_with_score(df):
+        scores = []
+        for _, c in centroids:
+            cc = 0.0
+            for x in c:  # sequential, mirroring list_dot_product(c, c)
+                cc = cc + x * x
+            lit_c = F.array(*[F.lit(x) for x in c])
+            scores.append(
+                F.lit(cc) - F.lit(2.0) * sim.dot(F.col("v"), lit_c)
+            )
+        arr = F.array(*scores)
+        idx = F.array_position(arr, F.array_min(arr)).cast("int")
+        cid_arr = F.array(*[F.lit(cid) for cid, _ in centroids])
+        return df.select(
+            "vec_id",
+            F.element_at(cid_arr, idx).alias("list_id"),
+            F.round(F.array_min(arr) * 1000000).cast("long").alias("sq"),
+        )
+
+    old_counts = (
+        assign_with_score(corpus)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    add_counts = (
+        assign_with_score(newb)
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_added"),
+            F.sum("sq").alias("ssq"),
+        )
+    )
+    return old_counts.join(add_counts, "list_id", "left").select(
+        F.col("list_id").cast("long"),
+        F.col("n_old").cast("long"),
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        (F.col("n_old") + F.coalesce("n_added", F.lit(0)))
+        .cast("long")
+        .alias("n_total"),
+        F.round(
+            F.coalesce("n_added", F.lit(0)) * 1.0 / F.col("n_old"), 6
+        ).alias("growth"),
+        F.round(
+            F.col("ssq") / F.col("n_added") / 1000000.0, 6
+        ).alias("mean_add_score"),
     )
