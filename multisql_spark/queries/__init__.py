@@ -77,84 +77,96 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # only, so registration order is load-bearing.  This window rotates per
 # round: round 1 verified the core relational set; round 2 the
 # functions/timestamp/similarity/text/streaming/TPC-H head; round 3 the
-# dedup/stream/monitor/TPC-H-tail reps (each 50/50 green, see
-# CORRECTNESS_r0{1,2,3}.json).  Round 4 fronts 50 more *never-checked*
-# names per VERDICT.md r3 ask #1: the full events-analytics and orders
-# family tails, both incremental streaming queries, and the remaining
-# sample/text/sim/pipeline representatives.  Queries outside the window
-# keep their local pytest oracle gate (strictly stronger: exact multiset
-# equality).
+# dedup/stream/monitor/TPC-H-tail reps; round 4 the events/orders tails,
+# incremental streaming, and sample/text/sim/pipeline reps (each 50/50
+# green, see CORRECTNESS_r0{1,2,3,4}.json).  Round 5 fronts 50 of the 79
+# remaining never-checked names per VERDICT.md r4 ask #2: the dedup
+# diagnostics family, the events-analytics tail, multimodal, part
+# analytics, and monitor/pipeline/sample/sim/text representatives.
+# Queries outside the window keep their local pytest oracle gate
+# (strictly stronger: exact multiset equality).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # events analytics tail (judge-named: survival, concurrency,
-    # attribution, funnel, retention, gap-fill, trend, seasonality,
-    # burst, changepoint, autocorr)
-    "events_survival_km",
-    "events_peak_concurrency",
-    "events_attribution_last_touch",
-    "events_attribution_first_touch",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_gapfill_locf",
-    "events_value_trend",
-    "events_seasonality_profile",
-    "events_burst_hours",
-    "events_changepoint_cusum",
-    "events_autocorr_daily",
-    # the whole orders_* business-analytics family
-    "orders_rfm_segments",
-    "orders_abc_parts",
-    "orders_benford_screen",
-    "orders_cohort_ltv",
-    "orders_mix_decomposition",
-    "orders_business_kpis",
-    "orders_rolling_12m_revenue",
-    "orders_aging_report",
-    "orders_duplicate_screen",
-    "orders_share_hierarchy",
-    # incremental streaming (last two stream queries without a row)
-    "stream_incremental_dedup",
-    "stream_incremental_minhash",
-    # sampling/splitting reps
-    "sample_time_split",
-    "sample_kfold",
-    "sample_class_balance",
-    "sample_neyman_allocation",
-    "sample_temperature_mix",
-    "sample_importance_dsir",
-    # text analysis reps
-    "text_redact_pii",
-    "text_repetition_stats",
-    "text_unigram_logprob",
-    "text_bigram_kneser_ney",
-    "text_lm_holdout_eval",
-    "text_zipf_fit",
-    "text_keyword_search",
-    # similarity / semantic-dedup reps
-    "sim_kmeans_cluster_stats",
-    "sim_pca_power_iteration",
-    "sim_random_projection",
-    "sim_mmr_diversified_topk",
-    "sim_ann_lsh_multiprobe",
-    "dedup_semantic",
+    # dedup diagnostics (VERDICT-named first)
+    "dedup_chunks",
+    "dedup_containment",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "dedup_incremental",
+    "dedup_lsh_precision_recall",
+    "dedup_minhash_calibration",
+    "dedup_remove_boilerplate",
+    "dedup_token_savings",
+    "dedup_family_histogram",
+    "dedup_cluster_representatives",
+    # events analytics tail
+    "events_active_users",
+    "events_anomaly_mad",
+    "events_markov_stationary",
+    "events_concentration_gini",
+    "events_trending_types",
+    "events_percentile_bands_hourly",
+    "events_cooccurrence_lift",
+    "events_lateness_profile",
+    "events_forecast_baseline",
+    "events_transition_matrix",
+    "events_velocity_features",
+    "events_bootstrap_se",
+    "events_reliability_mtbf",
+    "events_top_paths",
+    "events_interrupted_series",
+    "events_error_contagion",
+    "events_ewma_hourly",
+    "events_rate_limit_audit",
+    "events_realtime_rollup",
+    "events_hill_tail_index",
+    # multimodal
+    "mm_content_dedup",
+    "mm_frame_sample",
+    "mm_align_doc_embedding",
+    # part analytics
+    "part_skyline_pareto",
+    "part_brand_mode",
+    "part_affinity_pairs",
+    # monitors added in r4
+    "monitor_ab_cuped",
+    "monitor_score_calibration",
     # corpus-pipeline reps
-    "pipeline_prepare_corpus",
-    "pipeline_shard_layout",
-    "pipeline_pack_sequences",
-    "pipeline_dataset_card",
-    "pipeline_dataset_diff",
-    "pipeline_budget_select",
-    "pipeline_stage_funnel",
+    "pipeline_feature_hashing",
+    "pipeline_skew_report",
+    "pipeline_selection_frontier",
+    "pipeline_prepare_corpus_v2",
+    # sampling reps
+    "sample_per_group_cap",
+    "sample_fixed_k",
+    "sample_group_split",
+    # similarity reps
+    "sim_quantized_topk",
+    "sim_rrf_hybrid",
+    # text reps
+    "text_bm25_topk",
+    "text_token_burstiness",
 )
 
 
+def _row_green(row: object) -> bool:
+    """The same green predicate ``tools/sweep_report.certification()``
+    uses: hash match when the compare produced one, else rows match."""
+    if not isinstance(row, dict):
+        return False
+    return bool(row.get("hash_match", row.get("rows_match", False)))
+
+
 def _officially_checked() -> frozenset[str]:
-    """Names that already hold an official driver CORRECTNESS row: the
-    pinned per-round sets, unioned with whatever CORRECTNESS_r0*.json
-    files exist in the repo root.  The on-disk union makes window
-    rotation self-maintaining — once the driver lands a round's
-    CORRECTNESS file, that round's window names stop fronting
+    """Names that already hold a *green* official driver CORRECTNESS row:
+    the pinned per-round sets, unioned with green rows from whatever
+    CORRECTNESS_r*.json files exist in the repo root.  The on-disk union
+    makes window rotation self-maintaining — once the driver lands a
+    round's CORRECTNESS file, that round's window names stop fronting
     automatically, so a stale ``_DRIVER_WINDOW`` can never waste
-    certification slots on already-certified queries."""
+    certification slots on already-certified queries.  Red rows do NOT
+    count as checked: a query that failed certification keeps its window
+    slot so it is re-fronted for re-certification after the fix
+    (consistent with ``certification()``'s latest-round/green ledger)."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -163,12 +175,14 @@ def _officially_checked() -> frozenset[str]:
     root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    for fp in _glob.glob(_os.path.join(root, "CORRECTNESS_r0*.json")):
+    for fp in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(fp) as f:
-                checked.update(_json.load(f).keys())
+                rows = _json.load(f)
         except (OSError, ValueError):
             continue
+        if isinstance(rows, dict):
+            checked.update(n for n, r in rows.items() if _row_green(r))
     return frozenset(checked)
 
 

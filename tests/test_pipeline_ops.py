@@ -701,7 +701,13 @@ def test_driver_window_well_formed():
         if reg[n].oracle is None and not n.startswith("stream_")
     ]
     assert not no_oracle, f"windowed queries without oracle: {no_oracle}"
-    # ordering contract: the window is literally the registry prefix
-    assert list(reg)[: len(_DRIVER_WINDOW)] == [
-        n for n in _DRIVER_WINDOW if n in reg
+    # ordering contract: the registry prefix is the window MINUS names
+    # already holding a green official row (rotation is self-maintaining:
+    # landing a CORRECTNESS file retires its names without a code edit)
+    from multisql_spark.queries import _officially_checked
+
+    expected_front = [
+        n for n in _DRIVER_WINDOW
+        if n in reg and n not in _officially_checked()
     ]
+    assert list(reg)[: len(expected_front)] == expected_front
