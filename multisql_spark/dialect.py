@@ -374,20 +374,207 @@ _SPARK_KIND = {
 }
 
 
+# Reference ValueType kind returned by each scalar function the typer
+# understands (function.rs / utility.rs); everything else resolves None
+# (unknown) so the IIF dispatch stays conservative.
+_FN_KINDS: dict[str, str] = {
+    "UPPER": "str", "LOWER": "str", "LEFT": "str", "RIGHT": "str",
+    "REPLACE": "str", "CONCAT": "str", "TRIM": "str", "LTRIM": "str",
+    "RTRIM": "str", "SUBSTR": "str", "SUBSTRING": "str", "UUID": "str",
+    "LEN": "i64", "OCTET_LENGTH": "i64", "LENGTH": "i64",
+    "YEAR": "i64", "MONTH": "i64", "DAY": "i64", "HOUR": "i64",
+    "MINUTE": "i64", "SECOND": "i64", "NOW": "i64",
+    "UNIX_TIMESTAMP": "i64",
+    "ROUND": "f64", "POWER": "f64", "SQRT": "f64", "EXP": "f64",
+    "LN": "f64", "LOG": "f64", "RAND": "f64",
+    "ABS": None,  # kind-preserving: resolved from its argument below
+}
+
+# CAST target type name → reference kind (mirrors _CAST_TYPE_MAP +
+# _SPARK_KIND; ANY/VARIANT is the per-row dynamic kind).
+_CAST_KINDS: dict[str, str] = {
+    "TINYINT": "i64", "SMALLINT": "i64", "INT": "i64", "INTEGER": "i64",
+    "BIGINT": "i64", "LONG": "i64",
+    "FLOAT": "f64", "DOUBLE": "f64", "REAL": "f64",
+    "TEXT": "str", "STRING": "str", "VARCHAR": "str", "CHAR": "str",
+    "BOOLEAN": "bool", "BOOL": "bool",
+    "TIMESTAMP": "ts", "DATETIME": "ts",
+    "ANY": "any", "VARIANT": "any",
+}
+
+
+class _KindTyper:
+    """Minimal recursive-descent kind inference over a rendered branch
+    fragment — the 'small expression typer over the dialect token tree'
+    that closes the last ``Value::Any`` sliver (DIVERGENCES #4): a
+    computed branch like ``n + 1`` resolves to the reference kind its
+    evaluation would carry (value/mod.rs:232-241 — I64 op I64 stays I64,
+    I64 op F64 promotes to F64, ``||`` is Str), so mixed-kind COMPUTED
+    IIF branches take the VARIANT wrap exactly like literal and bare-
+    column branches.  Any construct it does not understand types as
+    None (unknown) — the dispatch then leaves the plain ``if()``."""
+
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str] | None:
+        t = self.peek()
+        if t is not None:
+            self.i += 1
+        return t
+
+    @staticmethod
+    def _combine(op: str, a: str | None, b: str | None) -> str | None:
+        if op == "||":
+            return "str"
+        if "any" in (a, b):
+            return "any"
+        if a is None or b is None:
+            return None
+        if a == b == "i64":
+            return "i64"  # incl. `/`: reference int division stays I64
+        if {a, b} <= {"i64", "f64"}:
+            return "f64"
+        return None
+
+    def expr(self) -> str | None:
+        kind = self.term()
+        while (t := self.peek()) and t[1] in ("+", "-", "||"):
+            self.next()
+            kind = self._combine(t[1], kind, self.term())
+        return kind
+
+    def term(self) -> str | None:
+        kind = self.factor()
+        while (t := self.peek()) and t[1] in ("*", "/", "%"):
+            self.next()
+            kind = self._combine(t[1], kind, self.factor())
+        return kind
+
+    def factor(self) -> str | None:
+        t = self.peek()
+        if t and t[1] in ("+", "-"):
+            self.next()
+            return self.factor()
+        return self.primary()
+
+    def _skip_parens(self) -> None:
+        """Consume a balanced ``( ... )`` group (opening paren current)."""
+        depth = 0
+        while (t := self.next()) is not None:
+            if t[1] == "(":
+                depth += 1
+            elif t[1] == ")":
+                depth -= 1
+                if depth == 0:
+                    return
+        raise ValueError("unbalanced parens")
+
+    def _call_args(self) -> list[str | None]:
+        """Type each top-level comma-separated argument of a call whose
+        opening paren is current; consumes through the closing paren."""
+        assert self.next()[1] == "("
+        kinds: list[str | None] = []
+        if (t := self.peek()) and t[1] == ")":
+            self.next()
+            return kinds
+        while True:
+            kinds.append(self.expr())
+            t = self.next()
+            if t is None:
+                raise ValueError("unbalanced call")
+            if t[1] == ")":
+                return kinds
+            if t[1] != ",":
+                raise ValueError(f"unexpected {t[1]!r} in call args")
+
+    def primary(self) -> str | None:
+        t = self.next()
+        if t is None:
+            raise ValueError("empty expression")
+        kind, text = t
+        if kind == "string":
+            return "str"
+        if kind == "number":
+            return "i64" if _INT_LITERAL_RE.match(text) else "f64"
+        if text == "(":
+            inner = self.expr()
+            if (nxt := self.next()) is None or nxt[1] != ")":
+                raise ValueError("unbalanced parens")
+            return inner
+        if kind in ("ident", "qident"):
+            up = text.upper()
+            if up in ("TRUE", "FALSE"):
+                return "bool"
+            if up == "NULL":
+                return None
+            nxt = self.peek()
+            if up == "CAST" and nxt and nxt[1] == "(":
+                return self._cast_kind()
+            if nxt and nxt[1] == "(":
+                args = self._call_args()
+                if up in ("IFNULL", "COALESCE"):
+                    ks = set(args)
+                    return args[0] if len(ks) == 1 else (
+                        "any" if "any" in ks else None)
+                if up in ("IIF", "IF") and len(args) == 3:
+                    # IF appears when a nested IIF was already transformed
+                    ks = {args[1], args[2]}
+                    return args[1] if len(ks) == 1 else (
+                        "any" if None not in ks else None)
+                if up == "NULLIF" and len(args) == 2:
+                    return args[0]
+                if up == "ABS":
+                    return args[0] if args else None
+                return _FN_KINDS.get(up)
+            # column path: ident or ident.ident
+            path = text
+            while (n1 := self.peek()) and n1[1] == ".":
+                self.next()
+                n2 = self.next()
+                if n2 is None or n2[0] not in ("ident", "qident"):
+                    raise ValueError("bad column path")
+                path += "." + n2[1]
+            return _IIF_COL_KINDS.get(path.lower())
+        raise ValueError(f"untypeable token {text!r}")
+
+    def _cast_kind(self) -> str | None:
+        """CAST ( expr AS type ) — opening paren is next."""
+        assert self.next()[1] == "("
+        depth = 1
+        as_at = None
+        start = self.i
+        while depth and (t := self.next()) is not None:
+            if t[1] == "(":
+                depth += 1
+            elif t[1] == ")":
+                depth -= 1
+            elif depth == 1 and t[0] == "ident" and t[1].upper() == "AS":
+                as_at = self.i - 1
+        if depth:
+            raise ValueError("unbalanced CAST")
+        if as_at is None:
+            return None
+        ty = self.toks[as_at + 1]
+        return _CAST_KINDS.get(ty[1].upper()) if ty[0] == "ident" else None
+
+
 def _iif_branch_kind(arg: str) -> str | None:
     s = arg.strip()
-    if s.startswith("'"):
-        return "str"
-    compact = re.sub(r"\s+", "", s)
-    if _INT_LITERAL_RE.match(compact):
-        return "i64"
-    if _NUM_LITERAL_RE.match(compact):
-        return "f64"
-    if s.upper() in ("TRUE", "FALSE"):
-        return "bool"
-    if re.match(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)?$", compact):
-        return _IIF_COL_KINDS.get(compact.lower())
-    return None
+    if not s:
+        return None
+    try:
+        typer = _KindTyper(tokenize(s))
+        kind = typer.expr()
+        # a trailing unconsumed token means the fragment holds syntax the
+        # typer does not model (CASE, BETWEEN, comparisons, ...) — unknown
+        return kind if typer.peek() is None else None
+    except (ValueError, AssertionError, IndexError, TypeError):
+        return None
 
 
 def _xform_iif(args: list[str]) -> str:
@@ -409,7 +596,10 @@ def _xform_iif(args: list[str]) -> str:
     if cond.upper() == "NULL":
         raise ValueError("IIF condition must be BOOLEAN, found NULL")
     ka, kb = _iif_branch_kind(args[1]), _iif_branch_kind(args[2])
-    if ka and kb and (ka != kb or "any" in (ka, kb)):
+    # a declared-Any (VARIANT) branch forces the wrap even when the other
+    # branch's kind is unresolvable — plain if() cannot coerce VARIANT
+    # against any other Spark type, while the reference succeeds
+    if (ka and kb and ka != kb) or "any" in (ka, kb):
         # fractional literals inside the CAST still get the DOUBLE wrap
         # from _floatify_literals, so 2.5 surfaces as F64, not DECIMAL
         return (

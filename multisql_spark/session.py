@@ -215,11 +215,37 @@ _VALUETYPE_DISPLAY = {
 def _uq_key(cdef: ColumnDef):
     """Equality key for UNIQUE checks: variant (declared-Any) columns are
     not comparable/groupable in Spark, but their JSON rendering is a
-    faithful per-kind equality key, so Any-typed UNIQUE dedups on it."""
+    faithful per-kind equality key, so Any-typed UNIQUE dedups on it.
+
+    Numeric kinds are normalized first: the reference's default
+    ``implicit_float_conversion`` treats ``I64(1)`` and ``F64(1.0)`` as
+    equal in ``validate_unique`` (value/mod.rs:159), while their JSON
+    renderings ``1`` vs ``1.0`` differ — so integral-valued doubles and
+    ints both key as the canonical integer string.  The kind probe uses
+    ``schema_of_variant`` (not a value cast) so a STRING variant ``'1'``
+    never collides with the number 1."""
+    if cdef.type_str != "variant":
+        return F.col(cdef.name)
+    c = F.col(cdef.name)
+    kind = F.schema_of_variant(c)
+    big = F.try_variant_get(c, "$", "bigint")
+    dbl = F.try_variant_get(c, "$", "double")
+    # doubles that are exactly representable integers (within the f64
+    # 2^53 exact-integer range) render as the integer string
+    integral_dbl = (
+        dbl.isNotNull()
+        & (dbl == F.floor(dbl))
+        & (F.abs(dbl) <= F.lit(9007199254740992.0))
+    )
     return (
-        F.to_json(F.col(cdef.name))
-        if cdef.type_str == "variant"
-        else F.col(cdef.name)
+        F.when(kind.isin("BIGINT", "INT", "SMALLINT", "TINYINT"),
+               big.cast("string"))
+        .when(
+            kind.isin("DOUBLE", "FLOAT") & integral_dbl,
+            dbl.cast("bigint").cast("string"),
+        )
+        .when(kind.isin("DOUBLE", "FLOAT"), dbl.cast("string"))
+        .otherwise(F.to_json(c))
     )
 
 

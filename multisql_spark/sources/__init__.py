@@ -132,7 +132,13 @@ def _csv_any_variant_expr(col: str):
     return (
         F.when(c.isNull(), F.lit(None).cast("variant"))
         .when(c.rlike(_CSV_BOOL), F.parse_json(c))
-        .when(c.rlike(_CSV_I64), c.cast("bigint").cast("variant"))
+        # try_cast, not cast: a digit run exceeding the i64 range falls
+        # through to the f64 branch like the reference's parse chain
+        # (record.rs:7-15) instead of failing the read under ANSI mode
+        .when(
+            c.rlike(_CSV_I64) & c.try_cast("bigint").isNotNull(),
+            c.try_cast("bigint").cast("variant"),
+        )
         .when(
             c.try_cast("double").isNotNull(), c.cast("double").cast("variant")
         )

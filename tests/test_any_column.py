@@ -63,6 +63,29 @@ def test_any_column_unique_enforced(glue):
         glue.execute("INSERT INTO anyu (x) VALUES (1)")
 
 
+def test_any_column_unique_cross_kind_numeric(glue):
+    """Reference ``implicit_float_conversion`` (value/mod.rs:159, on by
+    default): I64(1) == F64(1.0) in validate_unique — inserting 1 then
+    1.0 into an ANY UNIQUE column is a duplicate, while the STRING '1'
+    and the non-integral 1.5 stay distinct."""
+    glue.execute("DROP TABLE IF EXISTS anyuq")
+    glue.execute("CREATE TABLE anyuq (x ANY UNIQUE)")
+    glue.execute("INSERT INTO anyuq (x) VALUES (1)")
+    with pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO anyuq (x) VALUES (1.0)")
+    # and the reverse kind order, plus within a single batch
+    glue.execute("DROP TABLE IF EXISTS anyuq2")
+    glue.execute("CREATE TABLE anyuq2 (x ANY UNIQUE)")
+    glue.execute("INSERT INTO anyuq2 (x) VALUES (2.0)")
+    with pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO anyuq2 (x) VALUES (2)")
+    with pytest.raises(UniqueViolation):
+        glue.execute("INSERT INTO anyuq2 (x) VALUES (3), (3.0)")
+    # distinct kinds/values still accepted
+    glue.execute("INSERT INTO anyuq2 (x) VALUES ('2'), (2.5), (TRUE)")
+    assert len(glue.execute("SELECT x FROM anyuq2").rows) == 4
+
+
 def test_any_column_update_changes_kind(glue):
     # UPDATE may swap an Any cell's kind per row (reference Value::is
     # accepts any incoming value for ValueType::Any)
@@ -105,6 +128,58 @@ def test_iif_mixed_column_branches_dynamic(glue):
     # same-kind branches keep the plain static column
     out = glue.execute("SELECT id, IIF(id = 1, n, n + 1) AS x FROM iifc")
     assert {r[0]: r[1] for r in out.rows} == {1: 10, 2: 21}
+
+
+def test_iif_mixed_computed_branches(glue):
+    """r5 closure of the last DIVERGENCES #4 sliver: IIF branches that are
+    COMPUTED expressions (``n + 1``) resolve their reference kind through
+    the dialect's expression typer (value/mod.rs:232-241 — I64 op I64
+    stays I64, promotion to F64, ``||`` is Str), so mixed-kind computed
+    branches take the per-row VARIANT path like literals and columns."""
+    glue.execute("DROP TABLE IF EXISTS iifx")
+    glue.execute(
+        "CREATE TABLE iifx (id INTEGER, n INTEGER, s TEXT, f FLOAT,"
+        " a ANY NULL)"
+    )
+    glue.execute(
+        "INSERT INTO iifx (id, n, s, f, a) VALUES"
+        " (1, 10, 'ten', 1.5, 7), (2, 20, 'twenty', 2.5, 'w')"
+    )
+    # computed int expr vs string column: per-row I64 / Str
+    out = glue.execute("SELECT id, IIF(id = 1, n + 1, s) AS x FROM iifx")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 11 and isinstance(got[1], int)
+    assert got[2] == "twenty" and isinstance(got[2], str)
+    # computed int expr vs string literal (the VERDICT's named case)
+    out = glue.execute("SELECT id, IIF(id = 1, n + 1, 's') AS x FROM iifx")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 11 and isinstance(got[1], int)
+    assert got[2] == "s" and isinstance(got[2], str)
+    # computed int expr vs computed float expr: per-row I64 / F64
+    out = glue.execute(
+        "SELECT id, IIF(id = 1, n * 2, f + 1.0) AS x FROM iifx"
+    )
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 20 and isinstance(got[1], int)
+    assert got[2] == 3.5 and isinstance(got[2], float)
+    # function-typed branch vs computed int expr
+    out = glue.execute(
+        "SELECT id, IIF(id = 1, UPPER(s), n - 1) AS x FROM iifx"
+    )
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == "TEN" and isinstance(got[1], str)
+    assert got[2] == 19 and isinstance(got[2], int)
+    # declared-ANY column vs a computed branch: the 'any' kind forces
+    # the VARIANT wrap even against an expression (ADVICE r4)
+    out = glue.execute("SELECT id, IIF(id = 1, a, n + 1) AS x FROM iifx")
+    got = {r[0]: r[1] for r in out.rows}
+    assert got[1] == 7 and isinstance(got[1], int)
+    assert got[2] == 21 and isinstance(got[2], int)
+    # same-kind computed branches keep the plain static column
+    out = glue.execute(
+        "SELECT id, IIF(id = 1, n + 1, n * 2) AS x FROM iifx"
+    )
+    assert {r[0]: r[1] for r in out.rows} == {1: 11, 2: 40}
 
 
 def test_any_column_persists_through_attached_storage(glue, tmp_path):

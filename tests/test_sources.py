@@ -313,6 +313,27 @@ def test_csv_mixed_column_discerns_any(spark, tmp_path):
     assert all(isinstance(r[2], str) for r in out.rows)
 
 
+def test_csv_any_cell_beyond_i64_degrades_to_f64(spark, tmp_path):
+    """Reference parse chain (record.rs:7-15): a digit run that overflows
+    i64 falls through to the f64 parse — the VARIANT conversion must
+    try_cast so ANSI mode doesn't fail the read (r4 ADVICE)."""
+    from multisql_spark.session import MultiSQLSession
+
+    p = tmp_path / "big.csv"
+    p.write_text(
+        "id,v\n"
+        "1,7\n"
+        "2,99999999999999999999999999\n"  # > i64::MAX -> f64
+        "3,x\n"
+    )
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE bigcsv LOCATION '{p}'")
+    got = {r[0]: r[1] for r in g.execute("SELECT id, v FROM bigcsv.big").rows}
+    assert got[1] == 7 and isinstance(got[1], int)
+    assert got[2] == 1e26 and isinstance(got[2], float)
+    assert got[3] == "x"
+
+
 def test_jdbc_predicate_pushdown(spark, tmp_path):
     """Filters on a JDBC-attached table reach the REMOTE side: the
     physical plan's JDBCRelation scan must carry the predicate in
