@@ -50,6 +50,33 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     )
 
 
+def scale_antipatterns(plan: str) -> list[str]:
+    """100 TB anti-pattern flags for a formatted physical plan:
+
+    - ``CARTESIAN``: a CartesianProduct anywhere;
+    - ``GLOBAL_WINDOW``: an ``Exchange SinglePartition`` feeding a Window
+      operator (an unpartitioned data-scale window — the classic scale
+      killer).  A single-partition exchange feeding a final bounded
+      aggregate is legitimate and not flagged.
+
+    Shared by ``tools/audit_plans.py`` (full-registry CLI sweep) and
+    ``tests/test_plan_audit.py`` (the in-suite regression gate)."""
+    problems: list[str] = []
+    if "CartesianProduct" in plan:
+        problems.append("CARTESIAN")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            for above in reversed(lines[:i]):
+                s = above.strip().lstrip("+-: ")
+                if not s:
+                    continue
+                if s.startswith("Window"):
+                    problems.append("GLOBAL_WINDOW")
+                break
+    return sorted(set(problems))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans in the executed plan (AQE hides them until
     the final plan exists, so this triggers execution)."""

@@ -49,23 +49,10 @@ def main() -> int:
             print(f"ERROR    {name}: {str(exc)[:120]}")
             flagged += 1
             continue
-        problems = []
-        if "CartesianProduct" in plan:
-            problems.append("CARTESIAN")
-        # GLOBAL_WINDOW: SinglePartition exchange directly feeding a Window
-        lines = plan.splitlines()
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" in line:
-                for above in reversed(lines[:i]):
-                    s = above.strip().lstrip("+-: ")
-                    if not s:
-                        continue
-                    if s.startswith("Window"):
-                        problems.append("GLOBAL_WINDOW")
-                    break
+        problems = plans.scale_antipatterns(plan)
         if problems:
             flagged += 1
-            print(f"FLAG     {name}: {', '.join(sorted(set(problems)))}")
+            print(f"FLAG     {name}: {', '.join(problems)}")
     print(f"\n{flagged} flagged")
     return 0 if flagged == 0 else 1
 
