@@ -43,13 +43,60 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract", oracle=None, tags=("multimodal", "features"))
+@register(
+    "mm_feature_extract",
+    # The fake decode is deterministic md5-byte algebra, so the oracle
+    # recomputes it in pure SQL: blob = unhex(md5(text)||md5('x'||text))
+    # (32 bytes), feature[i] = sum(bytes[4i..4i+3]) % 256 (FEATURE_DIM=8,
+    # chunk=4), feat_mean = sum(features)/8 — /8 yields at most 3
+    # fractional digits so round(,4) can't tie and Python banker's vs
+    # SQL HALF_UP agree.  Hex pairs become byte values via a nibble
+    # lookup (strpos on the hex alphabet).  The integral float features
+    # are emitted as one '-'-joined int string on BOTH engines because
+    # the driver hashes pandas reprs, where float32 arrays (Spark) and
+    # float64 lists (DuckDB) could never match.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5('x' || text) AS hx FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), i ->
+               list_sum(list_transform(range(i*4, i*4 + 4), j ->
+                 16 * (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 1, 1)) - 1)
+                    + (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 2, 1)) - 1))) % 256
+             ) AS feats
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(32 AS INT) AS n_bytes,
+           array_to_string(feats, '-') AS features_csv,
+           round(list_sum(feats) / 8.0, 4) AS feat_mean
+    FROM f
+    """,
+    tags=("multimodal", "features"),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (mapInPandas) fake-decode feature extraction — the
-    real-decoder batch shape; rows-only check (not SQL-expressible: the
-    decode stage is imperative per-batch Python)."""
+    real-decoder batch shape.  The operator's array<float> features are
+    canonicalized to a '-'-joined int string at the output boundary so
+    the driver's cross-engine pandas-repr hash binds on values (the
+    floats are integral by construction: byte sums mod 256)."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.extract_features(mm.attach_blobs(t["documents"]))
+    feats = mm.extract_features(mm.attach_blobs(t["documents"]))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features", lambda x: x.cast("int").cast("string")
+            ),
+            "-",
+        ).alias("features_csv"),
+        "feat_mean",
+    )
 
 
 @register(
