@@ -75,11 +75,23 @@ def bench_queries(spark: SparkSession):
     l, p = tables["lineitem"], tables["part"]
     registry = load_all()
 
+    # The reference's 0.5 ms filter_range is its INDEXED sled path — a
+    # prebuilt B-tree keyed on the filter column.  The Spark analog of
+    # that physical layout is a cache CLUSTERED on the key: sorting by
+    # l_orderkey gives every in-memory columnar batch a tight min/max,
+    # so InMemoryTableScan's batch-stat pruning skips all but the hit
+    # batches (measured: 130 ms -> 64 ms filter, 122 ms -> 56 ms point
+    # at sf0.1, against a 61 ms empty-job floor — i.e. the scan itself
+    # is now sub-5 ms and the rest is irreducible local-mode job-launch
+    # latency; see SCALE.md "latency-class queries").
+    l_by_key = l.sort("l_orderkey").coalesce(8).cache()
+    l_by_key.count()
+
     # baseline-mirror shapes (BASELINE.md: filter / point / groupby / join);
     # plans are prepared once and re-collected, mirroring Criterion's warm
     # re-execution of the same prepared query
-    filter_df = l.filter(F.col("l_orderkey") < 100)
-    point_df = l.filter(F.col("l_orderkey") == 60_000)
+    filter_df = l_by_key.filter(F.col("l_orderkey") < 100)
+    point_df = l_by_key.filter(F.col("l_orderkey") == 60_000)
     groupby_df = l.groupBy("l_partkey").agg(F.sum("l_quantity").alias("s"))
     join_df = (
         l.join(p, l.l_partkey == p.p_partkey)
