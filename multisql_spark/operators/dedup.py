@@ -631,7 +631,9 @@ def pagerank_fixed(
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    n = deg.count()
+    # max(·,1): an empty graph degrades to an empty result instead of a
+    # driver-side division by zero
+    n = deg.count() or 1
     base_q = F.lit(round((1.0 - damping) * 1e9 / n)).cast("long")
     rank = deg.select(
         F.col("u").alias("node"),

@@ -270,7 +270,14 @@ def kmeans_fit(
 def _assign_col(vcol, centroids: list[tuple[int, list[float]]]):
     """Nearest-centroid id: argmin of dot(c,c) - 2*dot(v,c) (the ||v||²
     term is constant per row), ties broken by smallest cid. Centroids are
-    literals → pure codegen, no shuffle."""
+    literals → pure codegen, no shuffle.
+
+    An empty fit (zero input vectors → zero centroids) yields a typed
+    NULL id instead of the null-typed ``array()`` literals Spark cannot
+    analyze — the surrounding query then degrades to its natural empty
+    result."""
+    if not centroids:
+        return F.lit(None).cast("int")
     scores = []
     for _, c in centroids:
         cc = 0.0
@@ -380,9 +387,16 @@ def kmeans_cluster_stats(
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("list_id", _assign_col(F.col("v"), centroids))
-    cent_map = F.map_from_arrays(
-        F.array(*[F.lit(cid) for cid, _ in centroids]),
-        F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in centroids]),
+    cent_map = (
+        F.map_from_arrays(
+            F.array(*[F.lit(cid) for cid, _ in centroids]),
+            F.array(
+                *[F.array(*[F.lit(x) for x in c]) for _, c in centroids]
+            ),
+        )
+        if centroids
+        # empty fit: a typed empty map keeps the plan analyzable
+        else F.lit(None).cast("map<int,array<double>>")
     )
     withcos = base.withColumn(
         "q",
@@ -627,6 +641,13 @@ def _pq_lut(q: DataFrame, books, sub_len: int) -> DataFrame:
                     .alias("partial_q"),
                 )
             )
+    if not lut_structs:  # empty codebooks (empty fit): empty typed LUT
+        return q.select(
+            "q_id",
+            F.lit(None).cast("int").alias("m"),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("long").alias("partial_q"),
+        ).where(F.lit(False))
     return q.select(
         "q_id", F.explode(F.array(*lut_structs)).alias("e")
     ).select(

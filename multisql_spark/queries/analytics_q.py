@@ -2368,17 +2368,20 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("h").alias("n_unique"),
+        # try_divide: the ratios are NULL (not an ANSI error) on an
+        # empty corpus; identical to plain `/` whenever n_docs > 0
         F.round(
-            1.0 - F.count_distinct("h") / F.count(F.lit(1)), 6
+            1.0 - F.try_divide(F.count_distinct("h"), F.count(F.lit(1))),
+            6,
         ).alias("dup_rate"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("source").alias("n_sources"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
-        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias(
-            "mean_chars"
-        ),
+        F.round(
+            F.try_divide(F.sum("n_chars"), F.count(F.lit(1))), 4
+        ).alias("mean_chars"),
     )
 
 
@@ -2941,7 +2944,7 @@ def orders_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ",".join(str((i + 1) / 16.0) for i in range(15))
             + "))"
         ).alias("cut")
-    ).collect()[0]["cut"]
+    ).collect()[0]["cut"] or []  # empty input: no cutpoints, one bucket
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col("cents") <= F.lit(int(c))).cast("int")
@@ -3851,7 +3854,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tq"),
     ).localCheckpoint(eager=True)
     states = cnt.select(F.col("from_type").alias("state")).distinct()
-    ns = states.count()
+    # max(·,1): zero states (empty input) degrades to an empty result
+    # instead of a driver-side division by zero
+    ns = states.count() or 1
     p = states.select(
         "state", F.lit(_MK_SCALE // ns).cast("long").alias("mass")
     )
@@ -4767,7 +4772,7 @@ def pipeline_selection_frontier(
             + ",".join(str((i + 1) / 16.0) for i in range(15))
             + "))"
         ).alias("cut")
-    ).collect()[0]["cut"]
+    ).collect()[0]["cut"] or []  # empty input: no cutpoints, one bucket
     bucket = F.lit(0)
     for c in cuts:
         # bucket 0 holds the HIGHEST scores (frontier keeps best first)

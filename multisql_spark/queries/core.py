@@ -938,6 +938,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_totalprice", F.lit(probs), F.lit(10000)
                 ).alias("c")
             ).collect()[0]["c"]
+            or []  # empty input: no cutpoints, one bucket
         )
     )
     bucket = F.lit(0)

@@ -1638,9 +1638,12 @@ def monitor_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(binned, ["event_type", "bin"], "left")
         .select(
             "event_type", "bin",
-            (
-                F.sum(F.coalesce(F.col("n"), F.lit(0))).over(cum_w) * 1.0
-                / F.sum(F.coalesce(F.col("n"), F.lit(0))).over(tot_w)
+            # try_divide: a type with zero events (possible on sparse or
+            # empty input) yields a NULL CDF instead of an ANSI error;
+            # identical to plain `/` whenever the type has events
+            F.try_divide(
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).over(cum_w) * 1.0,
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).over(tot_w),
             ).alias("f"),
         )
     )

@@ -938,7 +938,12 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(cid).alias("cid"),
             )
         )
-    ranked = F.slice(F.sort_array(F.array(*structs)), 1, 4)
+    ranked = (
+        F.slice(F.sort_array(F.array(*structs)), 1, 4)
+        if structs
+        # empty fit: posexplode of a typed NULL array yields no rows
+        else F.lit(None).cast("array<struct<s:double,cid:int>>")
+    )
     probes = (
         base.filter(F.col("vec_id") < 5)
         .select(
@@ -1129,9 +1134,14 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    first = (
-        qx.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(1).collect()
-    )[0]
+    head = qx.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(1).collect()
+    if not head:  # empty corpus: no exemplars to select
+        return spark.createDataFrame(
+            [],
+            "center_rank LONG, center_vec_id LONG, n_assigned LONG,"
+            " max_dist_q LONG",
+        )
+    first = head[0]
     centers = [(0, int(first["vec_id"]), list(first["qv"]))]
     cur = qx.withColumn("d", sqdist_to(centers[0][2]))
     for r in range(1, 4):
@@ -1568,6 +1578,12 @@ def sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign_with_score(df):
+        if not centroids:  # empty fit: typed NULLs keep the plan analyzable
+            return df.select(
+                "vec_id",
+                F.lit(None).cast("int").alias("list_id"),
+                F.lit(None).cast("long").alias("sq"),
+            )
         scores = []
         for _, c in centroids:
             cc = 0.0

@@ -127,6 +127,8 @@ def stateful_sessionize(
     # session times out before the stream drains
     tbl = pq.read_table(src, columns=["ts"])
     max_ns = pa.compute.max(tbl.column("ts")).cast(pa.int64()).as_py()
+    if max_ns is None:  # empty source: only the sentinel flows, and its
+        max_ns = 0  # user -1 session is never emitted -> empty result
     sentinel_ns = max_ns + gap_ns + wm_ns + 24 * 3600 * 10**9
     arrow_schema = pq.read_schema(src)
     sentinel = pa.Table.from_pylist(
