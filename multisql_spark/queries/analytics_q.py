@@ -2534,11 +2534,15 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = hourly.join(F.broadcast(stats), "event_type")
     mean = F.col("sn") / F.col("nh")
-    var = (
+    # try_divide twice: a type with one hour has no sample variance, and
+    # constant hourly counts give sd = 0 — both yield NULL z (filtered
+    # out), matching the oracle's NULL on /0
+    var = F.try_divide(
         F.col("snn").cast("double")
-        - F.col("sn").cast("double") * F.col("sn") / F.col("nh")
-    ) / (F.col("nh") - 1)
-    z = (F.col("n") - mean) / F.sqrt(var)
+        - F.col("sn").cast("double") * F.col("sn") / F.col("nh"),
+        F.col("nh") - 1,
+    )
+    z = F.try_divide(F.col("n") - mean, F.sqrt(var))
     return j.filter(z > 3).select(
         "event_type",
         F.col("h").alias("hour_start"),
@@ -2851,13 +2855,15 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigma = (
         F.sqrt(
-            (
+            # try_divide: a one-row stratum has no sample variance ->
+            # NULL sigma, matching the oracle's NULL on /0
+            F.try_divide(
                 F.col("syy").cast("double")
                 - F.col("sy").cast("double")
                 * F.col("sy").cast("double")
-                / F.col("nh")
+                / F.col("nh"),
+                F.col("nh") - 1,
             )
-            / (F.col("nh") - 1)
         )
         / 1000000.0
     )
@@ -2874,11 +2880,19 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("nh").cast("long").alias("stratum_size"),
         F.round("sigma", 4).alias("sigma"),
+        # try_divide: zero total weight (all-constant strata) -> NULL
+        # shares, matching the oracle's NULL on /0
         F.round(
-            F.col("wq").cast("double") / F.col("w").cast("double"), 6
+            F.try_divide(
+                F.col("wq").cast("double"), F.col("w").cast("double")
+            ),
+            6,
         ).alias("neyman_share"),
         F.floor(
-            1000 * F.col("wq").cast("double") / F.col("w").cast("double")
+            F.try_divide(
+                1000 * F.col("wq").cast("double"),
+                F.col("w").cast("double"),
+            )
             + 0.5
         )
         .cast("long")
@@ -3501,13 +3515,15 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = n.crossJoin(F.broadcast(s))
     mean = F.col("sn").cast("double") / F.col("cnt")
     sd = F.sqrt(
-        (
+        # try_divide: a single-vector label has no sample variance ->
+        # NULL sd (the outlier test then never fires), like the oracle
+        F.try_divide(
             F.col("snn").cast("double")
             - F.col("sn").cast("double")
             * F.col("sn").cast("double")
-            / F.col("cnt")
+            / F.col("cnt"),
+            F.col("cnt") - 1,
         )
-        / (F.col("cnt") - 1)
     )
     return j.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -4662,8 +4678,13 @@ def events_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(16):
         row = wide.select(
             F.lit(i).alias("rep"),
+            # try_divide: a resample that drew no rows (tiny inputs)
+            # yields a NULL replicate mean, like the oracle's NULL on /0
             F.floor(
-                F.col(f"s_{i}") * 1000000.0 / F.col(f"n_{i}") + 0.5
+                F.try_divide(
+                    F.col(f"s_{i}") * 1000000.0, F.col(f"n_{i}")
+                )
+                + 0.5
             )
             .cast("long")
             .alias("mq"),
@@ -4877,7 +4898,9 @@ def events_reliability_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(span / F.greatest(F.col("n_err"), F.lit(1)))
         .cast("long")
         .alias("mtbf_sec"),
-        F.round(F.col("n_err") * 86400.0 / span, 4).alias(
+        # try_divide: zero observed span (a single event) -> NULL rate,
+        # matching the oracle's NULL on /0
+        F.round(F.try_divide(F.col("n_err") * 86400.0, span), 4).alias(
             "errors_per_day"
         ),
         F.round(1.0 - F.col("n_err") / F.col("n_total"), 6).alias(
@@ -5761,9 +5784,14 @@ def monitor_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         F.col("ranksum2").cast("long").alias("ranksum2"),
+        # try_divide: AUC is undefined with a single class present ->
+        # NULL, matching the oracle's NULL on /0
         F.round(
-            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1.0))
-            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            F.try_divide(
+                F.col("ranksum2")
+                - F.col("n_pos") * (F.col("n_pos") + 1.0),
+                2.0 * F.col("n_pos") * F.col("n_neg"),
+            ),
             6,
         ).alias("auc"),
     )
@@ -6207,8 +6235,10 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("lr_q").cast("long").alias("sum_logratio_q"),
+        # try_divide: a single-term tail has zero log-ratio mass -> NULL
+        # alpha, matching the oracle's NULL on /0
         F.round(
-            F.count(F.lit(1)) * 1e9 / F.sum("lr_q"), 4
+            F.try_divide(F.count(F.lit(1)) * 1e9, F.sum("lr_q")), 4
         ).alias("hill_alpha"),
     )
 
@@ -6284,13 +6314,17 @@ def monitor_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("mid")
     )
+    # try_divide: a constant value column (hi == lo) bins everything to
+    # bucket 0 instead of an ANSI /0 error (greatest skips the NULL)
     b = F.least(
         F.lit(9),
         F.greatest(
             F.lit(0),
             F.floor(
-                (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / 10.0)
+                F.try_divide(
+                    F.col("value") - F.col("lo"),
+                    (F.col("hi") - F.col("lo")) / 10.0,
+                )
             ).cast("int"),
         ),
     )

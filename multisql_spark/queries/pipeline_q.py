@@ -1379,12 +1379,19 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     e = t["events"]
     bounds = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    bin_col = F.least(
-        F.floor(
-            (F.col("value") - F.col("mn"))
-            / ((F.col("mx") - F.col("mn")) / 32.0)
-        ).cast("int"),
-        F.lit(31),
+    # try_divide + coalesce: a constant value column (mx == mn) bins
+    # everything to bucket 0 instead of an ANSI /0 error
+    bin_col = F.coalesce(
+        F.least(
+            F.floor(
+                F.try_divide(
+                    F.col("value") - F.col("mn"),
+                    (F.col("mx") - F.col("mn")) / 32.0,
+                )
+            ).cast("int"),
+            F.lit(31),
+        ),
+        F.lit(0),
     ).cast("int")
     return (
         e.join(F.broadcast(bounds))

@@ -1,6 +1,6 @@
-"""Empty-input totality: every registry query must degrade to its
-natural empty (or single-summary-row) result on a zero-row dataset —
-never crash.
+"""Degenerate-input totality: every registry query must degrade to its
+natural empty (or single-summary-row) result on a zero-row dataset and
+stay total on a one-row dataset — never crash.
 
 At 100 TB an empty input is an ordinary event (a filter matching
 nothing, an empty day-partition, a cold-start incremental index), so a
@@ -44,6 +44,22 @@ FIXED_IN_R5 = [
     "dedup_semantic",
     "stream_stateful_sessionize",  # pyarrow max(ts)=None + gap sentinel
 ]
+# the 9 queries a one-row probe found crashing: degenerate statistics —
+# n-1 sample variance, zero spans, single-class AUC, constant-value
+# histogram ranges, empty bootstrap resamples.  All now use try_divide,
+# which is also exactly DuckDB's NULL-on-/0, so the oracle parity holds
+# even in the degenerate region.
+FIXED_IN_R5_ONE_ROW = [
+    "events_bootstrap_se",
+    "events_reliability_mtbf",
+    "events_hill_tail_index",
+    "sim_norm_outliers",
+    "events_value_histogram",
+    "events_burst_hours",
+    "sample_neyman_allocation",
+    "monitor_score_auc",
+    "monitor_value_drift_psi",
+]
 # one cheap representative per family that already passed the probe —
 # guards the fixture itself and the common load-path against regression
 REPRESENTATIVES = [
@@ -67,10 +83,29 @@ def empty_sf_dir(tmp_path_factory):
     return str(dst)
 
 
-@pytest.mark.parametrize("name", FIXED_IN_R5 + REPRESENTATIVES)
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("sf_one")
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(src, f)).slice(0, 1)
+            pq.write_table(tbl, str(dst / f))
+    return str(dst)
+
+
+@pytest.mark.parametrize(
+    "name", FIXED_IN_R5 + FIXED_IN_R5_ONE_ROW + REPRESENTATIVES
+)
 def test_query_total_on_empty_input(spark, empty_sf_dir, name):
     spec = load_all()[name]
     rows = spec.fn(spark, empty_sf_dir).collect()
     # global aggregates legitimately return one summary row of
     # NULL/zero stats; everything else must be empty
     assert len(rows) <= 1
+
+
+@pytest.mark.parametrize("name", FIXED_IN_R5_ONE_ROW)
+def test_query_total_on_one_row_input(spark, one_row_sf_dir, name):
+    spec = load_all()[name]
+    spec.fn(spark, one_row_sf_dir).collect()  # must not raise
