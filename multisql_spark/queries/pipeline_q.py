@@ -1746,7 +1746,12 @@ def monitor_stale_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(sum_lw_q AS BIGINT) AS sum_logweight_q,
            CAST(n_tok AS BIGINT) AS n_tokens,
-           round(sum_lw_q / (n_tok * 1e6), 6) + 0.0 AS avg_logweight,
+           -- integer HALF_UP of sum/n, then /1e6: float round() splits
+           -- from Spark's BigDecimal HALF_UP on exact .5 ties (hit at
+           -- derived sf1: -39640/80 = -495.5)
+           (CASE WHEN sum_lw_q < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(sum_lw_q) + n_tok) // (2 * n_tok)))
+           / 1e6 + 0.0 AS avg_logweight,
            sum_lw_q > 0 AS keep
     FROM docw
     """,
@@ -1820,13 +1825,17 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+    # integer HALF_UP of sum/n (sign * (2|sum|+n) div 2n), then /1e6 —
+    # the float round() path splits across engines on exact .5 ties
+    # (derived sf1 hit -39640/80 = -495.5), integer math cannot
+    avg_q = F.when(F.col("sum_lw_q") < 0, F.lit(-1)).otherwise(
+        F.lit(1)
+    ) * F.expr("(2 * abs(sum_lw_q) + n_tok) div (2 * n_tok)")
     return docw.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("sum_lw_q").cast("long").alias("sum_logweight_q"),
         F.col("n_tok").cast("long").alias("n_tokens"),
-        (
-            F.round(F.col("sum_lw_q") / (F.col("n_tok") * 1e6), 6) + 0.0
-        ).alias("avg_logweight"),
+        (avg_q.cast("double") / 1e6 + 0.0).alias("avg_logweight"),
         (F.col("sum_lw_q") > 0).alias("keep"),
     )
 

@@ -663,7 +663,10 @@ def stream_upsert_to_table(
             .start()
         )
         try:
-            q.awaitTermination(120)
+            # drain fully: a fixed awaitTermination cap silently truncated
+            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+            # processAllAvailable blocks until the bounded source is done
+            q.processAllAvailable()
         finally:
             q.stop()
     out = spark.read.parquet(out_dir)
@@ -797,7 +800,10 @@ def stream_cms_heavy_hitters(
             .start()
         )
         try:
-            q.awaitTermination(120)
+            # drain fully: a fixed awaitTermination cap silently truncated
+            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+            # processAllAvailable blocks until the bounded source is done
+            q.processAllAvailable()
         finally:
             q.stop()
 
@@ -890,7 +896,10 @@ def stream_minhash_ingest(
             .start()
         )
         try:
-            q.awaitTermination(120)
+            # drain fully: a fixed awaitTermination cap silently truncated
+            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+            # processAllAvailable blocks until the bounded source is done
+            q.processAllAvailable()
         finally:
             q.stop()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

@@ -108,8 +108,47 @@ def main() -> int:
             os.path.join(dst, f"{name}.parquet")
         )
         print(f"{name}: x{reps} with key base {base} (keys: {present})")
+    _consolidate(dst)
     print(f"done: {dst}")
     return 0
+
+
+def _consolidate(dst: str) -> None:
+    """Rewrite each Spark-written parquet DIRECTORY as a single parquet
+    FILE, matching the driver testdata layout — the streaming harness
+    (and anything using pyarrow directly) treats ``<table>.parquet`` as
+    a file, and round 5's sf1 sweep showed every streaming query
+    red-ing on the directory layout."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    for name in sorted(os.listdir(dst)):
+        path = os.path.join(dst, name)
+        if not (name.endswith(".parquet") and os.path.isdir(path)):
+            continue
+        tbl = pq.read_table(path)
+        # Spark 4.1 preserves TIMESTAMP(NANOS) on rewrite, but its
+        # vectorized reader cannot serve a nanos column under the micros
+        # schema a fresh session infers mid-stream — normalize to the
+        # micros the driver testdata uses (exact: values started micros)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            and f.type.tz is None
+            else f
+            for f in tbl.schema
+        ]
+        tbl = tbl.cast(pa.schema(fields))
+        fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=dst)
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        print(f"{name}: consolidated to a single file ({tbl.num_rows} rows)")
 
 
 if __name__ == "__main__":
