@@ -143,6 +143,177 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_capped_members(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    cap: int = 32,
+) -> DataFrame:
+    """Exploded (doc, band) membership with a deterministic per-bucket
+    cap: within each (band_id, band_key) bucket only the ``cap`` smallest
+    doc ids stay eligible for pair enumeration.
+
+    This is the 100 TB guard for banded LSH.  Uncapped, a pathological
+    bucket (boilerplate pages, templated spam, a replicated fixture) of
+    m members emits Θ(m²) candidate pairs — the ONE place the otherwise
+    collision-proportional plan can go quadratic.  The cap bounds every
+    bucket's contribution at C(cap, 2) pairs while keeping the result
+    deterministic and SQL-expressible (rank = ROW_NUMBER() ordered by
+    doc_id), so the DuckDB oracle reproduces it bit-for-bit.  Dropped
+    members are NOT silently lost: pair them with
+    :func:`lsh_bucket_audit`, which quantifies overflow buckets and the
+    exact number of pairs the cap avoided.
+
+    Members of an overflow bucket beyond the cap still surface through
+    their OTHER bands (b independent chances), and at real-corpus dup
+    densities recall loss is confined to mega-clusters whose membership
+    is already established by any cap-sized subset — the standard
+    production trade (e.g. the cluster-size caps in web-dedup pipelines).
+
+    Returns (doc_id, band_id, band_key) — rank already applied.
+    """
+    rows_per_band = k // bands
+    band_keys = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{b * rows_per_band + j + 1}")
+            for j in range(rows_per_band)
+        ]
+        band_keys.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    exploded = sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select(
+        F.col(id_col),
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    from pyspark.sql import Window
+
+    # per-BUCKET window, never global: partition key is the same
+    # (band_id, band_key) the pair join shuffles on anyway, so the rank
+    # adds no extra exchange — AQE sees one hash-partitioning reused.
+    w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+    return (
+        exploded.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .drop("rnk")
+    )
+
+
+def lsh_candidate_pairs_capped(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    cap: int = 32,
+) -> DataFrame:
+    """Banded LSH candidate pairs with a per-bucket membership cap (see
+    :func:`lsh_capped_members`).  Identical output contract to
+    :func:`lsh_candidate_pairs` — (doc_a, doc_b, est_sim), doc_a < doc_b
+    — but every bucket contributes at most C(cap, 2) pairs, so worst-case
+    work is ``n_buckets × cap²`` instead of ``Σ m_i²``: linear in data
+    for any fixed cap.  On buckets that never exceed the cap the result
+    is bit-identical to the uncapped operator (test-pinned)."""
+    capped = lsh_capped_members(sig_df, id_col, k=k, bands=bands, cap=cap)
+    left = capped.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    right = capped.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig_df.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, k + 1)],
+    )
+    sig_b = sig_df.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, k + 1)],
+    )
+    matches = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
+    agree = sum(
+        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
+        for i in range(1, k + 1)
+    )
+    return matches.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round(agree / F.lit(float(k)), 4).alias("est_sim"),
+    )
+
+
+def lsh_bucket_audit(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    cap: int = 32,
+) -> DataFrame:
+    """The no-silent-caps companion to :func:`lsh_candidate_pairs_capped`:
+    one bounded aggregation over bucket sizes reporting, per band,
+    exactly what the cap costs — buckets total / overflowing, the
+    largest bucket, members kept vs dropped, and candidate pairs with vs
+    without the cap (Σ C(m,2) vs Σ C(min(m,cap),2)).
+
+    Scale shape: groupBy (band_id, band_key) → per-band re-aggregation;
+    output is ``bands`` rows.  The pair counts are exact integer
+    arithmetic on bucket sizes — no pair is ever materialized, so the
+    audit itself stays linear even where the uncapped enumeration would
+    not."""
+    rows_per_band = k // bands
+    band_keys = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{b * rows_per_band + j + 1}")
+            for j in range(rows_per_band)
+        ]
+        band_keys.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    exploded = sig_df.select(
+        F.col(id_col),
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select(
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    buckets = exploded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    m = F.col("m").cast("long")
+    kept = F.least(m, F.lit(cap).cast("long"))
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(m > cap, 1).otherwise(0)).alias("n_overflow"),
+            F.max(m).alias("max_bucket"),
+            F.sum(m).alias("members"),
+            F.sum(m - kept).alias("members_dropped"),
+            # exact integer C(m,2): m*(m-1) is even, DIV stays BIGINT
+            F.sum(F.expr(
+                f"CAST(m AS BIGINT) * (m - 1) DIV 2"
+            )).alias("pairs_uncapped"),
+            F.sum(F.expr(
+                f"LEAST(CAST(m AS BIGINT), {cap}) "
+                f"* (LEAST(CAST(m AS BIGINT), {cap}) - 1) DIV 2"
+            )).alias("pairs_capped"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def simhash_bit_sql(ncols: int = 32) -> str:
     """Shared SQL fragment (valid in both Spark SQL and DuckDB) computing
     an ``ncols``-bit simhash over rows (doc_id, h) where h = md5(token):

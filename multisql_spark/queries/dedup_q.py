@@ -1195,3 +1195,143 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+CAP = 32
+
+
+def _capped_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
+    )
+    band_cases = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
+        )
+        band_cases.append(f"WHEN {b} THEN md5({parts})")
+    band_case = "CASE band_id " + " ".join(band_cases) + " END"
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(1, K + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    bandk AS (
+      SELECT doc_id, band_id, {band_case} AS band_key
+      FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
+    ),
+    capped AS (
+      SELECT doc_id, band_id, band_key
+      FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                 PARTITION BY band_id, band_key ORDER BY doc_id
+               ) AS rnk
+        FROM bandk
+      ) WHERE rnk <= {CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+           CAST(p.doc_b AS BIGINT) AS doc_b,
+           round(({agree}) / {K}.0, 4) AS est_sim
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """
+
+
+@register(
+    "dedup_lsh_bucket_capped",
+    oracle=_capped_oracle(),
+    tags=("dedup", "lsh", "scale"),
+)
+def dedup_lsh_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs under a deterministic per-bucket cap
+    (32 smallest ids per (band, key) bucket) — the 100 TB guard for the
+    ONE place banded LSH can go quadratic: a pathological bucket
+    (boilerplate, templated spam, replicated fixtures) of m members
+    otherwise emits Θ(m²) pairs.  Capped, every bucket contributes at
+    most C(32,2) pairs, so worst-case work is linear in corpus size.
+    On buckets under the cap the output is bit-identical to
+    `dedup_minhash_lsh` (test-pinned); what the cap drops is quantified
+    exactly by `dedup_lsh_bucket_audit` — no silent truncation."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    return dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    )
+
+
+def _audit_oracle() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
+    )
+    band_cases = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(
+            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
+        )
+        band_cases.append(f"WHEN {b} THEN md5({parts})")
+    band_case = "CASE band_id " + " ".join(band_cases) + " END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {sig_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    bandk AS (
+      SELECT doc_id, band_id, {band_case} AS band_key
+      FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
+    ),
+    buckets AS (
+      SELECT band_id, band_key, CAST(count(*) AS BIGINT) AS m
+      FROM bandk GROUP BY band_id, band_key
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN m > {CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow,
+           CAST(max(m) AS BIGINT) AS max_bucket,
+           CAST(sum(m) AS BIGINT) AS members,
+           CAST(sum(m - LEAST(m, {CAP})) AS BIGINT) AS members_dropped,
+           CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pairs_uncapped,
+           CAST(sum(LEAST(m, {CAP}) * (LEAST(m, {CAP}) - 1) // 2)
+                AS BIGINT) AS pairs_capped
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """
+
+
+@register(
+    "dedup_lsh_bucket_audit",
+    oracle=_audit_oracle(),
+    tags=("dedup", "lsh", "monitor", "scale"),
+)
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size audit: what would the 32-member cap of
+    `dedup_lsh_bucket_capped` cost on THIS corpus?  Reports buckets
+    total/overflowing, the largest bucket, members kept vs dropped, and
+    enumerated candidate pairs with vs without the cap — all from exact
+    integer arithmetic on bucket sizes, so the audit itself never
+    materializes a pair and stays linear even where uncapped
+    enumeration would not.  Output is `bands` rows."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    return dedup.lsh_bucket_audit(sigs, k=K, bands=BANDS, cap=CAP)

@@ -1,0 +1,103 @@
+"""Bucket-capped LSH: the 100 TB guard for pathological duplicate
+buckets.  Pins the three claims the operator docstrings make:
+
+1. under the cap the output is bit-identical to the uncapped operator;
+2. over the cap every bucket contributes at most C(cap, 2) pairs, the
+   kept members are exactly the ``cap`` smallest ids, and the capped
+   pair set is a subset of the uncapped one with equal est_sim;
+3. the audit's integer arithmetic (members / dropped / pairs with and
+   without the cap) matches direct enumeration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multisql_spark.operators import dedup
+
+K = 12
+BANDS = 4
+
+
+def _sig_frame(spark, groups):
+    """Build a signature frame where every doc in a group shares one
+    signature vector (→ one LSH bucket per band per group)."""
+    rows = []
+    for gi, n in enumerate(groups):
+        for d in range(n):
+            doc_id = gi * 1000 + d
+            rows.append(
+                (doc_id, *[f"g{gi}_s{i}" for i in range(1, K + 1)])
+            )
+    cols = ["doc_id"] + [f"sig_{i}" for i in range(1, K + 1)]
+    return spark.createDataFrame(rows, cols)
+
+
+def _pairs(df):
+    return {
+        (r["doc_a"], r["doc_b"]): r["est_sim"] for r in df.collect()
+    }
+
+
+def test_capped_equals_uncapped_under_cap(spark):
+    sigs = _sig_frame(spark, [3, 5, 2, 1])
+    base = _pairs(dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS))
+    capped = _pairs(
+        dedup.lsh_candidate_pairs_capped(sigs, k=K, bands=BANDS, cap=32)
+    )
+    assert capped == base
+    # C(3,2)+C(5,2)+C(2,2)=3+10+1; identical sigs → est_sim 1.0
+    assert len(base) == 14
+    assert all(v == 1.0 for v in base.values())
+
+
+def test_cap_bounds_pairs_and_keeps_smallest_ids(spark):
+    sigs = _sig_frame(spark, [10])
+    cap = 4
+    capped = _pairs(
+        dedup.lsh_candidate_pairs_capped(sigs, k=K, bands=BANDS, cap=cap)
+    )
+    base = _pairs(dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS))
+    # subset with equal similarity, exactly C(cap,2) pairs over the
+    # cap smallest ids (0..3), across-band distinct
+    assert set(capped) <= set(base)
+    assert len(capped) == cap * (cap - 1) // 2
+    touched = {d for ab in capped for d in ab}
+    assert touched == {0, 1, 2, 3}
+    assert all(capped[k_] == base[k_] for k_ in capped)
+
+
+def test_audit_arithmetic_matches_enumeration(spark):
+    groups = [10, 3, 1]
+    cap = 4
+    sigs = _sig_frame(spark, groups)
+    audit = dedup.lsh_bucket_audit(sigs, k=K, bands=BANDS, cap=cap)
+    rows = audit.collect()
+    assert [r["band_id"] for r in rows] == list(range(BANDS))
+    for r in rows:
+        assert r["n_buckets"] == len(groups)
+        assert r["n_overflow"] == sum(1 for m in groups if m > cap)
+        assert r["max_bucket"] == max(groups)
+        assert r["members"] == sum(groups)
+        assert r["members_dropped"] == sum(
+            m - min(m, cap) for m in groups
+        )
+        assert r["pairs_uncapped"] == sum(
+            m * (m - 1) // 2 for m in groups
+        )
+        assert r["pairs_capped"] == sum(
+            min(m, cap) * (min(m, cap) - 1) // 2 for m in groups
+        )
+
+
+def test_registry_capped_subset_of_uncapped_on_fixture(spark, sf_dir):
+    """On the real sf0.001 corpus the capped registry query emits a
+    subset of the uncapped query's pairs with identical est_sim."""
+    from multisql_spark.queries import load_all
+
+    reg = load_all()
+    base = _pairs(reg["dedup_minhash_lsh"].fn(spark, sf_dir))
+    capped = _pairs(reg["dedup_lsh_bucket_capped"].fn(spark, sf_dir))
+    assert set(capped) <= set(base)
+    assert capped  # non-degenerate on the fixture
+    assert all(capped[k_] == base[k_] for k_ in capped)
