@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,2)"
 
 
+def _drain(q) -> None:
+    """Drain a bounded streaming query and surface its real failure.
+
+    ``processAllAvailable`` can return after the query has already
+    FAILED (a terminated stream has trivially "processed all
+    available"), leaving an empty sink; the round-5 sf1 sweep saw that
+    as a misleading UNABLE_TO_INFER_SCHEMA on the final parquet read of
+    ``stream_incremental_minhash``.  Re-raising ``q.exception()`` turns
+    the masked symptom back into the foreachBatch/executor error it
+    actually was."""
+    try:
+        q.processAllAvailable()
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+    finally:
+        q.stop()
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Window start returned
     as epoch seconds (timezone-proof)."""
@@ -239,10 +258,7 @@ def stateful_sessionize(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.table("stateful_sessions").filter(F.col("user_id") >= 0)
 
 
@@ -308,10 +324,7 @@ def stream_stream_join(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.table("ssj_out")
 
 
@@ -353,10 +366,7 @@ def run_stream_to_memory(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.table(query_name)
 
 
@@ -415,10 +425,7 @@ def stream_dedup_exactly_once(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.table("dedup_out")
 
 
@@ -478,10 +485,7 @@ def stream_static_incremental_dedup(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.table("ingest_dedup_out")
 
 
@@ -550,10 +554,7 @@ def stream_rollup_to_table(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _drain(q)
     return spark.read.parquet(out_dir)
 
 
@@ -662,13 +663,11 @@ def stream_upsert_to_table(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            # drain fully: a fixed awaitTermination cap silently truncated
-            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
-            # processAllAvailable blocks until the bounded source is done
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # drain fully: a fixed awaitTermination cap silently truncated
+        # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+        # _drain blocks until the bounded source is done, then surfaces
+        # any masked stream failure
+        _drain(q)
     out = spark.read.parquet(out_dir)
     out.createOrReplaceTempView("upsert_sink_out")
     return out
@@ -799,13 +798,11 @@ def stream_cms_heavy_hitters(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            # drain fully: a fixed awaitTermination cap silently truncated
-            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
-            # processAllAvailable blocks until the bounded source is done
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # drain fully: a fixed awaitTermination cap silently truncated
+        # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+        # _drain blocks until the bounded source is done, then surfaces
+        # any masked stream failure
+        _drain(q)
 
     sketch = spark.read.parquet(state_dir).filter(
         F.col("bid").isNull()
@@ -895,11 +892,19 @@ def stream_minhash_ingest(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            # drain fully: a fixed awaitTermination cap silently truncated
-            # the sink at 10x data (round-5 sf1 sweep) — availableNow +
-            # processAllAvailable blocks until the bounded source is done
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+        # drain fully: a fixed awaitTermination cap silently truncated
+        # the sink at 10x data (round-5 sf1 sweep) — availableNow +
+        # _drain blocks until the bounded source is done, then surfaces
+        # any masked stream failure
+        _drain(q)
+    # explicit schema (derived from the batch plan, no job): a zero-batch
+    # sink stays a total empty result instead of UNABLE_TO_INFER_SCHEMA
+    res_schema = dd.incremental_minhash_dedup(
+        docs.limit(0).withColumn("_new", F.lit(True)),
+        F.col("_new"), k=12, bands=4, threshold=0.5,
+    ).schema
+    return (
+        spark.read.schema(res_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )
