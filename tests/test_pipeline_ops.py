@@ -736,3 +736,46 @@ def test_driver_window_well_formed():
         if n in reg and n not in _officially_checked()
     ]
     assert list(reg)[: len(expected_front)] == expected_front
+
+
+def test_hll_deterministic_error_bound_and_stability(spark):
+    """The md5-keyed HLL must (a) estimate within the published ~1.04/√m
+    error envelope (generous 5× slack at tiny SF), (b) be bit-stable
+    under repartitioning — the fixed-point register sum is the whole
+    point of the DECIMAL(38,0) construction."""
+    df = REGISTRY["sketch_hll_deterministic"].fn(spark, SF)
+    rows = {r.col_name: r for r in df.collect()}
+    assert set(rows) == {"user_id", "event_id"}
+    for r in rows.values():
+        assert r.buckets_used <= 4096
+        # 1.04/sqrt(4096) ≈ 1.6%; allow 10% absolute at sf0.001
+        assert abs(r.rel_error_pct) < 10.0
+    again = {
+        r.col_name: r
+        for r in REGISTRY["sketch_hll_deterministic"]
+        .fn(spark, SF)
+        .repartition(13)
+        .collect()
+    }
+    for k in rows:
+        assert rows[k].hll_estimate == again[k].hll_estimate
+
+
+def test_zorder_layout_locality(spark):
+    """Each z-run-of-16 'file' must bound BOTH dimensions: with 4+4 bit
+    interleave, the top 4 z-bits pin tbin's two high bits and vbin's two
+    high bits, so every file's envelope spans at most 4 of 16 bins per
+    dimension — the multi-dim pruning guarantee a single-column sort
+    cannot give."""
+    rows = REGISTRY["pipeline_zorder_layout"].fn(spark, SF).collect()
+    assert 1 <= len(rows) <= 16
+    total = 0
+    for r in rows:
+        total += r.n_rows
+        assert 0 <= r.file_id <= 15
+        assert r.vbin_max - r.vbin_min <= 3
+        assert r.tbin_max - r.tbin_min <= 3
+        assert r.v_min <= r.v_max
+        assert r.t_min <= r.t_max
+    t = load_tables(spark, SF, ["events"])
+    assert total == t["events"].count()
