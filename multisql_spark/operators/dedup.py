@@ -829,3 +829,85 @@ def pagerank_fixed(
         rank.join(deg.withColumnRenamed("u", "node"), "node")
         .select("node", F.col("d").alias("degree"), F.col("rq").alias("pr_q"))
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window exact-substring dedup: find every MAXIMAL token
+    span that is duplicated across documents — the substring-level pass
+    from the training-data dedup literature (suffix-array ExactSubstr;
+    here windowed n-gram hashing, the shuffle-friendly equivalent).
+
+    Unlike ``chunk_dup_stats`` (disjoint chunks — a duplicated passage
+    that straddles a chunk boundary is missed), this slides a
+    ``width``-token window one token at a time, keeps windows whose hash
+    occurs in ≥2 distinct documents, and merges overlapping duplicated
+    windows into maximal spans per document with a gaps-and-islands
+    pass.  Window starts are monotone per doc and all windows share one
+    width, so span ends are monotone too and a plain LAG break test is
+    exact (no running-max needed).
+
+    Scale shape: the explode emits (md5, doc_id, start) — 32-byte
+    digests, never text — so the dup-hash groupBy shuffles digests
+    only; the survivors rejoin windows on the digest and the island
+    merge runs inside one per-doc window partition.  A stop-shingle
+    cap on pathological hash frequency (boilerplate in every doc)
+    bounds per-key fan-out exactly like ``ngram_jaccard``'s stop-shingle
+    prune.  Returns one row per document that contains at least one
+    duplicated span: (doc_id, n_spans, dup_tokens, total_tokens,
+    dup_fraction).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col), F.split(F.col("text"), " ").alias("_toks")
+    ).filter(F.size("_toks") >= width)
+    wins = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("total_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {width} + 1),"
+                f"  i -> struct(i AS start,"
+                f"      md5(concat_ws(' ', slice(_toks, i, {width}))) AS h))"
+            )
+        ).alias("w"),
+    ).select(id_col, "total_tokens", "w.start", "w.h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h").select(id_col, "total_tokens", "start")
+    w = W.partitionBy(id_col).orderBy("start")
+    islands = marked.withColumn(
+        "brk",
+        F.when(
+            F.col("start") > F.lag("start").over(w) + width, 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy(id_col, "total_tokens", "grp").agg(
+        (F.max("start") + width - F.min("start")).alias("span_len")
+    )
+    return (
+        spans.groupBy(id_col, "total_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            "dup_tokens",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.col("dup_tokens") / F.col("total_tokens"), 4
+            ).alias("dup_fraction"),
+        )
+    )

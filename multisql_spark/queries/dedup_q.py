@@ -1335,3 +1335,68 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
     return dedup.lsh_bucket_audit(sigs, k=K, bands=BANDS, cap=CAP)
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    wins0 AS (
+      SELECT doc_id, tk, len(tk) AS total_tokens,
+             unnest(range(1, len(tk) - 6)) AS start
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, total_tokens, start,
+             md5(array_to_string(list_slice(tk, start, start + 7), ' ')) AS h
+      FROM wins0
+    ),
+    dup_h AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT w.doc_id, w.total_tokens, w.start
+      FROM wins w JOIN dup_h USING (h)
+    ),
+    islands AS (
+      SELECT doc_id, total_tokens, start,
+             CASE WHEN start > lag(start) OVER
+                    (PARTITION BY doc_id ORDER BY start) + 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ),
+    grp AS (
+      SELECT doc_id, total_tokens, start,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, total_tokens, g,
+             MAX(start) + 8 - MIN(start) AS span_len
+      FROM grp GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           round(CAST(SUM(span_len) AS DOUBLE) / total_tokens, 4)
+             AS dup_fraction
+    FROM spans
+    GROUP BY doc_id, total_tokens
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span detection (sliding 8-token windows merged
+    by a gaps-and-islands pass) — the exact-substring dedup grain from
+    the published training-data dedup method, which `dedup_chunks`'s
+    disjoint chunking approximates but cannot bound: a duplicated
+    passage straddling a chunk boundary is invisible to chunks yet
+    surfaces here as one maximal span.  Reference parity: the reference
+    has no text operators at all; beyond-reference scale family."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.duplicated_spans(t["documents"], width=8)

@@ -779,3 +779,29 @@ def test_zorder_layout_locality(spark):
         assert r.t_min <= r.t_max
     t = load_tables(spark, SF, ["events"])
     assert total == t["events"].count()
+
+
+def test_duplicated_spans_merges_maximal_and_beats_chunks(spark):
+    """A 12-token passage shared by two docs must surface as ONE maximal
+    span of 12 tokens in each — and when the passage straddles an 8-token
+    chunk boundary, disjoint chunking (`chunk_dup_stats`) misses it
+    entirely while the sliding-window span pass still reports it."""
+    from multisql_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    # doc A: 5 unique lead tokens then the passage → passage occupies
+    # positions 6..17, straddling the 8/16 chunk boundaries
+    doc_a = " ".join(f"a{i}" for i in range(5)) + " " + shared + " tailA"
+    doc_b = " ".join(f"b{i}" for i in range(3)) + " " + shared
+    doc_c = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in dedup.duplicated_spans(docs, width=8).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_spans == 1
+        assert r.dup_tokens == 12
+    # disjoint chunks: no aligned 8-token chunk is shared between A and B
+    chunks = dedup.chunk_dup_stats(docs, width=8).collect()
+    assert chunks == []
