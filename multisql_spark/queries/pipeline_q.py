@@ -2200,73 +2200,30 @@ def sketch_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator.  Sketches ``user_id`` (low cardinality → exercises the
     linear-counting branch at test SFs) and ``event_id`` (key-dense →
     crosses into the raw-estimate branch as SF grows)."""
+    from multisql_spark.operators import sketch as sk
+
     t = load_tables(spark, sf_dir, ["events"])
     events = t["events"]
 
-    def sketch(col: str) -> DataFrame:
-        hx = F.md5(F.col(col).cast("string"))
-        stripped = F.regexp_replace(F.substring(hx, 4, 15), "^0*", "")
-        first = F.substring(stripped, 1, 1)
-        extra = (
-            F.when(first == "1", 3)
-            .when(first.isin("2", "3"), 2)
-            .when(first.isin("4", "5", "6", "7"), 1)
-            .otherwise(0)
-        )
-        rho = F.when(stripped == "", 61).otherwise(
-            (15 - F.length(stripped)) * 4 + extra + 1
-        )
-        reg = (
-            events.select(
-                F.conv(F.substring(hx, 1, 3), 16, 10).cast("int").alias("bucket"),
-                rho.alias("rho"),
-            )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("rho"))
-        )
-        s = reg.agg(
-            F.count(F.lit(1)).alias("present"),
-            F.sum(
-                F.expr(
-                    "CAST(shiftleft(CAST(1 AS BIGINT), 61 - rho)"
-                    " AS DECIMAL(38,0))"
-                )
-            ).alias("sum_present"),
-        )
-        two61 = 2305843009213693952.0 * 2.0  # 2^61 exactly, as a double
-        alpha_m2 = (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
-        denom = F.col("sum_present").cast("double") + (
-            (4096 - F.col("present")).cast("double") * F.lit(two61)
-        )
-        raw = F.lit(alpha_m2) * F.lit(two61) / denom
-        empty = (4096 - F.col("present")).cast("bigint")
-        est = F.round(
-            F.when(
-                (raw <= F.lit(2.5 * 4096.0)) & (empty > 0),
-                F.lit(4096.0) * F.log(F.lit(4096.0) / empty.cast("double")),
-            ).otherwise(raw),
-            4,
-        )
+    def one(col: str) -> DataFrame:
+        est = sk.hll_estimate(sk.hll_registers(events, col))
         exact = events.agg(
             F.count_distinct(F.col(col)).alias("exact_distinct")
         )
-        return (
-            s.crossJoin(F.broadcast(exact))
-            .select(
-                F.lit(col).alias("col_name"),
-                F.col("present").cast("bigint").alias("buckets_used"),
-                est.alias("hll_estimate"),
-                F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-                F.round(
-                    100.0
-                    * (est - F.col("exact_distinct"))
-                    / F.col("exact_distinct"),
-                    4,
-                ).alias("rel_error_pct"),
-            )
+        return est.crossJoin(F.broadcast(exact)).select(
+            "col_name",
+            "buckets_used",
+            "hll_estimate",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                100.0
+                * (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error_pct"),
         )
 
-    return sketch("user_id").unionAll(sketch("event_id"))
+    return one("user_id").unionAll(one("event_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -367,3 +367,23 @@ from multisql_spark.queries.dedup_q import (  # noqa: E402
 )
 
 REGISTRY["stream_incremental_minhash"].oracle = _IMH()
+
+
+@register(
+    "stream_hll_sink",
+    oracle=None,  # set below: shares the batch deterministic-HLL oracle
+    tags=("streaming", "sketch", "hll", "sink"),
+)
+def stream_hll_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deterministic-HLL register sink: microbatch partials
+    MAX-merge into a standing 4096-register table (idempotent — no
+    applied-batch ledger needed, unlike the additive CMS), and the
+    drained sketch hash-matches the batch `sketch_hll_deterministic`'s
+    DuckDB oracle — streaming ingestion provably converges to the batch
+    estimate, not just the same row shape."""
+    return streaming.stream_hll_sink(spark, sf_dir)
+
+
+from multisql_spark.queries import pipeline_q as _pq  # noqa: E402, F401
+
+REGISTRY["stream_hll_sink"].oracle = REGISTRY["sketch_hll_deterministic"].oracle

@@ -908,3 +908,108 @@ def stream_minhash_ingest(
         .option("recursiveFileLookup", "true")
         .parquet(out_dir)
     )
+
+
+def hll_merge_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """The HLL foreachBatch body (module-level so tests can drive the
+    exact production merge, including redelivery).  NO applied-batch
+    ledger, by design: registers merge by MAX, which is idempotent —
+    re-applying a batch re-MAXes to the identical state, so redelivery
+    is harmless without any bookkeeping.  Contrast ``cms_merge_batch``,
+    whose additive cells double-count without the ledger: the monoid's
+    algebra, not the sink plumbing, decides the exactly-once cost."""
+    import os
+    import shutil
+
+    from multisql_spark.operators import sketch as sk
+
+    state = spark.read.parquet(state_dir)
+    partial = sk.hll_merge(
+        sk.hll_registers(batch_df, "user_id"),
+        sk.hll_registers(batch_df, "event_id"),
+    )
+    merged = sk.hll_merge(state, partial)
+    tmp = f"{state_dir}.__tmp{batch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{state_dir}.__old{batch_id}"
+    os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stream_hll_sink(
+    spark: SparkSession, sf_dir: str, stream_src_dir: str | None = None
+) -> DataFrame:
+    """Streaming deterministic-HLL sink: each microbatch's (bucket, rho)
+    partial registers MAX-merge into a standing ≤2·4096-row parquet
+    register table, then the drained sketch yields the same estimate row
+    per column as the batch ``sketch_hll_deterministic`` — and shares its
+    DuckDB oracle, proving streaming ingestion converges to the batch
+    sketch exactly.
+
+    Per-microbatch cost is one bounded aggregation (map-side MAX) plus a
+    ≤8,192-row merge, independent of history size — the incremental
+    distinct-count shape for 100 TB ingest.  Crash/redelivery safety is
+    free (see ``hll_merge_batch``)."""
+    import os
+
+    from multisql_spark.operators import sketch as sk
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    if stream_src_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_hll_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    else:
+        stream_dir = stream_src_dir
+    state_dir = tempfile.mkdtemp(prefix="hll_state_")
+    spark.createDataFrame(
+        [], "col_name STRING, bucket INT, rho INT"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    stream = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_merge_batch(spark, state_dir, batch_df, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    registers = spark.read.parquet(state_dir)
+    est = sk.hll_estimate(registers)
+    events = spark.read.parquet(src)
+    exact = (
+        events.agg(
+            F.count_distinct("user_id").alias("user_id"),
+            F.count_distinct("event_id").alias("event_id"),
+        )
+        .selectExpr(
+            "stack(2, 'user_id', user_id, 'event_id', event_id)"
+            " AS (col_name, exact_distinct)"
+        )
+    )
+    return est.join(exact, "col_name").select(
+        "col_name",
+        "buckets_used",
+        "hll_estimate",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(
+            100.0
+            * (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error_pct"),
+    )

@@ -201,3 +201,44 @@ def test_cms_sink_restart_recovery_no_double_count(spark, tmp_path):
         .collect()
     )
     assert bids == [0, 1, 2]
+
+
+def test_hll_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path):
+    """The MAX-merge HLL sink is the third discipline: naturally
+    idempotent ALGEBRA, so redelivery needs no ledger at all.  Crash
+    after batch 1's apply, restart, let batch 1 redeliver and re-apply —
+    the final registers must still equal the one-pass batch registers."""
+    from multisql_spark.operators import sketch as sk
+    from multisql_spark.streaming import hll_merge_batch
+
+    tune_session(spark)
+    src = f"{SF_DIR}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = str(tmp_path / "src")
+    spark.read.parquet(src).repartition(3).write.parquet(stream_dir)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [], "col_name STRING, bucket INT, rho INT"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    merger = lambda df, bid: hll_merge_batch(spark, state_dir, df, bid)  # noqa: E731
+
+    _run_stream(make_stream(), merger, ckpt, crash_on=1)
+    # restart: batch 1 redelivers and RE-APPLIES (no ledger, no skip)
+    _run_stream(make_stream(), merger, ckpt, crash_on=None)
+
+    final = spark.read.parquet(state_dir)
+    events = spark.read.parquet(stream_dir)
+    expected = sk.hll_merge(
+        sk.hll_registers(events, "user_id"),
+        sk.hll_registers(events, "event_id"),
+    )
+    assert _sorted_rows(final) == _sorted_rows(expected)
