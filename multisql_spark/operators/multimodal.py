@@ -140,3 +140,44 @@ def frame_sample(mm: DataFrame, every: int = 4) -> DataFrame:
         frames.alias("sampled_bytes"),
         F.size(frames).alias("n_frames"),
     )
+
+
+def resize_pool(mm: DataFrame) -> DataFrame:
+    """'Resize' via 2×2 average pooling over the fake-decoded pixel grid
+    (the 32 blob bytes as an 8×4 row-major scanline → a 4×2 pooled
+    image) — the real-resize batch shape as an Arrow-batched
+    ``mapInPandas`` stage.  A real decoder+PIL resize slots into the
+    same worker function; everything Spark-side (schema, batching,
+    keeping the binary out of any exchange) is identical.
+
+    The pooled bytes are integer algebra on the blob content, so the
+    DuckDB oracle reproduces them exactly (see ``mm_resize_pool``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def pool(blob: bytes) -> list[int]:
+            # 8 wide x 4 high, row-major; 2x2 average pool -> 4x2
+            out = []
+            for k in range(8):
+                r, c = k // 4, k % 4
+                j1 = 16 * r + 2 * c
+                out.append(
+                    (blob[j1] + blob[j1 + 1] + blob[j1 + 8] + blob[j1 + 9])
+                    // 4
+                )
+            return out
+
+        for pdf in batches:
+            pooled = pdf["blob"].map(lambda b: pool(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_csv": pooled.map(
+                        lambda xs: "-".join(str(x) for x in xs)
+                    ),
+                    "n_px_in": pdf["blob"].map(len).astype("int32"),
+                    "n_px_out": pooled.map(len).astype("int32"),
+                }
+            )
+
+    schema = "doc_id long, resized_csv string, n_px_in int, n_px_out int"
+    return mm.select("doc_id", "blob").mapInPandas(run, schema)

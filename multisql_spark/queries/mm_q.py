@@ -232,3 +232,48 @@ def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "mm_resize_pool",
+    # Same md5-byte-algebra contract as mm_feature_extract: the 32 blob
+    # bytes form an 8x4 row-major grid; 2x2 average pooling (integer
+    # floor division) yields the 4x2 output. byte(j) decodes hex pair j
+    # via the nibble lookup; for pooled cell k: r=k//4, c=k%4,
+    # top-left byte index j1 = 16r + 2c, the block is {j1, j1+1, j1+8,
+    # j1+9}. Integer-exact on both engines.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5('x' || text) AS hx FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), k ->
+               (
+                 (16 * (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4)) + 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4)) + 2, 1)) - 1))
+               + (16 * (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 1) + 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 1) + 2, 1)) - 1))
+               + (16 * (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 8) + 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 8) + 2, 1)) - 1))
+               + (16 * (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 9) + 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hx, 2*(16*(k//4) + 2*(k%4) + 9) + 2, 1)) - 1))
+               ) // 4
+             ) AS pooled
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           array_to_string(pooled, '-') AS resized_csv,
+           CAST(32 AS INT) AS n_px_in,
+           CAST(8 AS INT) AS n_px_out
+    FROM p
+    """,
+    tags=("multimodal", "resize"),
+)
+def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize (2×2 average pool over the fake-decoded 8×4
+    pixel grid) — completes the decode / feature-extract / RESIZE /
+    frame-sample multimodal quartet.  The binary column never leaves the
+    scan stage; only the 8 pooled ints move."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.resize_pool(mm.attach_blobs(t["documents"]))

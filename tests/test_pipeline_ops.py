@@ -805,3 +805,32 @@ def test_duplicated_spans_merges_maximal_and_beats_chunks(spark):
     # disjoint chunks: no aligned 8-token chunk is shared between A and B
     chunks = dedup.chunk_dup_stats(docs, width=8).collect()
     assert chunks == []
+
+
+def test_mm_resize_pool_matches_python(spark, sf_dir):
+    """The mapInPandas 2x2 average pool must equal a direct hashlib
+    computation row-for-row: 8x4 row-major grid over the 32 blob bytes,
+    pooled[k] = floor(mean of the 2x2 block at (2*(k//4), 2*(k%4)))."""
+    import hashlib
+
+    rows = load_all()["mm_resize_pool"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        blob = (
+            hashlib.md5(t.encode()).digest()
+            + hashlib.md5(("x" + t).encode()).digest()
+        )
+        pooled = [
+            (blob[16 * (k // 4) + 2 * (k % 4)]
+             + blob[16 * (k // 4) + 2 * (k % 4) + 1]
+             + blob[16 * (k // 4) + 2 * (k % 4) + 8]
+             + blob[16 * (k // 4) + 2 * (k % 4) + 9]) // 4
+            for k in range(8)
+        ]
+        assert r["n_px_in"] == 32 and r["n_px_out"] == 8
+        assert r["resized_csv"] == "-".join(str(v) for v in pooled)
