@@ -2358,3 +2358,124 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k quantile sketch: order statistics on an md5 sample
+# ---------------------------------------------------------------------------
+
+@register(
+    "sketch_quantile_bottomk",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM events),
+    ranked AS (
+      SELECT value, event_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS sample_rank
+      FROM events
+    ),
+    sample AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) AS rv
+      FROM ranked WHERE sample_rank <= 1024
+    ),
+    exact AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) AS rv
+      FROM events
+    ),
+    ps AS (
+      SELECT unnest([0.5, 0.9, 0.99]) AS p,
+             LEAST(1024, n.n_rows) AS k_eff, n.n_rows AS n_rows
+      FROM n
+    )
+    SELECT p,
+           (SELECT s.value FROM sample s
+            WHERE s.rv = CAST(ceil(p * k_eff) AS BIGINT)) AS sample_q,
+           (SELECT e.value FROM exact e
+            WHERE e.rv = CAST(ceil(p * n_rows) AS BIGINT)) AS exact_q,
+           round(abs(
+             (SELECT s.value FROM sample s
+              WHERE s.rv = CAST(ceil(p * k_eff) AS BIGINT))
+             - (SELECT e.value FROM exact e
+                WHERE e.rv = CAST(ceil(p * n_rows) AS BIGINT))
+           ), 4) AS abs_err
+    FROM ps
+    ORDER BY p
+    """,
+    tags=("sketch", "quantile", "sampling"),
+)
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation via a deterministic bottom-k sketch: the 1024
+    rows with the smallest md5(event_id) form a uniform sample (md5 is
+    the RNG — engine-exact, repartition-stable), and sample ORDER
+    STATISTICS at rank ceil(p·k) estimate the population order statistics
+    with O(1/√k) error — never interpolated quantiles, whose float
+    arithmetic is engine-specific.
+
+    The sketch property: bottom-k by a hash IS a mergeable summary
+    (union two sketches, re-take the bottom k) and — like the HLL
+    registers — the merge is idempotent, so it streams without a
+    redelivery ledger.  At 100 TB exactly k rows shuffle (the bottom-k
+    is a per-partition heap → single tiny merge), vs a full sort for
+    exact quantiles; the exact_q column here is the test-scale ground
+    truth the sketch is judged against, not part of the production
+    plan.  Population rank arithmetic (ceil(p·n), ties broken by
+    (value, event_id)) is written identically on both engines."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    events = t["events"]
+    k = 1024
+    n_rows = events.count()
+    k_eff = min(k, n_rows)
+    # bottom-k via ORDER BY + LIMIT -> TakeOrderedAndProject: a
+    # per-partition k-heap merged once, never a global sort/window.
+    # The rank-within-sample window below runs over <=k rows (bounded),
+    # which is the legitimate single-partition case.
+    sample = (
+        events.select("value", "event_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .limit(k_eff)
+        .select(
+            "value",
+            "event_id",
+            F.row_number()
+            .over(W.orderBy("value", "event_id"))
+            .alias("rv"),
+        )
+    )
+    exact = events.select(
+        "value",
+        F.row_number()
+        .over(W.orderBy("value", "event_id"))
+        .alias("rv"),
+    )
+    import math
+
+    ps = [0.5, 0.9, 0.99]
+    probe = spark.createDataFrame(
+        [
+            (p, int(math.ceil(p * k_eff)), int(math.ceil(p * n_rows)))
+            for p in ps
+        ],
+        "p DOUBLE, rk BIGINT, rn BIGINT",
+    )
+    sq = probe.join(
+        F.broadcast(sample.select(F.col("rv").alias("rk"), F.col("value").alias("sample_q"))),
+        "rk",
+    )
+    eq = exact.select(F.col("rv").alias("rn"), F.col("value").alias("exact_q"))
+    return (
+        sq.join(eq, "rn")
+        .select(
+            "p",
+            "sample_q",
+            "exact_q",
+            F.round(F.abs(F.col("sample_q") - F.col("exact_q")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("p")
+    )

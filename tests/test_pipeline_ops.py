@@ -834,3 +834,24 @@ def test_mm_resize_pool_matches_python(spark, sf_dir):
         ]
         assert r["n_px_in"] == 32 and r["n_px_out"] == 8
         assert r["resized_csv"] == "-".join(str(v) for v in pooled)
+
+
+def test_quantile_bottomk_error_and_determinism(spark):
+    """Sample order statistics must sit within the DKW-ish envelope of
+    the exact order statistics (at sf0.001 the sample IS the population,
+    so the error must be exactly 0), and the sketch must be stable under
+    repartitioning (md5 is the RNG)."""
+    rows = {r.p: r for r in
+            REGISTRY["sketch_quantile_bottomk"].fn(spark, SF).collect()}
+    assert set(rows) == {0.5, 0.9, 0.99}
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    for r in rows.values():
+        if n <= 1024:
+            assert r.abs_err == 0.0
+        assert r.sample_q is not None and r.exact_q is not None
+    again = {r.p: r for r in
+             REGISTRY["sketch_quantile_bottomk"].fn(spark, SF)
+             .repartition(11).collect()}
+    for p in rows:
+        assert rows[p].sample_q == again[p].sample_q
