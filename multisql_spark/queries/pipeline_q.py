@@ -2386,7 +2386,7 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     ps AS (
-      SELECT unnest([0.5, 0.9, 0.99]) AS p,
+      SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p,
              LEAST(1024, n.n_rows) AS k_eff, n.n_rows AS n_rows
       FROM n
     )
@@ -2478,4 +2478,107 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("p")
+    )
+
+
+@register(
+    "sketch_join_cardinality",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey AS k FROM lineitem
+      WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    oo AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    lp AS (
+      SELECT l_partkey AS k FROM lineitem
+      WHERE substr(md5(CAST(l_partkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    pp AS (
+      SELECT p_partkey AS k FROM part
+      WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    est AS (
+      SELECT 'orders_lineitem' AS join_name,
+             16 * (SELECT COUNT(*) FROM lo JOIN oo USING (k)) AS est_rows,
+             (SELECT COUNT(*) FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey) AS exact_rows
+      UNION ALL
+      SELECT 'part_lineitem' AS join_name,
+             16 * (SELECT COUNT(*) FROM lp JOIN pp USING (k)) AS est_rows,
+             (SELECT COUNT(*) FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey) AS exact_rows
+    )
+    SELECT join_name,
+           CAST(est_rows AS BIGINT) AS est_rows,
+           CAST(exact_rows AS BIGINT) AS exact_rows,
+           round(100.0 * (est_rows - exact_rows) / exact_rows, 4)
+             AS rel_error_pct
+    FROM est
+    ORDER BY join_name
+    """,
+    tags=("sketch", "join", "cardinality"),
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join: coordinated
+    (correlated) hash sampling — both sides keep exactly the keys whose
+    md5 starts with '0' (a deterministic 1/16 Bernoulli on the KEY, not
+    the row), so the sampled join sees the true key-frequency product
+    for the surviving keys and ``16 × |A_s ⋈ B_s|`` is an unbiased
+    estimate of ``|A ⋈ B|``.  Independent per-side row sampling would
+    square the inclusion probability per key pair and miss matches;
+    coordinating on the key hash is the classic correlated-sampling fix
+    from the join-synopsis literature.
+
+    Scale shape: each side's sample is a pushed-down string-prefix
+    filter on a hash of the join key (a narrow map over the scan), the
+    sampled join shuffles 1/16 of the keys, and the estimate is one
+    COUNT.  At 100 TB this is the planner-statistics primitive for
+    picking join order/strategy before committing to the full shuffle;
+    the exact_rows column is test-scale ground truth only.  Estimates,
+    like everything in this registry, are engine-exact: md5 selection +
+    integer scaling, no RNG."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "part"])
+
+    def side(df: DataFrame, key: str) -> DataFrame:
+        return df.select(F.col(key).alias("k")).filter(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 1) == "0"
+        )
+
+    def pair(name: str, a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
+        est = (
+            side(a, ka)
+            .join(side(b, kb), "k")
+            .agg((16 * F.count(F.lit(1))).alias("est_rows"))
+        )
+        exact = (
+            a.select(F.col(ka).alias("k"))
+            .join(b.select(F.col(kb).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("exact_rows"))
+        )
+        return (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("est_rows").cast("bigint").alias("est_rows"),
+                F.col("exact_rows").cast("bigint").alias("exact_rows"),
+                F.round(
+                    100.0
+                    * (F.col("est_rows") - F.col("exact_rows"))
+                    / F.col("exact_rows"),
+                    4,
+                ).alias("rel_error_pct"),
+            )
+        )
+
+    return (
+        pair("orders_lineitem", t["lineitem"], "l_orderkey",
+             t["orders"], "o_orderkey")
+        .unionAll(
+            pair("part_lineitem", t["lineitem"], "l_partkey",
+                 t["part"], "p_partkey")
+        )
+        .orderBy("join_name")
     )
