@@ -2582,3 +2582,97 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_name")
     )
+
+
+@register(
+    "sketch_vocab_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sampled AS (
+      SELECT lang, tok FROM toks
+      WHERE substr(md5(tok), 1, 1) = '0'
+    ),
+    est AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             16 * COUNT(*) AS est_common
+      FROM sampled a JOIN sampled b USING (tok)
+      WHERE a.lang < b.lang
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             COUNT(*) AS exact_common
+      FROM toks a JOIN toks b USING (tok)
+      WHERE a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT e.lang_a, e.lang_b,
+           CAST(s.est_common AS BIGINT) AS est_common,
+           CAST(e.exact_common AS BIGINT) AS exact_common,
+           round(100.0 * (s.est_common - e.exact_common)
+                 / e.exact_common, 4) AS rel_error_pct
+    FROM exact e
+    LEFT JOIN est s USING (lang_a, lang_b)
+    ORDER BY lang_a, lang_b
+    """,
+    tags=("sketch", "distinct", "set-intersection", "vocab"),
+)
+def sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION sketching: how much vocabulary do two
+    languages share?  The per-language distinct-token sets are the
+    canonical huge-distinct-set problem (at 100 TB they don't fit
+    anywhere), so the estimate uses coordinated hash sampling over the
+    TOKEN space — every language keeps exactly the tokens whose md5
+    starts with '0' (1/16), so a token surviving in lang A survives in
+    lang B too, and 16 × |A_s ∩ B_s| is unbiased for the true shared
+    vocabulary.  Same correlated-sampling principle as
+    `sketch_join_cardinality`, lifted from join keys to set algebra —
+    with union and Jaccard estimable from the identical sample.
+
+    Scale shape: one explode → DISTINCT (lang, token-hash-prefix
+    filtered) — the distinct shuffles only the 1/16 surviving tokens;
+    the pair join runs on that compact sample.  The exact_common column
+    is test-scale ground truth only.  Deterministic md5 selection, no
+    RNG; every arithmetic step integer."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        t["documents"]
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sampled = toks.filter(F.substring(F.md5("tok"), 1, 1) == "0")
+    a = sampled.select(F.col("lang").alias("lang_a"), "tok")
+    b = sampled.select(F.col("lang").alias("lang_b"), "tok")
+    est = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg((16 * F.count(F.lit(1))).alias("est_common"))
+    )
+    ea = toks.select(F.col("lang").alias("lang_a"), "tok")
+    eb = toks.select(F.col("lang").alias("lang_b"), "tok")
+    exact = (
+        ea.join(eb, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        exact.join(est, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("est_common").cast("bigint").alias("est_common"),
+            F.col("exact_common").cast("bigint").alias("exact_common"),
+            F.round(
+                100.0
+                * (F.col("est_common") - F.col("exact_common"))
+                / F.col("exact_common"),
+                4,
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

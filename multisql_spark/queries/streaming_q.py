@@ -387,3 +387,22 @@ def stream_hll_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 from multisql_spark.queries import pipeline_q as _pq  # noqa: E402, F401
 
 REGISTRY["stream_hll_sink"].oracle = REGISTRY["sketch_hll_deterministic"].oracle
+
+
+@register(
+    "stream_quantile_sink",
+    oracle=None,  # set below: shares the batch bottom-k quantile oracle
+    tags=("streaming", "sketch", "quantile", "sink"),
+)
+def stream_quantile_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k sample sink: microbatch candidates min-merge
+    into a standing ≤1024-row sample (idempotent — the min-k monoid
+    needs no redelivery ledger, like the HLL registers), and the drained
+    sample's order statistics hash-match the batch
+    `sketch_quantile_bottomk`'s DuckDB oracle verbatim."""
+    return streaming.stream_quantile_sink(spark, sf_dir)
+
+
+REGISTRY["stream_quantile_sink"].oracle = (
+    REGISTRY["sketch_quantile_bottomk"].oracle
+)

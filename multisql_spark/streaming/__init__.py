@@ -1013,3 +1013,127 @@ def stream_hll_sink(
             4,
         ).alias("rel_error_pct"),
     )
+
+
+def bottomk_merge_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """foreachBatch body for the bottom-k sample sink: union the standing
+    k-set with the batch's candidates and re-take the k smallest md5
+    keys.  Like the HLL registers (and unlike additive CMS cells), the
+    min-k monoid is idempotent — re-applying a redelivered batch re-mins
+    to the identical state, so no applied-batch ledger is needed."""
+    import os
+    import shutil
+
+    state = spark.read.parquet(state_dir)
+    cand = batch_df.select(
+        "value",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    # SET union, then min-k: a redelivered batch's rows are exact
+    # duplicates by event_id, and the monoid is only idempotent over
+    # sets — a bag union would retain the dupes whenever the sample is
+    # not yet saturated (k > rows seen) and double-count afterwards.
+    merged = (
+        state.unionByName(cand)
+        .dropDuplicates(["event_id"])
+        .orderBy("h", "event_id")
+        .limit(1024)
+    )
+    tmp = f"{state_dir}.__tmp{batch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{state_dir}.__old{batch_id}"
+    os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def stream_quantile_sink(
+    spark: SparkSession, sf_dir: str, stream_src_dir: str | None = None
+) -> DataFrame:
+    """Streaming bottom-k quantile sketch: each microbatch's candidate
+    rows min-merge into a standing ≤1024-row sample table, and after the
+    stream drains the sample's order statistics reproduce the batch
+    `sketch_quantile_bottomk` rows exactly (shared oracle) — the third
+    ledger-free idempotent sink discipline after the HLL registers.
+
+    Per-microbatch cost is one bounded TakeOrdered over (standing k +
+    batch candidates) — independent of history size."""
+    import math
+    import os
+
+    from pyspark.sql import Window as W
+
+    from multisql_spark.tables import tune_session
+
+    tune_session(spark)
+    src = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    if stream_src_dir is None:
+        stream_dir = tempfile.mkdtemp(prefix="events_bk_")
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    else:
+        stream_dir = stream_src_dir
+    state_dir = tempfile.mkdtemp(prefix="bk_state_")
+    spark.createDataFrame(
+        [], "value DOUBLE, event_id LONG, h STRING"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    stream = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bottomk_merge_batch(spark, state_dir, batch_df, batch_id)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    events = spark.read.parquet(src)
+    n_rows = events.count()
+    k_eff = min(1024, n_rows)
+    sample = spark.read.parquet(state_dir).select(
+        "value",
+        "event_id",
+        F.row_number().over(W.orderBy("value", "event_id")).alias("rv"),
+    )
+    exact = events.select(
+        "value",
+        F.row_number().over(W.orderBy("value", "event_id")).alias("rv"),
+    )
+    ps = [0.5, 0.9, 0.99]
+    probe = spark.createDataFrame(
+        [
+            (p, int(math.ceil(p * k_eff)), int(math.ceil(p * n_rows)))
+            for p in ps
+        ],
+        "p DOUBLE, rk BIGINT, rn BIGINT",
+    )
+    sq = probe.join(
+        F.broadcast(
+            sample.select(F.col("rv").alias("rk"), F.col("value").alias("sample_q"))
+        ),
+        "rk",
+    )
+    eq = exact.select(F.col("rv").alias("rn"), F.col("value").alias("exact_q"))
+    return (
+        sq.join(eq, "rn")
+        .select(
+            "p",
+            "sample_q",
+            "exact_q",
+            F.round(F.abs(F.col("sample_q") - F.col("exact_q")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("p")
+    )

@@ -242,3 +242,46 @@ def test_hll_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path):
         sk.hll_registers(events, "event_id"),
     )
     assert _sorted_rows(final) == _sorted_rows(expected)
+
+
+def test_bottomk_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path):
+    """Min-k is the same idempotent-monoid discipline as the HLL MAX:
+    crash after apply, redeliver, re-apply — the standing sample must
+    still equal the one-pass bottom-k of the whole source."""
+    from multisql_spark.streaming import bottomk_merge_batch
+
+    tune_session(spark)
+    src = f"{SF_DIR}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream_dir = str(tmp_path / "src")
+    spark.read.parquet(src).repartition(3).write.parquet(stream_dir)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [], "value DOUBLE, event_id LONG, h STRING"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    merger = lambda df, bid: bottomk_merge_batch(spark, state_dir, df, bid)  # noqa: E731
+
+    _run_stream(make_stream(), merger, ckpt, crash_on=1)
+    _run_stream(make_stream(), merger, ckpt, crash_on=None)
+
+    final = spark.read.parquet(state_dir)
+    events = spark.read.parquet(stream_dir)
+    expected = (
+        events.select(
+            "value",
+            "event_id",
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "event_id")
+        .limit(1024)
+    )
+    assert _sorted_rows(final) == _sorted_rows(expected)
