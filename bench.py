@@ -135,6 +135,11 @@ def bench_queries(spark: SparkSession):
         "pca_power_iteration": "sim_pca_power_iteration",
         "bpe_pair_stats": "text_bpe_pair_stats",
         "tpch_local_supplier": "tpch_local_supplier_volume",
+        # round-5 sketch family: engine-exact approximation primitives
+        "hll_distinct": "sketch_hll_deterministic",
+        "quantile_bottomk": "sketch_quantile_bottomk",
+        "zorder_layout": "pipeline_zorder_layout",
+        "join_cardinality": "sketch_join_cardinality",
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR).collect
