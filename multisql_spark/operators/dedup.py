@@ -911,3 +911,75 @@ def duplicated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    window: int = 4,
+    mask: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup: cut each document into
+    VARIABLE-length chunks at positions where a hash of the local token
+    window satisfies the cut condition (h % mask == 0 → mean chunk ≈
+    mask tokens), then report chunks occurring in >1 document.
+
+    Why a third chunk grain: fixed-width chunks (``chunk_dup_stats``)
+    lose ALL alignment after a single-token insertion — every downstream
+    chunk shifts and re-hashes.  CDC cut-points depend only on local
+    content, so they re-synchronize right after the edit and the rest of
+    the document still dedups — the property storage/backup dedup
+    systems rely on (gear/Rabin chunking), pinned by
+    ``test_cdc_chunks_resynchronize_after_edit``.
+
+    Engine-exact determinism: the cut decision at position i hashes the
+    w-token window ENDING at i (md5 → first 8 hex → integer → % mask) —
+    a per-position local predicate, not a sequential rolling state, so
+    both engines compute identical cut sets with pure list algebra.
+
+    Scale shape: chunking is a narrow map (higher-order functions over
+    the token array, JVM-side, no UDF); only (md5(chunk), doc_id, len)
+    rows shuffle for the dup groupBy, which partially aggregates
+    map-side — identical shuffle budget to ``chunk_dup_stats``.
+    """
+    w, m = window, mask
+    cuts = (
+        f"filter(sequence({w}, size(_toks)),"
+        f"  i -> CAST(conv(substring(md5(concat_ws(' ',"
+        f"       slice(_toks, i - {w} + 1, {w}))), 1, 8), 16, 10) AS BIGINT)"
+        f"       % {m} = 0)"
+    )
+    bounds = f"concat(array(0), {cuts}, array(size(_toks)))"
+    chunks = (
+        f"filter(transform(sequence(1, size({bounds}) - 1),"
+        f"  j -> named_struct("
+        f"       'start', element_at({bounds}, j) + 1,"
+        f"       'len', element_at({bounds}, j + 1)"
+        f"              - element_at({bounds}, j))),"
+        f"  c -> c.len > 0)"
+    )
+    chunk_rows = (
+        f"transform({chunks},"
+        f"  c -> named_struct("
+        f"       'h', md5(concat_ws(' ', slice(_toks, c.start, c.len))),"
+        f"       'len', c.len))"
+    )
+    return (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .filter(F.size("_toks") >= w)
+        .select(F.col(id_col), F.explode(F.expr(chunk_rows)).alias("c"))
+        .select(id_col, "c.h", "c.len")
+        .groupBy("h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("len").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "h",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        )
+    )

@@ -1400,3 +1400,52 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no text operators at all; beyond-reference scale family."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.duplicated_spans(t["documents"], width=8)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    ),
+    cuts AS (
+      SELECT doc_id, tk,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               list_filter(range(4, len(tk) + 1),
+                 i -> CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(tk, i - 3, i), ' ')), 1, 8)) AS BIGINT)
+                      % 16 = 0)),
+               [len(tk)]) AS bounds
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(1, len(bounds)),
+                 j -> {'start': bounds[j] + 1,
+                       'len': bounds[j + 1] - bounds[j]}),
+               c -> c.len > 0)) AS c,
+             tk
+      FROM cuts
+    )
+    SELECT md5(array_to_string(
+             list_slice(tk, c.start, c.start + c.len - 1), ' ')) AS h,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           CAST(MAX(c.len) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    tags=("dedup", "cdc", "chunks"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (gear/Rabin-style cut condition on
+    a local token-window hash): variable-length chunks re-synchronize
+    after insertions where fixed-width chunking loses all alignment —
+    the storage-dedup grain, complementing `dedup_chunks` (fixed) and
+    `dedup_duplicated_spans` (sliding maximal spans)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.cdc_chunk_stats(t["documents"], window=4, mask=16)

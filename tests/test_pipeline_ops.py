@@ -855,3 +855,27 @@ def test_quantile_bottomk_error_and_determinism(spark):
              .repartition(11).collect()}
     for p in rows:
         assert rows[p].sample_q == again[p].sample_q
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The CDC property: prepend ONE token to a copy of a document and
+    the content-defined cut-points re-synchronize, so the two versions
+    still share chunks — while fixed-width chunking shifts every
+    boundary and shares nothing."""
+    from multisql_spark.operators import dedup
+
+    base = " ".join(f"w{i % 97}x{(i * 7) % 53}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "PREPENDED " + base)],
+        "doc_id LONG, text STRING",
+    )
+    cdc_shared = dedup.cdc_chunk_stats(docs, window=4, mask=16).collect()
+    assert len(cdc_shared) >= 3, (
+        "CDC chunks must re-synchronize after the edit and dedup the "
+        f"shared suffix; got {len(cdc_shared)} shared chunks"
+    )
+    fixed_shared = dedup.chunk_dup_stats(docs, width=8).collect()
+    assert len(fixed_shared) == 0, (
+        "fixed-width chunks should lose all alignment after a "
+        "one-token prepend"
+    )
