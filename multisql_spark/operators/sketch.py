@@ -30,11 +30,20 @@ TWO61 = 2305843009213693952.0 * 2.0  # 2^61 exactly, as a double
 ALPHA_M2 = (0.7213 / (1.0 + 1.079 / float(M))) * float(M) * float(M)
 
 
-def hll_registers(df: DataFrame, col: str, label: str | None = None) -> DataFrame:
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    label: str | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
     """(col_name, bucket, rho) registers for one column: bucket = first
     12 md5 bits, rho = leading-zero count of the next 60 bits + 1.
     Shuffles at most m=4096 rows per column at ANY input size (MAX
-    combines map-side)."""
+    combines map-side).
+
+    With ``group_col``, registers are kept PER GROUP (col_name takes the
+    group value) — m rows per group, the GROUP BY sketch shape for
+    distinct-count dashboards."""
     hx = F.md5(F.col(col).cast("string"))
     stripped = F.regexp_replace(F.substring(hx, 4, 15), "^0*", "")
     first = F.substring(stripped, 1, 1)
@@ -47,9 +56,14 @@ def hll_registers(df: DataFrame, col: str, label: str | None = None) -> DataFram
     rho = F.when(stripped == "", 61).otherwise(
         (15 - F.length(stripped)) * 4 + extra + 1
     )
+    name = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit(label or col)
+    )
     return (
         df.select(
-            F.lit(label or col).alias("col_name"),
+            name.alias("col_name"),
             F.conv(F.substring(hx, 1, 3), 16, 10).cast("int").alias("bucket"),
             rho.cast("int").alias("rho"),
         )

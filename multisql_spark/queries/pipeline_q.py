@@ -2676,3 +2676,100 @@ def sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+def _hll_group_oracle() -> str:
+    """Per-group deterministic HLL in DuckDB: same md5 register algebra
+    as `sketch_hll_deterministic`, grouped by event_type."""
+    return """
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+    ),
+    reg AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 3)) AS INTEGER) AS bucket,
+             MAX(CASE WHEN regexp_replace(substr(hx, 4, 15), '^0*', '') = ''
+                      THEN 61
+                      ELSE 4 * (15 - length(regexp_replace(substr(hx, 4, 15), '^0*', '')))
+                           + (CASE substr(regexp_replace(substr(hx, 4, 15), '^0*', ''), 1, 1)
+                              WHEN '1' THEN 3
+                              WHEN '2' THEN 2 WHEN '3' THEN 2
+                              WHEN '4' THEN 1 WHEN '5' THEN 1
+                              WHEN '6' THEN 1 WHEN '7' THEN 1
+                              ELSE 0 END) + 1
+                 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS present,
+             SUM(CAST((CAST(1 AS BIGINT) << (61 - rho)) AS DECIMAL(38,0))) AS sum_present
+      FROM reg GROUP BY 1
+    ),
+    fin AS (
+      SELECT event_type, present, 4096 - present AS empty,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               * 2305843009213693952.0 * 2.0
+               / (CAST(sum_present AS DOUBLE)
+                  + CAST(4096 - present AS DOUBLE)
+                    * 2305843009213693952.0 * 2.0) AS raw_est
+      FROM s
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(present AS BIGINT) AS buckets_used,
+             round(CASE WHEN raw_est <= 2.5 * 4096.0 AND empty > 0
+                        THEN 4096.0 * ln(4096.0 / CAST(empty AS DOUBLE))
+                        ELSE raw_est END, 4) AS hll_estimate
+      FROM fin
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, s.buckets_used, s.hll_estimate,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           round(100.0 * (s.hll_estimate - e.exact_distinct)
+                 / e.exact_distinct, 4) AS rel_error_pct
+    FROM exact e JOIN est s USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register(
+    "sketch_hll_by_group",
+    oracle=_hll_group_oracle(),
+    tags=("sketch", "approx", "groupby"),
+)
+def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic HLL — distinct users per event_type from
+    GROUP-scoped registers (m=4096 rows per group, MAX-combined
+    map-side).  The GROUP BY sketch shape: a distinct-count dashboard
+    over G groups shuffles G·m tiny rows at ANY input size, where exact
+    per-group COUNT(DISTINCT) shuffles the full (group, key) universe.
+    Same engine-exact register algebra as `sketch_hll_deterministic`."""
+    from multisql_spark.operators import sketch as sk
+
+    t = load_tables(spark, sf_dir, ["events"])
+    events = t["events"]
+    est = sk.hll_estimate(
+        sk.hll_registers(events, "user_id", group_col="event_type")
+    ).withColumnRenamed("col_name", "event_type")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "buckets_used",
+            "hll_estimate",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            F.round(
+                100.0
+                * (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("event_type")
+    )
