@@ -2773,3 +2773,127 @@ def sketch_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pipeline_zorder_incremental",
+    oracle=f"""
+    WITH standing AS (
+      SELECT * FROM events WHERE event_id % 10 <> 0
+    ),
+    bounds AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+             MIN({_EPOCH}) AS tmin, MAX({_EPOCH}) AS tmax
+      FROM standing
+    ),
+    binned AS (
+      SELECT event_id % 10 = 0 AS is_new,
+             LEAST(15, GREATEST(0, CAST(floor(16.0 * (value - vmin)
+                                  / (vmax - vmin)) AS INTEGER))) AS vbin,
+             LEAST(15, GREATEST(0, CAST(floor(16.0 * CAST({_EPOCH} - tmin AS DOUBLE)
+                                  / CAST(tmax - tmin AS DOUBLE))
+                            AS INTEGER))) AS tbin
+      FROM events, bounds
+    ),
+    zed AS (
+      SELECT is_new,
+             (((vbin & 1))
+           + ((tbin & 1) << 1)
+           + (((vbin >> 1) & 1) << 2)
+           + (((tbin >> 1) & 1) << 3)
+           + (((vbin >> 2) & 1) << 4)
+           + (((tbin >> 2) & 1) << 5)
+           + (((vbin >> 3) & 1) << 6)
+           + (((tbin >> 3) & 1) << 7)) >> 4 AS file_id
+      FROM binned
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_standing,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           SUM(CASE WHEN is_new THEN 1 ELSE 0 END) * 20
+             > SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS needs_rewrite
+    FROM zed
+    GROUP BY 1
+    ORDER BY file_id
+    """,
+    tags=("pipeline", "layout", "zorder", "incremental", "compaction"),
+)
+def pipeline_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental z-order maintenance (the OPTIMIZE-planning half of
+    `pipeline_zorder_layout`): new arrivals (event_id % 10 = 0) are
+    binned with the STANDING layout's frozen bounds — a stable layout
+    never re-bins history — and routed to their target z-file; a file
+    needs rewrite when its new-row count exceeds 5% of standing rows
+    (new·20 > standing, integer arithmetic — no float ratio).  Values
+    outside the standing bounds clamp into the edge bins, exactly where
+    an out-of-range row must land in a frozen layout.
+
+    Scale shape: one 1-row bounds aggregate over standing (broadcast
+    back), a narrow bin+interleave map over arrivals, and a 16-key
+    groupBy — the plan reads the NEW batch once; standing data
+    contributes only its (tiny, cached-in-practice) bounds row and
+    per-file counts, which a real table would hold as layout metadata.
+    This is the maintenance loop that keeps min/max pruning effective
+    at 100 TB as data arrives."""
+    t = load_tables(spark, sf_dir, ["events"])
+    events = t["events"]
+    ep = F.unix_timestamp("ts").cast("long")
+    standing = events.filter(F.col("event_id") % 10 != 0)
+    bounds = F.broadcast(
+        standing.agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min(ep).alias("tmin"),
+            F.max(ep).alias("tmax"),
+        )
+    )
+    binned = events.crossJoin(bounds).select(
+        (F.col("event_id") % 10 == 0).alias("is_new"),
+        F.least(
+            F.lit(15),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    16.0 * (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                ).cast("int"),
+            ),
+        ).alias("vbin"),
+        F.least(
+            F.lit(15),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    16.0 * (ep - F.col("tmin")).cast("double")
+                    / (F.col("tmax") - F.col("tmin")).cast("double")
+                ).cast("int"),
+            ),
+        ).alias("tbin"),
+    )
+
+    def bit(c: str, i: int) -> F.Column:
+        return F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))
+
+    z = (
+        bit("vbin", 0)
+        + F.shiftleft(bit("tbin", 0), 1)
+        + F.shiftleft(bit("vbin", 1), 2)
+        + F.shiftleft(bit("tbin", 1), 3)
+        + F.shiftleft(bit("vbin", 2), 4)
+        + F.shiftleft(bit("tbin", 2), 5)
+        + F.shiftleft(bit("vbin", 3), 6)
+        + F.shiftleft(bit("tbin", 3), 7)
+    )
+    n_new = F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+    n_standing = F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+    return (
+        binned.withColumn("file_id", F.shiftright(z, 4).cast("bigint"))
+        .groupBy("file_id")
+        .agg(
+            n_standing.cast("bigint").alias("n_standing"),
+            n_new.cast("bigint").alias("n_new"),
+            (n_new * 20 > n_standing).alias("needs_rewrite"),
+        )
+        .orderBy("file_id")
+    )
