@@ -2897,3 +2897,157 @@ def pipeline_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@register(
+    "monitor_layout_pruning",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+             MIN({_EPOCH}) AS tmin, MAX({_EPOCH}) AS tmax
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(15, CAST(floor(16.0 * (value - vmin)
+                                  / (vmax - vmin)) AS INTEGER)) AS vbin,
+             LEAST(15, CAST(floor(16.0 * CAST({_EPOCH} - tmin AS DOUBLE)
+                                  / CAST(tmax - tmin AS DOUBLE))
+                            AS INTEGER)) AS tbin
+      FROM events, bounds
+    ),
+    zfiles AS (
+      SELECT (((vbin & 1))
+           + ((tbin & 1) << 1)
+           + (((vbin >> 1) & 1) << 2)
+           + (((tbin >> 1) & 1) << 3)
+           + (((vbin >> 2) & 1) << 4)
+           + (((tbin >> 2) & 1) << 5)
+           + (((vbin >> 3) & 1) << 6)
+           + (((tbin >> 3) & 1) << 7)) >> 4 AS file_id,
+             MIN(vbin) AS v_lo, MAX(vbin) AS v_hi,
+             MIN(tbin) AS t_lo, MAX(tbin) AS t_hi
+      FROM binned GROUP BY 1
+    ),
+    vfiles AS (
+      SELECT vbin AS file_id,
+             MIN(vbin) AS v_lo, MAX(vbin) AS v_hi,
+             MIN(tbin) AS t_lo, MAX(tbin) AS t_hi
+      FROM binned GROUP BY 1
+    ),
+    probes AS (
+      SELECT 'zorder' AS layout, 'value_slice' AS predicate,
+             COUNT(*) AS files_total,
+             SUM(CASE WHEN v_lo <= 7 AND 7 <= v_hi THEN 1 ELSE 0 END)
+               AS files_scanned
+      FROM zfiles
+      UNION ALL
+      SELECT 'zorder', 'time_slice', COUNT(*),
+             SUM(CASE WHEN t_lo <= 7 AND 7 <= t_hi THEN 1 ELSE 0 END)
+      FROM zfiles
+      UNION ALL
+      SELECT 'value_sorted', 'value_slice', COUNT(*),
+             SUM(CASE WHEN v_lo <= 7 AND 7 <= v_hi THEN 1 ELSE 0 END)
+      FROM vfiles
+      UNION ALL
+      SELECT 'value_sorted', 'time_slice', COUNT(*),
+             SUM(CASE WHEN t_lo <= 7 AND 7 <= t_hi THEN 1 ELSE 0 END)
+      FROM vfiles
+    )
+    SELECT layout, predicate,
+           CAST(files_scanned AS BIGINT) AS files_scanned,
+           CAST(files_total AS BIGINT) AS files_total,
+           round(CAST(files_scanned AS DOUBLE) / files_total, 4)
+             AS scan_fraction
+    FROM probes
+    ORDER BY layout, predicate
+    """,
+    tags=("monitor", "layout", "pruning", "zorder"),
+)
+def monitor_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies WHY z-order wins: for the same 16-file budget, compare
+    min/max file pruning under a value-slice predicate and a time-slice
+    predicate, for the z-ordered layout vs a value-sorted single-dim
+    layout.  The single-dim layout prunes perfectly on its own column
+    (1/16 scanned) and not at all on the other (16/16); the z-layout
+    prunes BOTH dimensions to ≤4/16 — the bounded-envelope guarantee
+    measured, not asserted.  At 100 TB these scan fractions multiply
+    directly into bytes read per query; this monitor is how a layout
+    choice is justified from data rather than folklore.  Pure integer
+    arithmetic on file envelopes — engine-exact."""
+    t = load_tables(spark, sf_dir, ["events"])
+    events = t["events"]
+    ep = F.unix_timestamp("ts").cast("long")
+    bounds = F.broadcast(
+        events.agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min(ep).alias("tmin"),
+            F.max(ep).alias("tmax"),
+        )
+    )
+    binned = events.crossJoin(bounds).select(
+        F.least(
+            F.lit(15),
+            F.floor(
+                16.0 * (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+            ).cast("int"),
+        ).alias("vbin"),
+        F.least(
+            F.lit(15),
+            F.floor(
+                16.0 * (ep - F.col("tmin")).cast("double")
+                / (F.col("tmax") - F.col("tmin")).cast("double")
+            ).cast("int"),
+        ).alias("tbin"),
+    )
+
+    def bit(c: str, i: int) -> F.Column:
+        return F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))
+
+    z = (
+        bit("vbin", 0)
+        + F.shiftleft(bit("tbin", 0), 1)
+        + F.shiftleft(bit("vbin", 1), 2)
+        + F.shiftleft(bit("tbin", 1), 3)
+        + F.shiftleft(bit("vbin", 2), 4)
+        + F.shiftleft(bit("tbin", 2), 5)
+        + F.shiftleft(bit("vbin", 3), 6)
+        + F.shiftleft(bit("tbin", 3), 7)
+    )
+
+    def files(df: DataFrame, key: F.Column) -> DataFrame:
+        return df.groupBy(key.alias("file_id")).agg(
+            F.min("vbin").alias("v_lo"),
+            F.max("vbin").alias("v_hi"),
+            F.min("tbin").alias("t_lo"),
+            F.max("tbin").alias("t_hi"),
+        )
+
+    zfiles = files(binned.withColumn("z", z), F.shiftright(F.col("z"), 4))
+    vfiles = files(binned, F.col("vbin"))
+
+    def probe(fdf: DataFrame, layout: str, pred: str, lo: str, hi: str) -> DataFrame:
+        return fdf.agg(
+            F.sum(
+                F.when((F.col(lo) <= 7) & (F.lit(7) <= F.col(hi)), 1)
+                .otherwise(0)
+            ).alias("files_scanned"),
+            F.count(F.lit(1)).alias("files_total"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.lit(pred).alias("predicate"),
+            F.col("files_scanned").cast("bigint").alias("files_scanned"),
+            F.col("files_total").cast("bigint").alias("files_total"),
+            F.round(
+                F.col("files_scanned") / F.col("files_total"), 4
+            ).alias("scan_fraction"),
+        )
+
+    return (
+        probe(zfiles, "zorder", "value_slice", "v_lo", "v_hi")
+        .unionAll(probe(zfiles, "zorder", "time_slice", "t_lo", "t_hi"))
+        .unionAll(probe(vfiles, "value_sorted", "value_slice", "v_lo", "v_hi"))
+        .unionAll(probe(vfiles, "value_sorted", "time_slice", "t_lo", "t_hi"))
+        .orderBy("layout", "predicate")
+    )
