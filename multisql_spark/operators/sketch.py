@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 M = 4096  # registers (p = 12)
-TWO61 = 2305843009213693952.0 * 2.0  # 2^61 exactly, as a double
+TWO61 = float(2**61)  # 2^61 exactly, as a double
 ALPHA_M2 = (0.7213 / (1.0 + 1.079 / float(M))) * float(M) * float(M)
 
 

@@ -2134,14 +2134,14 @@ def _hll_oracle_block(col: str) -> str:
         SELECT present,
                4096 - present AS empty,
                CAST(sum_present AS DOUBLE)
-                 + CAST(4096 - present AS DOUBLE) * 2305843009213693952.0 * 2.0
+                 + CAST(4096 - present AS DOUBLE) * 2305843009213693952.0
                  AS denom
         FROM s
       ),
       fin AS (
         SELECT present, empty,
                (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
-                 * 2305843009213693952.0 * 2.0 / denom AS raw_est
+                 * 2305843009213693952.0 / denom AS raw_est
         FROM est
       )
       SELECT CAST(present AS BIGINT) AS buckets_used,
@@ -2708,10 +2708,10 @@ def _hll_group_oracle() -> str:
     fin AS (
       SELECT event_type, present, 4096 - present AS empty,
              (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
-               * 2305843009213693952.0 * 2.0
+               * 2305843009213693952.0
                / (CAST(sum_present AS DOUBLE)
                   + CAST(4096 - present AS DOUBLE)
-                    * 2305843009213693952.0 * 2.0) AS raw_est
+                    * 2305843009213693952.0) AS raw_est
       FROM s
     ),
     est AS (

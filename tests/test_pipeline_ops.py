@@ -761,6 +761,25 @@ def test_hll_deterministic_error_bound_and_stability(spark):
         assert rows[k].hll_estimate == again[k].hll_estimate
 
 
+def test_hll_accuracy_raw_estimate_branch(spark):
+    """Regression for the 2^61-vs-2^62 scale bug: at 100k distinct the
+    registers saturate (expected empty = m·e^(-n/m) ≈ 0), so the RAW
+    harmonic estimate — not the linear-counting branch — is exercised.
+    With the wrong 2^62 weight the estimate lands near 2× the truth
+    (~200k); the correct 2^61 fixed-point scale keeps it inside the
+    published 1.04/√4096 ≈ 1.6% envelope (5% slack here)."""
+    from multisql_spark.operators import sketch as sk
+
+    n = 100_000
+    df = spark.range(n).selectExpr("CAST(id AS STRING) AS v")
+    est_rows = sk.hll_estimate(sk.hll_registers(df, "v")).collect()
+    assert len(est_rows) == 1
+    r = est_rows[0]
+    # Saturated register file → the raw branch fired, not linear counting
+    assert r.buckets_used >= 4090
+    assert abs(r.hll_estimate - n) / n < 0.05
+
+
 def test_zorder_layout_locality(spark):
     """Each z-run-of-16 'file' must bound BOTH dimensions: with 4+4 bit
     interleave, the top 4 z-bits pin tbin's two high bits and vbin's two
