@@ -73,78 +73,28 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# The driver records correctness rows for the first 50 registered queries
-# only, so registration order is load-bearing.  This window rotates per
-# round: round 1 verified the core relational set; round 2 the
-# functions/timestamp/similarity/text/streaming/TPC-H head; round 3 the
-# dedup/stream/monitor/TPC-H-tail reps; round 4 the events/orders tails,
-# incremental streaming, and sample/text/sim/pipeline reps (each 50/50
-# green, see CORRECTNESS_r0{1,2,3,4}.json).  Round 5 fronts 50 of the 79
-# remaining never-checked names per VERDICT.md r4 ask #2: the dedup
-# diagnostics family, the events-analytics tail, multimodal, part
-# analytics, and monitor/pipeline/sample/sim/text representatives.
-# Queries outside the window keep their local pytest oracle gate
-# (strictly stronger: exact multiset equality).
-_DRIVER_WINDOW: tuple[str, ...] = (
-    # dedup diagnostics (VERDICT-named first)
-    "dedup_chunks",
-    "dedup_containment",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    "dedup_incremental",
-    "dedup_lsh_precision_recall",
-    "dedup_minhash_calibration",
-    "dedup_remove_boilerplate",
-    "dedup_token_savings",
-    "dedup_family_histogram",
-    "dedup_cluster_representatives",
-    # events analytics tail
-    "events_active_users",
-    "events_anomaly_mad",
-    "events_markov_stationary",
-    "events_concentration_gini",
-    "events_trending_types",
-    "events_percentile_bands_hourly",
-    "events_cooccurrence_lift",
-    "events_lateness_profile",
-    "events_forecast_baseline",
-    "events_transition_matrix",
-    "events_velocity_features",
-    "events_bootstrap_se",
-    "events_reliability_mtbf",
-    "events_top_paths",
-    "events_interrupted_series",
-    "events_error_contagion",
-    "events_ewma_hourly",
-    "events_rate_limit_audit",
-    "events_realtime_rollup",
-    "events_hill_tail_index",
-    # multimodal
-    "mm_content_dedup",
-    "mm_frame_sample",
-    "mm_align_doc_embedding",
-    # part analytics
-    "part_skyline_pareto",
-    "part_brand_mode",
-    "part_affinity_pairs",
-    # monitors added in r4
-    "monitor_ab_cuped",
-    "monitor_score_calibration",
-    # corpus-pipeline reps
-    "pipeline_feature_hashing",
-    "pipeline_skew_report",
-    "pipeline_selection_frontier",
-    "pipeline_prepare_corpus_v2",
-    # sampling reps
-    "sample_per_group_cap",
-    "sample_fixed_k",
-    "sample_group_split",
-    # similarity reps
-    "sim_quantized_topk",
-    "sim_rrf_hybrid",
-    # text reps
-    "text_bm25_topk",
-    "text_token_burstiness",
+# The driver records correctness rows for the first 50 registered
+# queries only, so registration order is load-bearing.  Rotation is
+# purely mechanical: ``load_all()`` fronts every query that has never
+# held a green official driver row (rounds 1–5 certified 241/285 — see
+# CORRECTNESS_r0{1..5}.json — leaving 44 never-certified names, which
+# fit one window).  There is no literal window list to go stale: landing
+# a CORRECTNESS file retires its green names without a code edit, and a
+# red row keeps its name fronted for re-certification after the fix.
+# Queries past the 50-cap keep their local pytest oracle gate (strictly
+# stronger: exact multiset equality).
+#
+# When never-certified names number fewer than the 50-slot cap, the
+# spare slots are backfilled with the OLDEST certified names (round-1
+# vintage) for periodic re-confirmation — certification freshness, not
+# wasted capacity.
+_RECONFIRM_TAIL: tuple[str, ...] = (
+    "scan_project_filter",
+    "filter_arithmetic",
+    "projection_case_between",
+    "pricing_summary",
+    "agg_global",
+    "group_having",
 )
 
 
@@ -162,8 +112,8 @@ def _officially_checked() -> frozenset[str]:
     CORRECTNESS_r*.json files exist in the repo root.  The on-disk union
     makes window rotation self-maintaining — once the driver lands a
     round's CORRECTNESS file, that round's window names stop fronting
-    automatically, so a stale ``_DRIVER_WINDOW`` can never waste
-    certification slots on already-certified queries.  Red rows do NOT
+    automatically, so rotation can never waste certification slots on
+    already-certified queries.  Red rows do NOT
     count as checked: a query that failed certification keeps its window
     slot so it is re-fronted for re-certification after the fix
     (consistent with ``certification()``'s latest-round/green ledger)."""
@@ -188,7 +138,10 @@ def _officially_checked() -> frozenset[str]:
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY) and return
-    them with the driver-checked window fronted (see _DRIVER_WINDOW)."""
+    them with never-driver-certified queries fronted — under ANY driver
+    cap this maximizes first-time driver rows per round — then the
+    oldest-certified re-confirmation tail, then the rest in registration
+    order."""
     from multisql_spark.queries import (  # noqa: F401
         analytics_q,
         core,
@@ -205,17 +158,12 @@ def load_all() -> dict[str, QuerySpec]:
 
     checked = _officially_checked()
     ordered: dict[str, QuerySpec] = {}
-    for name in _DRIVER_WINDOW:
-        # a window name that ALREADY has an official row (its round's
-        # CORRECTNESS file landed) yields its slot to never-checked names
-        if name in REGISTRY and name not in checked:
-            ordered[name] = REGISTRY[name]
-    # Past the explicit window, front queries that have never had a
-    # driver correctness row: under ANY driver cap this maximizes the
-    # number of first-time driver rows per round.
     for name, spec in REGISTRY.items():
-        if name not in ordered and name not in checked:
+        if name not in checked:
             ordered[name] = spec
+    for name in _RECONFIRM_TAIL:
+        if name in REGISTRY and name not in ordered:
+            ordered[name] = REGISTRY[name]
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

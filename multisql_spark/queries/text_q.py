@@ -1185,9 +1185,23 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_compression_ratio",
-    oracle=None,  # zlib has no SQL equivalent — rows-only driver check;
-    # exactness vs direct Python zlib is pinned by
-    # tests/test_pipeline_ops.py::test_compression_ratio_matches_python
+    # zlib has no SQL equivalent, so the oracle JOINs a fixture parquet
+    # of (md5(text) -> ratio) produced by direct Python zlib with no
+    # Spark/engine import (tools/make_zlib_fixture.py — the
+    # heavy_oracle.py independent-reimplementation tradition).  Texts in
+    # derived scale dirs are verbatim copies of the base sf texts
+    # (make_scaled_sf offsets keys only), so coverage holds there too.
+    # Exactness vs in-process zlib is additionally pinned by
+    # tests/test_pipeline_ops.py::test_compression_ratio_matches_python.
+    oracle="""
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           f.compress_ratio,
+           f.compress_ratio < 0.3 AS is_templated
+    FROM documents d
+    JOIN read_parquet('/root/repo/tools/fixtures/zlib_ratio_fixture.parquet') f
+      ON md5(d.text) = f.text_md5
+    """,
     tags=("text", "quality", "compression", "udf"),
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:

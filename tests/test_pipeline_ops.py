@@ -15,16 +15,16 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_sketches_bounds(spark):
+    """The query now hashes the estimators' accuracy VERDICTS: every
+    band boolean must be true (a violation reddens the driver compare by
+    construction) and n_events must equal the exact count."""
     row = REGISTRY["approx_sketches"].fn(spark, SF).collect()[0]
     t = load_tables(spark, SF, ["events"])
-    exact = t["events"].agg(
-        F.countDistinct("user_id").alias("users"),
-        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
-    ).collect()[0]
-    # HLL++ at rsd=0.02: allow 5x the nominal error for small inputs
-    assert abs(row.approx_users - exact.users) <= max(3, 0.10 * exact.users)
-    for approx_q, exact_q in zip(row.value_quantiles, exact.qs):
-        assert abs(approx_q - exact_q) <= 0.05 * max(1.0, abs(exact_q))
+    assert row.n_events == t["events"].count()
+    assert row.users_in_band
+    assert row.q50_in_band
+    assert row.q95_in_band
+    assert row.q99_in_band
 
 
 def test_hash_split_proportions_and_determinism(spark):
@@ -711,31 +711,23 @@ def test_mm_feature_extract_matches_python(spark, sf_dir):
 
 
 def test_driver_window_well_formed():
-    """Rotation guard: every _DRIVER_WINDOW name must exist in the
-    registry (a typo would silently shrink the driver-checked set), the
-    window must be duplicate-free, and every windowed query must carry
-    an oracle (the window exists to win hash-match rows)."""
-    from multisql_spark.queries import _DRIVER_WINDOW, load_all
+    """Rotation guard: the registry prefix must be exactly the
+    never-driver-certified names (registration order), then the
+    oldest-certified re-confirmation tail — the list-free mechanism
+    that makes certification self-maintaining."""
+    from multisql_spark.queries import (
+        REGISTRY,
+        _RECONFIRM_TAIL,
+        _officially_checked,
+        load_all,
+    )
 
     reg = load_all()
-    missing = [n for n in _DRIVER_WINDOW if n not in reg]
-    assert not missing, f"window names not in registry: {missing}"
-    assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
-    no_oracle = [
-        n for n in _DRIVER_WINDOW
-        if reg[n].oracle is None and not n.startswith("stream_")
-    ]
-    assert not no_oracle, f"windowed queries without oracle: {no_oracle}"
-    # ordering contract: the registry prefix is the window MINUS names
-    # already holding a green official row (rotation is self-maintaining:
-    # landing a CORRECTNESS file retires its names without a code edit)
-    from multisql_spark.queries import _officially_checked
-
-    expected_front = [
-        n for n in _DRIVER_WINDOW
-        if n in reg and n not in _officially_checked()
-    ]
-    assert list(reg)[: len(expected_front)] == expected_front
+    checked = _officially_checked()
+    never = [n for n in REGISTRY if n not in checked]
+    assert list(reg)[: len(never)] == never
+    after = list(reg)[len(never) : len(never) + len(_RECONFIRM_TAIL)]
+    assert after == [n for n in _RECONFIRM_TAIL if n not in set(never)]
 
 
 def test_hll_deterministic_error_bound_and_stability(spark):
