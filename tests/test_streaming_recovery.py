@@ -285,3 +285,44 @@ def test_bottomk_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path
         .limit(1024)
     )
     assert _sorted_rows(final) == _sorted_rows(expected)
+
+
+def test_state_swap_crash_window_heals(spark, tmp_path):
+    """ADVICE r5: a crash BETWEEN the two renames of the state swap used
+    to leave no state directory at all, failing the next batch's read.
+    Simulate that exact window (state renamed away to __old, new state
+    never landed) and prove _read_state restores the snapshot, after
+    which a re-delivered batch re-merges to the correct final state."""
+    import os
+
+    from multisql_spark.operators import sketch as sk
+    from multisql_spark.streaming import _read_state, hll_merge_batch
+
+    tune_session(spark)
+    src = f"{SF_DIR}/events.parquet"
+    events = spark.read.parquet(src)
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [], "col_name STRING, bucket INT, rho INT"
+    ).write.mode("overwrite").parquet(state_dir)
+
+    hll_merge_batch(spark, state_dir, events, 0)
+    # crash window: the swap of batch 1 renamed state away and died
+    # before renaming the new state into place
+    os.rename(state_dir, f"{state_dir}.__old1")
+    assert not os.path.exists(state_dir)
+
+    healed = _read_state(spark, state_dir)  # restores the __old snapshot
+    assert os.path.exists(state_dir)
+    expected = sk.hll_merge(
+        sk.hll_registers(events, "user_id"),
+        sk.hll_registers(events, "event_id"),
+    )
+    assert _sorted_rows(healed) == _sorted_rows(expected)
+    # batch 1 redelivers: idempotent re-merge, and the stale __old from
+    # the interrupted swap is swept by the write path
+    hll_merge_batch(spark, state_dir, events, 1)
+    assert _sorted_rows(spark.read.parquet(state_dir)) == _sorted_rows(
+        expected
+    )
+    assert not os.path.exists(f"{state_dir}.__old1")

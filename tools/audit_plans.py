@@ -2,15 +2,13 @@
 
 Flags per query:
 - CARTESIAN: a CartesianProduct anywhere in the plan;
-- GLOBAL_WINDOW: a Window operator fed by an Exchange SinglePartition
-  (an unpartitioned, data-scale window — the classic scale killer);
-- NO_PARTIAL_AGG: a plan with exactly one HashAggregate below an
-  exchange-bearing aggregation (heuristic; objectAgg/sort-agg excluded).
+- GLOBAL_WINDOW: a Window operator fed by a SinglePartition shuffle
+  (detected from the formatted plan's detail section + a tree ancestor
+  walk that looks through Sort — see plans.scale_antipatterns).
 
-A query may legitimately reduce to a single partition AFTER bounded
-aggregation (global sums, ≤K-row tables); the GLOBAL_WINDOW heuristic
-therefore only fires when the single-partition exchange feeds a Window,
-not a final 1-row aggregate.
+Windows over cardinality-bounded aggregates are allowlisted by name
+with their bounding argument (plans.GLOBAL_WINDOW_ALLOWLIST) and print
+as ALLOWED rather than FLAG.
 
 Usage: python tools/audit_plans.py [sf_dir]
 """
@@ -49,10 +47,15 @@ def main() -> int:
             print(f"ERROR    {name}: {str(exc)[:120]}")
             flagged += 1
             continue
-        problems = plans.scale_antipatterns(plan)
+        problems = plans.audit_query(name, plan)
         if problems:
             flagged += 1
             print(f"FLAG     {name}: {', '.join(problems)}")
+        elif "GLOBAL_WINDOW" in plans.scale_antipatterns(plan):
+            print(
+                f"ALLOWED  {name}: bounded global window — "
+                f"{plans.GLOBAL_WINDOW_ALLOWLIST[name]}"
+            )
     print(f"\n{flagged} flagged")
     return 0 if flagged == 0 else 1
 
