@@ -853,12 +853,15 @@ def duplicated_spans(
     Scale shape: the explode emits (md5, doc_id, start) — 32-byte
     digests, never text — so the dup-hash groupBy shuffles digests
     only; the survivors rejoin windows on the digest and the island
-    merge runs inside one per-doc window partition.  A stop-shingle
-    cap on pathological hash frequency (boilerplate in every doc)
-    bounds per-key fan-out exactly like ``ngram_jaccard``'s stop-shingle
-    prune.  Returns one row per document that contains at least one
-    duplicated span: (doc_id, n_spans, dup_tokens, total_tokens,
-    dup_fraction).
+    merge runs inside one per-doc window partition.  Unlike
+    ``ngram_jaccard`` (which joins doc PAIRS through each shingle and
+    therefore needs a stop-shingle frequency prune), the rejoin here
+    matches each window row to at most ONE ``dup_h`` row — a
+    boilerplate 8-gram present in every document multiplies nothing;
+    it is only hot-key shuffle skew on that digest, which AQE's
+    skew-join splitting absorbs.  Returns one row per document that
+    contains at least one duplicated span: (doc_id, n_spans,
+    dup_tokens, total_tokens, dup_fraction).
     """
     from pyspark.sql import Window as W
 

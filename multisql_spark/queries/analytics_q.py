@@ -129,9 +129,8 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     ts = F.unix_timestamp("ts").cast("long")
     seq = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
-    e = t["events"].select(
-        "user_id", "event_id", "event_type", ts.alias("ts_sec")
-    )
+    # only the three columns the session math needs cross the exchange
+    e = t["events"].select("user_id", "event_id", ts.alias("ts_sec"))
     gap = F.col("ts_sec") - F.lag("ts_sec").over(seq)
     e = e.withColumn(
         "is_new",
