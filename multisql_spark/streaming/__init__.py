@@ -41,6 +41,35 @@ def _drain(q) -> None:
         q.stop()
 
 
+def _stage_source(src: str, stream_dir: str, name: str) -> None:
+    """Expose ``src`` inside ``stream_dir`` for the file-stream source.
+
+    ``src`` is either a single parquet FILE (the driver's testdata
+    layout) or a Spark-written DIRECTORY of part files (every derived
+    scale dir).  The file-stream source lists leaf files and does NOT
+    descend into a symlinked subdirectory — the r6 sf1-derived sweep
+    read directory-layout events.parquet as a 0-row stream through the
+    old file-only symlink.  A file symlinks as ``{name}.parquet``; a
+    directory symlinks each part file as ``{name}_partNNN.parquet``
+    (which also makes ``maxFilesPerTrigger`` yield real multi-batch
+    execution on derived data)."""
+    import os
+
+    if os.path.isdir(src):
+        parts = sorted(
+            f
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for i, p in enumerate(parts):
+            os.symlink(
+                os.path.join(src, p),
+                os.path.join(stream_dir, f"{name}_part{i:03d}.parquet"),
+            )
+    else:
+        os.symlink(src, os.path.join(stream_dir, f"{name}.parquet"))
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Window start returned
     as epoch seconds (timezone-proof)."""
@@ -140,21 +169,55 @@ def stateful_sessionize(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _stage_source(src, stream_dir, "events")
 
     # sentinel: one event far past max(ts) + gap + watermark so every real
-    # session times out before the stream drains
+    # session times out before the stream drains.  Unit-aware across the
+    # two source layouts: the driver's testdata stores TIMESTAMP(NANOS)
+    # (arrow timestamp[ns]; Spark+nanosAsLong reads it as LONG, so the
+    # sentinel must round-trip as NANOS too), while derived scale dirs
+    # are Spark-written (INT96/micros; Spark expects a real timestamp —
+    # writing the sentinel as nanos there produced the r6
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH red at sf1-derived).
+    import pyspark.sql.types as T
+
     tbl = pq.read_table(src, columns=["ts"])
-    max_ns = pa.compute.max(tbl.column("ts")).cast(pa.int64()).as_py()
-    if max_ns is None:  # empty source: only the sentinel flows, and its
-        max_ns = 0  # user -1 session is never emitted -> empty result
-    sentinel_ns = max_ns + gap_ns + wm_ns + 24 * 3600 * 10**9
-    arrow_schema = pq.read_schema(src)
+    ts_arrow = tbl.schema.field("ts").type
+    unit_per_sec = (
+        10**9 if getattr(ts_arrow, "unit", "ns") == "ns" else 10**6
+    )
+    max_units = pa.compute.max(tbl.column("ts")).cast(pa.int64()).as_py()
+    if max_units is None:  # empty source: only the sentinel flows, and
+        max_units = 0  # its user -1 session is never emitted -> empty
+    horizon_sec = gap_min * 60 + wm_ns // 10**9 + 24 * 3600
+    sentinel_units = max_units + horizon_sec * unit_per_sec
+    # pq.read_schema needs a FILE; derived scale dirs are Spark-written
+    # directories of part files — take the first part's schema
+    schema_src = src
+    if os.path.isdir(src):
+        schema_src = os.path.join(
+            src,
+            sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )[0],
+        )
+    arrow_schema = pq.read_schema(schema_src)
+    spark_ts_type = next(
+        f.dataType for f in batch_schema.fields if f.name == "ts"
+    )
+    if isinstance(spark_ts_type, T.TimestampType):
+        # Spark expects a true timestamp column: write MICROS so the
+        # nanosAsLong session conf cannot re-type the sentinel as LONG
+        idx = arrow_schema.get_field_index("ts")
+        arrow_schema = arrow_schema.set(idx, pa.field("ts", pa.timestamp("us")))
+        sentinel_units = sentinel_units * 10**6 // unit_per_sec
     sentinel = pa.Table.from_pylist(
         [
             {
                 "event_id": -1,
-                "ts": sentinel_ns,
+                "ts": sentinel_units,
                 "user_id": -1,
                 "event_type": "sentinel",
                 "value": 0.0,
@@ -285,7 +348,7 @@ def stream_stream_join(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _stage_source(src, stream_dir, "events")
 
     def read_side(event_type: str, prefix: str) -> DataFrame:
         s = spark.readStream.schema(batch_schema).parquet(stream_dir)
@@ -348,9 +411,7 @@ def run_stream_to_memory(
     # the file-stream source wants a directory; expose just events.parquet
     # through a symlink dir so the other tables' schemas don't mix in
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet")
-    )
+    _stage_source(f"{sf_dir}/events.parquet", stream_dir, "events")
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
     # nanos-as-long conversion mirror of tables.load_tables
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -394,8 +455,8 @@ def stream_dedup_exactly_once(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
-    os.symlink(src, os.path.join(stream_dir, "delivery1.parquet"))
-    os.symlink(src, os.path.join(stream_dir, "delivery2.parquet"))
+    _stage_source(src, stream_dir, "delivery1")
+    _stage_source(src, stream_dir, "delivery2")
 
     stream = (
         spark.readStream.schema(batch_schema)
@@ -457,7 +518,7 @@ def stream_static_incremental_dedup(
     src = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="docs_ingest_")
-    os.symlink(src, os.path.join(stream_dir, "batch1.parquet"))
+    _stage_source(src, stream_dir, "batch1")
 
     content_hash = F.md5(F.lower(F.trim(F.col("text"))))
     corpus = spark.read.parquet(src).filter(F.col("doc_id") % 10 != 0)
@@ -515,7 +576,7 @@ def stream_rollup_to_table(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_sink_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    _stage_source(src, stream_dir, "events")
     out_dir = tempfile.mkdtemp(prefix="rollup_table_")
 
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
@@ -611,7 +672,7 @@ def stream_upsert_to_table(
     batch_schema = spark.read.parquet(src).schema
     stream_dir = tempfile.mkdtemp(prefix="events_upsert_src_")
     if n_source_files <= 1:
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        _stage_source(src, stream_dir, "events")
     else:
         # split the source so maxFilesPerTrigger yields REAL multi-batch
         # execution — later batches must override earlier keys through
@@ -815,7 +876,7 @@ def stream_cms_heavy_hitters(
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
         stream_dir = tempfile.mkdtemp(prefix="docs_cms_")
-        os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+        _stage_source(src, stream_dir, "documents")
     else:
         # pre-split source (tests): one file per desired microbatch
         stream_dir = stream_src_dir
@@ -997,7 +1058,7 @@ def stream_hll_sink(
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
         stream_dir = tempfile.mkdtemp(prefix="events_hll_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        _stage_source(src, stream_dir, "events")
     else:
         stream_dir = stream_src_dir
     state_dir = tempfile.mkdtemp(prefix="hll_state_")
@@ -1099,7 +1160,7 @@ def stream_quantile_sink(
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
         stream_dir = tempfile.mkdtemp(prefix="events_bk_")
-        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+        _stage_source(src, stream_dir, "events")
     else:
         stream_dir = stream_src_dir
     state_dir = tempfile.mkdtemp(prefix="bk_state_")
