@@ -326,3 +326,36 @@ def test_state_swap_crash_window_heals(spark, tmp_path):
         expected
     )
     assert not os.path.exists(f"{state_dir}.__old1")
+
+
+def test_stage_source_handles_both_parquet_layouts(spark, tmp_path):
+    """r6 regression: derived scale dirs are Spark-written DIRECTORIES of
+    part files, and the file-stream source does not descend into a
+    symlinked subdirectory — staging must symlink each part file
+    individually (single-file sources keep the old one-symlink shape)."""
+    import glob
+
+    from multisql_spark.streaming import _stage_source
+
+    # directory layout: Spark-written multi-part parquet
+    src_dir = str(tmp_path / "events_dir.parquet")
+    spark.range(100).selectExpr("id AS event_id").repartition(3).write.parquet(
+        src_dir
+    )
+    stage1 = str(tmp_path / "stage_dir")
+    os.makedirs(stage1)
+    _stage_source(src_dir, stage1, "events")
+    links = sorted(glob.glob(f"{stage1}/events_part*.parquet"))
+    assert len(links) == 3
+    assert all(os.path.islink(p) for p in links)
+    assert spark.read.parquet(stage1).count() == 100
+    # a batch read through the stage dir sees no _SUCCESS/_committed noise
+    assert not glob.glob(f"{stage1}/_*")
+
+    # single-file layout: one symlink, original name contract
+    src_file = f"{SF_DIR}/events.parquet"
+    stage2 = str(tmp_path / "stage_file")
+    os.makedirs(stage2)
+    _stage_source(src_file, stage2, "events")
+    assert os.path.islink(os.path.join(stage2, "events.parquet"))
+    assert len(os.listdir(stage2)) == 1
