@@ -17,6 +17,14 @@ from multisql_spark.tables import load_tables
 K = 12
 BANDS = 4
 ROWS_PER_BAND = K // BANDS
+# Per-bucket membership cap — the 100 TB guard (operators/dedup.py:210).
+# Every consumer of LSH candidate pairs uses the capped enumeration;
+# uncapped Θ(m²) buckets empirically OOM one decade up (r6 sf1 sweep).
+CAP = 32
+# The one uncapped query (`dedup_minhash_lsh`) runs on a deterministic
+# 1/SAMPLE_MOD document sample instead: the calibration baseline that
+# shows full uncapped semantics at a corpus-size-decoupled cost.
+SAMPLE_MOD = 16
 
 
 @register(
@@ -35,7 +43,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(t["documents"])
 
 
-def _minhash_oracle() -> str:
+def _pairs_oracle(capped: bool = True, sample_mod: int | None = None) -> str:
+    """DuckDB SQL for the banded-LSH candidate pairs with estimated
+    Jaccard — the shared CTE every dedup consumer's oracle embeds.
+
+    ``capped=True`` mirrors :func:`dedup.lsh_candidate_pairs_capped`
+    (per-bucket ROW_NUMBER ≤ CAP over doc_id — the 100 TB guard);
+    ``sample_mod`` mirrors the deterministic md5 document sample of the
+    uncapped calibration baseline."""
     sig_cols = ",\n      ".join(
         f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
     )
@@ -50,6 +65,38 @@ def _minhash_oracle() -> str:
         f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(1, K + 1)
     )
+    where = ""
+    if sample_mod is not None:
+        where = (
+            "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            f" AS BIGINT) % {sample_mod} = 0"
+        )
+    if capped:
+        member_src = f"""
+    capped AS (
+      SELECT doc_id, band_id, band_key
+      FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                 PARTITION BY band_id, band_key ORDER BY doc_id
+               ) AS rnk
+        FROM bandk
+      ) WHERE rnk <= {CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )"""
+    else:
+        member_src = """
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandk a
+      JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )"""
     # Mirror of the engine's narrowed band join (operators/dedup.py:
     # round-2 fix): the DISTINCT over candidate pairs carries ids ONLY,
     # and the K signature columns re-join by id afterwards — without
@@ -59,6 +106,7 @@ def _minhash_oracle() -> str:
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
+      {where}
     ),
     sigs AS (
       SELECT doc_id,
@@ -68,13 +116,7 @@ def _minhash_oracle() -> str:
     bandk AS (
       SELECT doc_id, band_id, {band_case} AS band_key
       FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bandk a
-      JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id
-    )
+    ),{member_src}
     SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
            CAST(p.doc_b AS BIGINT) AS doc_b,
            round(({agree}) / {K}.0, 4) AS est_sim
@@ -84,14 +126,45 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
+def _capped_pairs_oracle() -> str:
+    """Capped full-corpus candidate pairs — what every dedup consumer
+    (graph, calibration, ensemble, precision/recall) builds on."""
+    return _pairs_oracle(capped=True)
+
+
+def _sample_filter(docs: DataFrame) -> DataFrame:
+    """Deterministic 1/SAMPLE_MOD md5 document sample (Spark side of the
+    oracle's ``sample_mod`` predicate)."""
+    return docs.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % SAMPLE_MOD
+        == 0
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_pairs_oracle(capped=False, sample_mod=SAMPLE_MOD),
+    tags=("dedup", "lsh"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=12) + 4-band LSH candidate pairs with estimated Jaccard.
+    """MinHash(k=12) + 4-band LSH candidate pairs with estimated Jaccard
+    — the UNCAPPED enumeration, run on a deterministic 1/16 md5 document
+    sample.  This is the calibration baseline for the production path
+    (`dedup_lsh_bucket_capped` and every downstream consumer, which all
+    use the per-bucket cap): the sample bounds the cost — uncapped
+    buckets are Θ(m²) and a full-corpus run empirically OOMs one decade
+    up — while preserving exact uncapped semantics on the sampled
+    subset, so cap recall can be measured against it.  At 100 TB the
+    sample fraction is the knob: dial it so the sampled corpus stays
+    ~1M docs and the baseline's cost is decoupled from corpus size.
     Scale shape: signature build is one groupBy(doc); the band self-join
     keys on (band_id, band_key), so work is proportional to real
     collisions — never all-pairs."""
     t = load_tables(spark, sf_dir, ["documents"])
-    sigs = dedup.minhash_signatures(t["documents"], k=K)
+    sigs = dedup.minhash_signatures(_sample_filter(t["documents"]), k=K)
     return dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
 
 
@@ -152,7 +225,7 @@ def _cc_oracle() -> str:
     an algorithm-independent graph property, so the iterative Spark
     propagation and the recursive closure must agree exactly."""
     return f"""
-    WITH RECURSIVE simpairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE simpairs AS ({_capped_pairs_oracle()}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
       UNION
@@ -193,7 +266,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
-    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+    pairs = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    ).filter(
         F.col("est_sim") >= 0.5
     )
     comp = dedup.connected_components(pairs)
@@ -456,46 +531,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensemble_oracle() -> str:
-    sig_cols = ",\n      ".join(
-        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
-    )
-    band_cases = []
-    for b in range(BANDS):
-        parts = " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
-        )
-        band_cases.append(f"WHEN {b} THEN md5({parts})")
-    band_case = "CASE band_id " + " ".join(band_cases) + " END"
-    agree = " + ".join(
-        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(1, K + 1)
-    )
-    vals = ", ".join(f"({b})" for b in range(BANDS))
     return f"""
-    WITH toks AS (
+    WITH est AS ({_capped_pairs_oracle()}),
+    toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-      {sig_cols}
-      FROM toks GROUP BY doc_id
-    ),
-    bandk AS (
-      SELECT doc_id, band_id, {band_case} AS band_key
-      FROM sigs, (VALUES {vals}) AS bb(band_id)
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bandk a
-      JOIN bandk b ON a.band_id = b.band_id AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id
-    ),
-    est AS (
-      SELECT p.doc_a, p.doc_b, round(({agree}) / {K}.0, 4) AS est_sim
-      FROM pairs p
-      JOIN sigs a ON a.doc_id = p.doc_a
-      JOIN sigs b ON b.doc_id = p.doc_b
     ),
     tsets AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
@@ -543,7 +583,9 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     sigs = dedup.minhash_signatures(docs, k=K)
-    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    pairs = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    )
     tsets = docs.select(
         F.col("doc_id"), dedup.tokens_col("text").alias("ts")
     )
@@ -649,7 +691,7 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     same floor-divided contributions, same per-iteration rounding — the
     chained-CTE unrolling of the Spark loop."""
     sql = f"""
-    WITH simpairs AS ({_minhash_oracle()}),
+    WITH simpairs AS ({_capped_pairs_oracle()}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
       UNION
@@ -697,14 +739,16 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy carrying (node, rank) longs only."""
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
-    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+    pairs = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    ).filter(
         F.col("est_sim") >= 0.5
     )
     return dedup.pagerank_fixed(pairs, iters=3, damping=0.85)
 
 
 def _minhash_calibration_oracle() -> str:
-    cand = _minhash_oracle()
+    cand = _capped_pairs_oracle()
     return f"""
     WITH cand AS ({cand}),
     tok AS (
@@ -758,7 +802,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     sigs = dedup.minhash_signatures(docs, k=K)
-    cand = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    cand = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    )
     tok = docs.select(
         "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
     )
@@ -839,7 +885,9 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
-    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+    pairs = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    ).filter(
         F.col("est_sim") >= 0.5
     )
     comp = dedup.connected_components(pairs)
@@ -859,7 +907,7 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pr_oracle() -> str:
-    cand = _minhash_oracle()
+    cand = _capped_pairs_oracle()
     return f"""
     WITH cand AS ({cand}),
     tok AS (
@@ -923,7 +971,9 @@ def dedup_lsh_precision_recall(
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     sigs = dedup.minhash_signatures(docs, k=K)
-    cand = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+    cand = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    )
     tok = docs.select(
         "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
     )
@@ -974,7 +1024,7 @@ def dedup_lsh_precision_recall(
 @register(
     "dedup_graph_triangles",
     oracle=f"""
-    WITH simpairs AS ({_minhash_oracle()}),
+    WITH simpairs AS ({_capped_pairs_oracle()}),
     e AS (
       SELECT doc_a AS a, doc_b AS b FROM simpairs WHERE est_sim >= 0.5
     ),
@@ -1040,7 +1090,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
     e = (
-        dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS)
+        dedup.lsh_candidate_pairs_capped(sigs, k=K, bands=BANDS, cap=CAP)
         .filter(F.col("est_sim") >= 0.5)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
@@ -1101,7 +1151,7 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_representatives",
     oracle=f"""
-    WITH RECURSIVE simpairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE simpairs AS ({_capped_pairs_oracle()}),
     und AS (
       SELECT doc_a AS u, doc_b AS v FROM simpairs WHERE est_sim >= 0.5
       UNION ALL
@@ -1156,7 +1206,9 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 
     t = load_tables(spark, sf_dir, ["documents"])
     sigs = dedup.minhash_signatures(t["documents"], k=K)
-    pairs = dedup.lsh_candidate_pairs(sigs, k=K, bands=BANDS).filter(
+    pairs = dedup.lsh_candidate_pairs_capped(
+        sigs, k=K, bands=BANDS, cap=CAP
+    ).filter(
         F.col("est_sim") >= 0.5
     )
     und = pairs.select(F.col("doc_a").alias("u")).unionAll(
@@ -1197,66 +1249,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-CAP = 32
-
-
-def _capped_oracle() -> str:
-    sig_cols = ",\n      ".join(
-        f"min(md5(tok || '#{i}')) AS sig_{i}" for i in range(1, K + 1)
-    )
-    band_cases = []
-    for b in range(BANDS):
-        parts = " || '|' || ".join(
-            f"sig_{b * ROWS_PER_BAND + j + 1}" for j in range(ROWS_PER_BAND)
-        )
-        band_cases.append(f"WHEN {b} THEN md5({parts})")
-    band_case = "CASE band_id " + " ".join(band_cases) + " END"
-    agree = " + ".join(
-        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(1, K + 1)
-    )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-      {sig_cols}
-      FROM toks GROUP BY doc_id
-    ),
-    bandk AS (
-      SELECT doc_id, band_id, {band_case} AS band_key
-      FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_id)
-    ),
-    capped AS (
-      SELECT doc_id, band_id, band_key
-      FROM (
-        SELECT doc_id, band_id, band_key,
-               ROW_NUMBER() OVER (
-                 PARTITION BY band_id, band_key ORDER BY doc_id
-               ) AS rnk
-        FROM bandk
-      ) WHERE rnk <= {CAP}
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM capped a
-      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
-      WHERE a.doc_id < b.doc_id
-    )
-    SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
-           CAST(p.doc_b AS BIGINT) AS doc_b,
-           round(({agree}) / {K}.0, 4) AS est_sim
-    FROM pairs p
-    JOIN sigs sa ON sa.doc_id = p.doc_a
-    JOIN sigs sb ON sb.doc_id = p.doc_b
-    """
-
 
 @register(
     "dedup_lsh_bucket_capped",
-    oracle=_capped_oracle(),
+    oracle=_capped_pairs_oracle(),
     tags=("dedup", "lsh", "scale"),
 )
 def dedup_lsh_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,12 +92,49 @@ def test_audit_arithmetic_matches_enumeration(spark):
 
 def test_registry_capped_subset_of_uncapped_on_fixture(spark, sf_dir):
     """On the real sf0.001 corpus the capped registry query emits a
-    subset of the uncapped query's pairs with identical est_sim."""
+    subset of the full uncapped enumeration's pairs (operator level —
+    the registry `dedup_minhash_lsh` is the SAMPLED uncapped baseline,
+    so the full-corpus uncapped reference comes from the operator)."""
+    from multisql_spark.operators import dedup as dd
     from multisql_spark.queries import load_all
+    from multisql_spark.tables import load_tables
 
     reg = load_all()
-    base = _pairs(reg["dedup_minhash_lsh"].fn(spark, sf_dir))
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sigs = dd.minhash_signatures(docs, k=K)
+    base = _pairs(dd.lsh_candidate_pairs(sigs, k=K, bands=BANDS))
     capped = _pairs(reg["dedup_lsh_bucket_capped"].fn(spark, sf_dir))
     assert set(capped) <= set(base)
     assert capped  # non-degenerate on the fixture
     assert all(capped[k_] == base[k_] for k_ in capped)
+
+
+def test_registry_minhash_lsh_is_sampled_uncapped(spark, sf_dir):
+    """The registry calibration baseline runs UNCAPPED semantics on the
+    deterministic 1/16 md5 document sample: its pairs are exactly the
+    full uncapped pairs restricted to sampled doc ids."""
+    import hashlib
+
+    from multisql_spark.operators import dedup as dd
+    from multisql_spark.queries import load_all
+    from multisql_spark.tables import load_tables
+
+    reg = load_all()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sampled = {
+        int(r["doc_id"])
+        for r in docs.select("doc_id").collect()
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        % 16
+        == 0
+    }
+    got = _pairs(reg["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert got  # the sample still collides on the fixture corpus
+    assert all(a in sampled and b in sampled for a, b in got)
+    sigs = dd.minhash_signatures(docs, k=K)
+    full = _pairs(dd.lsh_candidate_pairs(sigs, k=K, bands=BANDS))
+    expect = {
+        p: s for p, s in full.items()
+        if p[0] in sampled and p[1] in sampled
+    }
+    assert got == expect

@@ -348,9 +348,16 @@ def test_incremental_minhash_agrees_with_batch_lsh(spark, sf_dir):
     from multisql_spark.queries import load_all
 
     reg = load_all()
+    # full-corpus uncapped enumeration via the operator (the registry
+    # `dedup_minhash_lsh` is the sample-bounded calibration baseline)
+    from multisql_spark.operators import dedup as _dd
+    from multisql_spark.tables import load_tables as _lt
+
+    _docs = _lt(spark, sf_dir, ["documents"])["documents"]
+    _sigs = _dd.minhash_signatures(_docs, k=12)
     batch = {
         (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["est_sim"]
-        for r in reg["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in _dd.lsh_candidate_pairs(_sigs, k=12, bands=4).collect()
     }
     rows = reg["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
     assert rows

@@ -45,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 K = 12
 BANDS = 4
 ROWS_PER_BAND = K // BANDS
+CAP = 32  # per-bucket membership cap (multisql_spark/queries/dedup_q.py)
 
 
 def _md5(s: str) -> str:
@@ -106,11 +107,15 @@ class Corpus:
                     "|".join(sg[b * ROWS_PER_BAND + j] for j in range(ROWS_PER_BAND))
                 )
                 buckets.setdefault((b, key), []).append(d)
+        # per-bucket membership cap, mirroring
+        # operators/dedup.py lsh_candidate_pairs_capped (CAP smallest
+        # ids per bucket) — the r7 switch of every heavy consumer to
+        # the bounded enumeration
         pair_set: set[tuple] = set()
         for docs in buckets.values():
             if len(docs) < 2:
                 continue
-            ds = sorted(docs)
+            ds = sorted(docs)[:CAP]
             for i in range(len(ds)):
                 for j in range(i + 1, len(ds)):
                     pair_set.add((ds[i], ds[j]))
