@@ -112,6 +112,10 @@ def main() -> int:
         report[name] = row
         tag = "ok " if ok else "RED"
         print(f"[{i + 1:3d}/{len(names)}] {tag} {name} {'' if ok else json.dumps(row)[:400]}", flush=True)
+        if os.environ.get("DRIVER_SIM_CRASH_AFTER") == name:
+            # harness self-test hook (tools/sf1_sweep.py): simulate an
+            # OOM kill mid-chunk — hard exit, no artifact, no cleanup
+            os._exit(137)
 
     print(f"\n{len(names) - n_red}/{len(names)} green")
     tag = os.path.basename(sf_dir.rstrip("/"))
