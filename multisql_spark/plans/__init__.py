@@ -91,13 +91,21 @@ def scale_antipatterns(plan: str) -> list[str]:
     if "CartesianProduct" in plan:
         problems.append("CARTESIAN")
     lines = plan.splitlines()
-    # 1) op ids of shuffle exchanges with a SinglePartition distribution
+    # 1) op ids of shuffle exchanges with a SinglePartition distribution;
+    #    ReusedExchange nodes that reference one count as single-partition
+    #    themselves (ADVICE r6: a reused exchange under a second Window
+    #    otherwise escapes the walk — its own op id is not in single_ids)
     single_ids: set[str] = set()
+    reuse_of: dict[str, str] = {}
     cur_exchange_id: str | None = None
     for line in lines:
         m = _DETAIL_HEADER.match(line)
         if m:
             cur_exchange_id = m.group(1) if m.group(2) == "Exchange" else None
+            if m.group(2) == "ReusedExchange":
+                rm = re.search(r"Reuses operator id:\s*(\d+)", line)
+                if rm:
+                    reuse_of[m.group(1)] = rm.group(1)
             continue
         if (
             cur_exchange_id is not None
@@ -105,6 +113,9 @@ def scale_antipatterns(plan: str) -> list[str]:
             and "SinglePartition" in line
         ):
             single_ids.add(cur_exchange_id)
+    single_ids |= {
+        rid for rid, target in reuse_of.items() if target in single_ids
+    }
     if not single_ids:
         return sorted(set(problems))
     # 2) tree nodes in print order: (name-start column, name, op id)

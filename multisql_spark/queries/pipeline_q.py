@@ -413,8 +413,12 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_vals").cast("double")
 
     def in_band(i: int, target: float):
+        # lower side widened by 1/n (ADVICE r6): the documented
+        # guarantee is rank >= floor((p - err) * N), and a value sitting
+        # exactly at that floored rank can have le/n up to 1/n below
+        # p - err while still being in contract
         return (F.col(f"lt{i}") / n <= F.lit(target + eps)) & (
-            F.col(f"le{i}") / n >= F.lit(target - eps)
+            F.col(f"le{i}") / n >= F.lit(target - eps) - 1.0 / n
         )
 
     return c.select(
@@ -1293,7 +1297,12 @@ def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         per_bucket.withColumn("bcum", F.sum("btoks").over(wb))
         .select("logit", (F.col("bcum") - F.col("btoks")).alias("base"))
-        .filter(F.col("base") < 5000)
+        # <= (not <): a zero-token doc (n_chars=0 → toks=0) leading a
+        # bucket whose preceding mass is exactly the budget has
+        # cum_tokens == budget and belongs in the output (ADVICE r6);
+        # toks>=1 rows in such a bucket still fail the final filter,
+        # so the output is otherwise identical
+        .filter(F.col("base") <= 5000)
     )
     wd = W.partitionBy("logit").orderBy(F.col("doc_id").asc()).rowsBetween(
         W.unboundedPreceding, W.currentRow

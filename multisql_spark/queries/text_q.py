@@ -11,6 +11,16 @@ from multisql_spark.operators import textan
 from multisql_spark.queries import register
 from multisql_spark.tables import load_tables
 
+# repo-relative fixture path (ADVICE r6: the only oracle with an
+# environment-dependent absolute path — build it from __file__ so any
+# checkout location works, as tools/make_zlib_fixture.py already does)
+import os as _os
+
+_ZLIB_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tools", "fixtures", "zlib_ratio_fixture.parquet",
+)
+
 
 @register(
     "text_token_stats",
@@ -1193,13 +1203,13 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (make_scaled_sf offsets keys only), so coverage holds there too.
     # Exactness vs in-process zlib is additionally pinned by
     # tests/test_pipeline_ops.py::test_compression_ratio_matches_python.
-    oracle="""
+    oracle=f"""
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
            CAST(d.n_chars AS BIGINT) AS n_chars,
            f.compress_ratio,
            f.compress_ratio < 0.3 AS is_templated
     FROM documents d
-    JOIN read_parquet('/root/repo/tools/fixtures/zlib_ratio_fixture.parquet') f
+    JOIN read_parquet('{_ZLIB_FIXTURE}') f
       ON md5(d.text) = f.text_md5
     """,
     tags=("text", "quality", "compression", "udf"),

@@ -55,6 +55,60 @@ def test_global_window_detector_catches_fact_table_window(spark, sf_dir):
     assert plans.scale_antipatterns(plans.formatted_plan(agg)) == []
 
 
+def test_detector_follows_reused_exchange():
+    """ADVICE r6: a single-partition exchange REUSED under a second
+    Window appears in the tree as ``ReusedExchange`` with its own op id
+    (never listed in the SinglePartition detail ids), so that window
+    escaped the walk.  Formatted mode prints the reuse in the detail
+    header (``(5) ReusedExchange [Reuses operator id: 3]``); pre-AQE
+    plans rarely materialize this shape (reuse mostly happens at
+    runtime), so the regression pins the parser on the documented
+    formatted-mode text."""
+    plan = """== Physical Plan ==
+Project (9)
++- Window (8)
+   +- Sort (7)
+      +- ReusedExchange (5)
++- Window (4)
+   +- Sort (3)
+      +- Exchange (2)
+         +- Scan parquet (1)
+
+(1) Scan parquet
+Output [2]: [event_id#1L, value#2]
+
+(2) Exchange
+Input [2]: [event_id#1L, value#2]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=20]
+
+(3) Sort
+Arguments: [value#2 ASC NULLS FIRST], false, 0
+
+(4) Window
+Arguments: [row_number() windowspecdefinition(...)]
+
+(5) ReusedExchange [Reuses operator id: 2]
+Output [2]: [event_id#10L, value#11]
+
+(7) Sort
+Arguments: [value#11 ASC NULLS FIRST], false, 0
+
+(8) Window
+Arguments: [rank() windowspecdefinition(...)]
+
+(9) Project
+Output [3]: [event_id#1L, rn#3, rk#12]
+"""
+    assert "GLOBAL_WINDOW" in plans.scale_antipatterns(plan)
+    # and the reused id must be the thing that flags: strip the original
+    # exchange's Window ancestor and the reuse alone still flags
+    only_reuse = plan.replace(
+        "+- Window (4)\n   +- Sort (3)\n      +- Exchange (2)",
+        "+- Sort (3)\n   +- Exchange (2)",
+    )
+    assert "GLOBAL_WINDOW" in plans.scale_antipatterns(only_reuse)
+
+
 def test_global_window_allowlist_names_resolve():
     """Every allowlisted name must exist in the registry (or be one of
     the streaming sinks) — a stale entry would silently suppress the
