@@ -17,8 +17,6 @@ never re-read.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,18 +62,17 @@ def ingest_new_files(
     entry = spark.createDataFrame(
         [(f,) for f in new], "file string"
     )
-    tmp = tempfile.mkdtemp(prefix="ledger_new_")
+    # ledger publish is the atomic symlink swap shared with the
+    # streaming sinks (multisql_spark.statedir) — no rename crash window
+    from multisql_spark.statedir import init_state_dir, swap_state_dir
+
     if os.path.isdir(ledger_path):
-        spark.read.parquet(ledger_path).unionByName(entry).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        old = ledger_path + ".__old"
-        os.rename(ledger_path, old)
-        os.rename(tmp, ledger_path)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_state_dir(
+            ledger_path,
+            spark.read.parquet(ledger_path).unionByName(entry),
+        )
     else:
-        entry.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, ledger_path)
+        init_state_dir(entry, ledger_path)
     spark.catalog.refreshByPath(out_path)
     return len(new), n_rows
 

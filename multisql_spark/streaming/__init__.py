@@ -600,13 +600,10 @@ def stream_rollup_to_table(
         )
     )
 
+    _init_state(spark.createDataFrame([], rollup.schema), out_dir)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tmp = f"{out_dir}.__batch{batch_id}"
-        batch_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{out_dir}.__old{batch_id}"
-        os.rename(out_dir, old)
-        os.rename(tmp, out_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(out_dir, batch_df, batch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -636,12 +633,7 @@ def upsert_merge_batch(
     merged = existing.join(
         updates.select("user_id"), "user_id", "left_anti"
     ).unionByName(updates)
-    tmp = f"{out_dir}.__batch{batch_id}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = f"{out_dir}.__old{batch_id}"
-    os.rename(out_dir, old)
-    os.rename(tmp, out_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_state(out_dir, merged, batch_id)
 
 
 def stream_upsert_to_table(
@@ -709,9 +701,7 @@ def stream_upsert_to_table(
         )
     )
     # seed an empty target so the first merge has a table to read
-    spark.createDataFrame([], latest.schema).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    _init_state(spark.createDataFrame([], latest.schema), out_dir)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_merge_batch(spark, out_dir, batch_df, batch_id)
@@ -754,53 +744,29 @@ def _cms_bucket(tok_col, r_col):
     )
 
 
+def _init_state(seed: DataFrame, state_dir: str) -> None:
+    """Create versioned sink state (see :mod:`multisql_spark.statedir`):
+    ``state_dir`` is a SYMLINK to the current version directory.  Every
+    reader — production merges and tests alike — just reads
+    ``state_dir`` as parquet; the symlink is transparent."""
+    from multisql_spark.statedir import init_state_dir
+
+    init_state_dir(seed, state_dir)
+
+
 def _swap_state(state_dir: str, merged: DataFrame, batch_id: int) -> None:
-    """Publish ``merged`` as the new state at ``state_dir``.
+    """Publish ``merged`` as the new state at ``state_dir`` — ATOMIC
+    (one symlink rename; see :mod:`multisql_spark.statedir` for why the
+    old two-rename swap's crash window is gone, VERDICT r6 ask #6)."""
+    from multisql_spark.statedir import swap_state_dir
 
-    POSIX cannot atomically replace a non-empty directory, so the swap
-    is two renames with a crash window between them (state renamed away,
-    new state not yet in place).  That window is closed by
-    ``_read_state``'s healing: the pre-swap state survives as
-    ``state_dir + '.__old<bid>'`` until the new dir lands, and a reader
-    that finds no state_dir restores the newest ``__old`` snapshot — the
-    interrupted batch is then re-delivered and re-merges (idempotent
-    monoid, or ledger-skipped for the additive CMS).  Leftover
-    ``__old``/``__tmp`` dirs from an interrupted earlier swap are swept
-    here, on the write path only."""
-    import glob
-    import os
-    import shutil
-
-    tmp = f"{state_dir}.__tmp{batch_id}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = f"{state_dir}.__old{batch_id}"
-    os.rename(state_dir, old)
-    os.rename(tmp, state_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    for leftover in glob.glob(f"{state_dir}.__old*") + glob.glob(
-        f"{state_dir}.__tmp*"
-    ):
-        shutil.rmtree(leftover, ignore_errors=True)
+    swap_state_dir(state_dir, merged)
 
 
 def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Healing state reader: if a crash landed inside ``_swap_state``'s
-    rename window, restore the newest surviving ``__old`` snapshot
-    (highest batch-id suffix) before reading — recovery to the pre-batch
-    state is correct because the interrupted batch is re-delivered."""
-    import glob
-    import os
-    import re as _re
-
-    if not os.path.exists(state_dir):
-        olds = glob.glob(f"{state_dir}.__old*")
-        if olds:
-
-            def bid(p: str) -> int:
-                m = _re.search(r"__old(\d+)$", p)
-                return int(m.group(1)) if m else -1
-
-            os.rename(max(olds, key=bid), state_dir)
+    """State reader. No healing branch: ``state_dir`` is a symlink that
+    ``_swap_state`` republishes atomically, so it always resolves to a
+    complete state."""
     return spark.read.parquet(state_dir)
 
 
@@ -882,9 +848,10 @@ def stream_cms_heavy_hitters(
         stream_dir = stream_src_dir
     state_dir = tempfile.mkdtemp(prefix="cms_state_")
     # seed empty state: (r, bucket, cell) + applied-batch ledger (bid)
-    spark.createDataFrame(
-        [], "r INT, bucket LONG, cell LONG, bid LONG"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(
+        spark.createDataFrame([], "r INT, bucket LONG, cell LONG, bid LONG"),
+        state_dir,
+    )
 
     stream = spark.readStream.schema(batch_schema).option(
         "maxFilesPerTrigger", 1
@@ -1062,9 +1029,10 @@ def stream_hll_sink(
     else:
         stream_dir = stream_src_dir
     state_dir = tempfile.mkdtemp(prefix="hll_state_")
-    spark.createDataFrame(
-        [], "col_name STRING, bucket INT, rho INT"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(
+        spark.createDataFrame([], "col_name STRING, bucket INT, rho INT"),
+        state_dir,
+    )
 
     stream = spark.readStream.schema(batch_schema).option(
         "maxFilesPerTrigger", 1
@@ -1164,9 +1132,10 @@ def stream_quantile_sink(
     else:
         stream_dir = stream_src_dir
     state_dir = tempfile.mkdtemp(prefix="bk_state_")
-    spark.createDataFrame(
-        [], "value DOUBLE, event_id LONG, h STRING"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(
+        spark.createDataFrame([], "value DOUBLE, event_id LONG, h STRING"),
+        state_dir,
+    )
 
     stream = spark.readStream.schema(batch_schema).option(
         "maxFilesPerTrigger", 1

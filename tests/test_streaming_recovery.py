@@ -26,7 +26,11 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from multisql_spark.streaming import cms_merge_batch, upsert_merge_batch
+from multisql_spark.streaming import (
+    _init_state,
+    cms_merge_batch,
+    upsert_merge_batch,
+)
 from multisql_spark.tables import tune_session
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -102,9 +106,7 @@ def test_upsert_sink_restart_recovery(spark, tmp_path):
         )
 
     latest = make_stream()
-    spark.createDataFrame([], latest.schema).write.mode("overwrite").parquet(
-        out_dir
-    )
+    _init_state(spark.createDataFrame([], latest.schema), out_dir)
     merger = lambda df, bid: upsert_merge_batch(spark, out_dir, df, bid)  # noqa: E731
 
     # phase 1: crash AFTER batch 1's apply, before its checkpoint commit
@@ -148,9 +150,7 @@ def test_cms_sink_restart_recovery_no_double_count(spark, tmp_path):
     spark.read.parquet(src).repartition(3).write.parquet(stream_dir)
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
-    spark.createDataFrame(
-        [], "r INT, bucket LONG, cell LONG, bid LONG"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(spark.createDataFrame([], "r INT, bucket LONG, cell LONG, bid LONG"), state_dir)
 
     def make_stream():
         return (
@@ -218,9 +218,7 @@ def test_hll_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path):
     spark.read.parquet(src).repartition(3).write.parquet(stream_dir)
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
-    spark.createDataFrame(
-        [], "col_name STRING, bucket INT, rho INT"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(spark.createDataFrame([], "col_name STRING, bucket INT, rho INT"), state_dir)
 
     def make_stream():
         return (
@@ -257,9 +255,7 @@ def test_bottomk_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path
     spark.read.parquet(src).repartition(3).write.parquet(stream_dir)
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
-    spark.createDataFrame(
-        [], "value DOUBLE, event_id LONG, h STRING"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(spark.createDataFrame([], "value DOUBLE, event_id LONG, h STRING"), state_dir)
 
     def make_stream():
         return (
@@ -287,12 +283,15 @@ def test_bottomk_sink_restart_recovery_idempotent_without_ledger(spark, tmp_path
     assert _sorted_rows(final) == _sorted_rows(expected)
 
 
-def test_state_swap_crash_window_heals(spark, tmp_path):
-    """ADVICE r5: a crash BETWEEN the two renames of the state swap used
-    to leave no state directory at all, failing the next batch's read.
-    Simulate that exact window (state renamed away to __old, new state
-    never landed) and prove _read_state restores the snapshot, after
-    which a re-delivered batch re-merges to the correct final state."""
+def test_state_swap_is_atomic_no_crash_window(spark, tmp_path):
+    """VERDICT r6 ask #6: the state pointer is now a symlink published
+    with one rename(2), so there is NO crash window and the healing
+    branch is gone.  Simulate a crash at the only non-atomic boundary —
+    the new version directory fully written, a stale tmp link created,
+    the publish rename never executed — and prove the reader still sees
+    the complete PRE-swap state with no repair step; redelivering the
+    interrupted batch then converges, and the sweep removes the orphan
+    version and stale link."""
     import os
 
     from multisql_spark.operators import sketch as sk
@@ -302,30 +301,52 @@ def test_state_swap_crash_window_heals(spark, tmp_path):
     src = f"{SF_DIR}/events.parquet"
     events = spark.read.parquet(src)
     state_dir = str(tmp_path / "state")
-    spark.createDataFrame(
-        [], "col_name STRING, bucket INT, rho INT"
-    ).write.mode("overwrite").parquet(state_dir)
+    _init_state(
+        spark.createDataFrame([], "col_name STRING, bucket INT, rho INT"),
+        state_dir,
+    )
 
     hll_merge_batch(spark, state_dir, events, 0)
-    # crash window: the swap of batch 1 renamed state away and died
-    # before renaming the new state into place
-    os.rename(state_dir, f"{state_dir}.__old1")
-    assert not os.path.exists(state_dir)
-
-    healed = _read_state(spark, state_dir)  # restores the __old snapshot
-    assert os.path.exists(state_dir)
     expected = sk.hll_merge(
         sk.hll_registers(events, "user_id"),
         sk.hll_registers(events, "event_id"),
     )
-    assert _sorted_rows(healed) == _sorted_rows(expected)
-    # batch 1 redelivers: idempotent re-merge, and the stale __old from
-    # the interrupted swap is swept by the write path
+    assert _sorted_rows(spark.read.parquet(state_dir)) == _sorted_rows(
+        expected
+    )
+    published = os.readlink(state_dir)
+
+    # crash window simulation: batch 1's swap wrote its version dir and
+    # tmp link, then died BEFORE the publish rename
+    cur_n = int(published.rsplit(".__v", 1)[1])
+    orphan = f"{state_dir}.__v{cur_n + 1}"
+    spark.createDataFrame(
+        [("GARBAGE", 0, 0)], "col_name STRING, bucket INT, rho INT"
+    ).coalesce(1).write.parquet(orphan)
+    os.symlink(orphan, f"{state_dir}.__lntmp")
+
+    # no repair, no healing: the pointer still resolves to the complete
+    # pre-swap state
+    assert os.readlink(state_dir) == published
+    assert _sorted_rows(_read_state(spark, state_dir)) == _sorted_rows(
+        expected
+    )
+
+    # batch 1 redelivers: idempotent re-merge converges, and the swap
+    # sweeps the orphan version; the stale tmp link is reused/replaced
     hll_merge_batch(spark, state_dir, events, 1)
     assert _sorted_rows(spark.read.parquet(state_dir)) == _sorted_rows(
         expected
     )
-    assert not os.path.exists(f"{state_dir}.__old1")
+    assert not os.path.exists(f"{state_dir}.__lntmp")
+    live = os.readlink(state_dir)
+    leftovers = [
+        p
+        for p in os.listdir(os.path.dirname(state_dir))
+        if p.startswith(os.path.basename(state_dir) + ".__v")
+        and os.path.join(os.path.dirname(state_dir), p) != live
+    ]
+    assert leftovers == []
 
 
 def test_stage_source_handles_both_parquet_layouts(spark, tmp_path):
