@@ -76,26 +76,31 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver records correctness rows for the first 50 registered
 # queries only, so registration order is load-bearing.  Rotation is
 # purely mechanical: ``load_all()`` fronts every query that has never
-# held a green official driver row (rounds 1–5 certified 241/285 — see
-# CORRECTNESS_r0{1..5}.json — leaving 44 never-certified names, which
-# fit one window).  There is no literal window list to go stale: landing
-# a CORRECTNESS file retires its green names without a code edit, and a
-# red row keeps its name fronted for re-certification after the fix.
-# Queries past the 50-cap keep their local pytest oracle gate (strictly
-# stronger: exact multiset equality).
-#
-# When never-certified names number fewer than the 50-slot cap, the
-# spare slots are backfilled with the OLDEST certified names (round-1
-# vintage) for periodic re-confirmation — certification freshness, not
-# wasted capacity.
-_RECONFIRM_TAIL: tuple[str, ...] = (
-    "scan_project_filter",
-    "filter_arithmetic",
-    "projection_case_between",
-    "pricing_summary",
-    "agg_global",
-    "group_having",
-)
+# held a green official driver row (union of CORRECTNESS_r*.json plus
+# this round's ``_RECERTIFY`` semantic-change flags), then backfills
+# with every certified name ordered by certification VINTAGE — stalest
+# green row first — so spare window slots always go to the most
+# re-confirmation-worthy names.  There is no literal window list to go
+# stale: landing a CORRECTNESS file retires its green names and
+# refreshes their vintage without a code edit, and a red row keeps its
+# name fronted for re-certification after the fix.  Queries past the
+# 50-cap keep their local pytest oracle gate (strictly stronger: exact
+# multiset equality).
+
+# Names whose ENGINE OR ORACLE SEMANTICS changed in round 7 (the heavy
+# dedup family moved to bucket-capped pair enumeration; the LSH baseline
+# became sample-bounded; two ADVICE boundary fixes).  Their pre-r7 green
+# rows certify the OLD tree, so they re-front for fresh certification —
+# remove a name once a green row from this round's tree lands.
+_RECERTIFY: frozenset[str] = frozenset({
+    "dedup_minhash_lsh", "dedup_cluster_components",
+    "dedup_ensemble_verdict", "dedup_graph_pagerank",
+    "dedup_minhash_calibration", "dedup_family_histogram",
+    "dedup_lsh_precision_recall", "dedup_graph_triangles",
+    "dedup_cluster_representatives",
+    "pipeline_budget_select", "approx_sketches",
+})
+_RECERTIFY_ROUND = 7  # green rows from this round onward retire the flag
 
 
 def _row_green(row: object) -> bool:
@@ -106,42 +111,68 @@ def _row_green(row: object) -> bool:
     return bool(row.get("hash_match", row.get("rows_match", False)))
 
 
-def _officially_checked() -> frozenset[str]:
-    """Names that already hold a *green* official driver CORRECTNESS row:
-    the pinned per-round sets, unioned with green rows from whatever
-    CORRECTNESS_r*.json files exist in the repo root.  The on-disk union
+def _certification_vintage() -> dict[str, int]:
+    """Per-name LATEST round holding a *green* official driver
+    CORRECTNESS row: the pinned per-round sets, refreshed by whatever
+    CORRECTNESS_r*.json files exist in the repo root.  The on-disk scan
     makes window rotation self-maintaining — once the driver lands a
-    round's CORRECTNESS file, that round's window names stop fronting
-    automatically, so rotation can never waste certification slots on
-    already-certified queries.  Red rows do NOT
-    count as checked: a query that failed certification keeps its window
-    slot so it is re-fronted for re-certification after the fix
-    (consistent with ``certification()``'s latest-round/green ledger)."""
+    round's CORRECTNESS file, that round's green names carry its vintage
+    without a code edit.  Red rows do NOT update the vintage: a query
+    that failed certification keeps its stale (or absent) vintage so it
+    re-fronts after the fix (consistent with ``certification()``'s
+    latest-round/green ledger)."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
-    checked = set(_ROUND1_CHECKED | _ROUND2_CHECKED | _ROUND3_CHECKED)
+    vintage: dict[str, int] = {}
+    for rnd, names in (
+        (1, _ROUND1_CHECKED), (2, _ROUND2_CHECKED), (3, _ROUND3_CHECKED)
+    ):
+        for n in names:
+            vintage[n] = max(vintage.get(n, 0), rnd)
     root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     for fp in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", fp)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(fp) as f:
                 rows = _json.load(f)
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            checked.update(n for n, r in rows.items() if _row_green(r))
-    return frozenset(checked)
+            for n, r in rows.items():
+                if _row_green(r):
+                    vintage[n] = max(vintage.get(n, 0), rnd)
+    return vintage
+
+
+def _officially_checked() -> frozenset[str]:
+    """Names whose green certification still describes the CURRENT tree:
+    certified at least once, and — for names in ``_RECERTIFY`` (semantics
+    changed this round) — certified at or after ``_RECERTIFY_ROUND``."""
+    vintage = _certification_vintage()
+    return frozenset(
+        n
+        for n, rnd in vintage.items()
+        if n not in _RECERTIFY or rnd >= _RECERTIFY_ROUND
+    )
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: fills REGISTRY) and return
-    them with never-driver-certified queries fronted — under ANY driver
-    cap this maximizes first-time driver rows per round — then the
-    oldest-certified re-confirmation tail, then the rest in registration
-    order."""
+    them with queries needing a driver row fronted — never-certified
+    names plus ``_RECERTIFY`` names whose green rows predate this
+    round's semantic change; under ANY driver cap this maximizes
+    useful driver rows per round — then every certified name ordered by
+    certification VINTAGE (stalest green row first, registration order
+    breaking ties), so the window backfill is always the most
+    re-confirmation-worthy names with no literal list to go stale."""
     from multisql_spark.queries import (  # noqa: F401
         analytics_q,
         core,
@@ -157,16 +188,17 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     checked = _officially_checked()
+    vintage = _certification_vintage()
     ordered: dict[str, QuerySpec] = {}
     for name, spec in REGISTRY.items():
         if name not in checked:
             ordered[name] = spec
-    for name in _RECONFIRM_TAIL:
-        if name in REGISTRY and name not in ordered:
-            ordered[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
+    reg_pos = {name: i for i, name in enumerate(REGISTRY)}
+    for name in sorted(
+        (n for n in REGISTRY if n not in ordered),
+        key=lambda n: (vintage.get(n, 0), reg_pos[n]),
+    ):
+        ordered[name] = REGISTRY[name]
     return ordered
 
 

@@ -718,23 +718,27 @@ def test_mm_feature_extract_matches_python(spark, sf_dir):
 
 
 def test_driver_window_well_formed():
-    """Rotation guard: the registry prefix must be exactly the
-    never-driver-certified names (registration order), then the
-    oldest-certified re-confirmation tail — the list-free mechanism
+    """Rotation guard: the registry prefix must be exactly the names
+    without a current-tree green row (registration order), then the
+    certified names stalest-vintage-first — the list-free mechanism
     that makes certification self-maintaining."""
     from multisql_spark.queries import (
         REGISTRY,
-        _RECONFIRM_TAIL,
+        _certification_vintage,
         _officially_checked,
         load_all,
     )
 
     reg = load_all()
     checked = _officially_checked()
+    vintage = _certification_vintage()
     never = [n for n in REGISTRY if n not in checked]
     assert list(reg)[: len(never)] == never
-    after = list(reg)[len(never) : len(never) + len(_RECONFIRM_TAIL)]
-    assert after == [n for n in _RECONFIRM_TAIL if n not in set(never)]
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    keys = [
+        (vintage.get(n, 0), reg_pos[n]) for n in list(reg)[len(never) :]
+    ]
+    assert keys == sorted(keys)
 
 
 def test_hll_deterministic_error_bound_and_stability(spark):
