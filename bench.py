@@ -135,6 +135,12 @@ def bench_queries(spark: SparkSession):
         "pca_power_iteration": "sim_pca_power_iteration",
         "bpe_pair_stats": "text_bpe_pair_stats",
         "tpch_local_supplier": "tpch_local_supplier_volume",
+        # round-7: the production dedup path end-to-end (minhash
+        # signatures -> bucket-capped LSH pair enumeration -> 2-of-3
+        # ensemble verdict), tracked round-over-round like everything
+        # else now that every heavy consumer runs capped
+        "dedup_lsh_capped": "dedup_lsh_bucket_capped",
+        "dedup_capped_verdict": "dedup_ensemble_verdict",
         # round-5 sketch family: engine-exact approximation primitives
         "hll_distinct": "sketch_hll_deterministic",
         "quantile_bottomk": "sketch_quantile_bottomk",
