@@ -452,3 +452,52 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         _ratio(F.col("text")).alias("compress_ratio"),
     ).withColumn("is_templated", F.col("compress_ratio") < 0.3)
+
+
+def bpe_encode_len(word: str, merges: list) -> int:
+    """Subword count of ``word`` under a ranked BPE merge table
+    (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+    Words with Subword Units"): one left-to-right replacement pass per
+    merge, applied in rank order.  Pure function so the vectorized
+    encoder below and the tests can share it; the SQL-oracle fixture is
+    generated by an INDEPENDENT implementation of the same contract
+    (tools/make_bpe_fixture.py) with no import in either direction."""
+    if not word:
+        return 0
+    sym = list(word)
+    for a, b in merges:
+        out, i, n = [], 0, len(sym)
+        while i < n:
+            if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def bpe_encode_vocab(vocab: DataFrame, merges: list) -> DataFrame:
+    """(word) → (word, n_subwords) via an Arrow-batched pandas UDF with
+    the merge table captured in the closure (broadcast with the task —
+    a trained tokenizer's merge list is a tiny shared artifact).
+
+    This is the 100 TB shape for corpus tokenization: the imperative
+    merge loop runs over the DISTINCT WORD VOCABULARY — sublinear in
+    corpus size and cacheable across batches — and the corpus-sized side
+    only ever pays a broadcast hash join against the encoded vocab.
+    Tokenizing per occurrence would run the Python kernel O(corpus)
+    times for identical inputs."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf("long", PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def _enc(words):
+        return words.map(lambda w: bpe_encode_len(w, frozen))
+
+    return vocab.select(
+        F.col("word"), _enc(F.col("word")).alias("n_subwords")
+    )

@@ -1318,6 +1318,73 @@ def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_budget_oracle() -> str:
+    from multisql_spark.operators.textan import QUALITY_LOGIT_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+             {QUALITY_LOGIT_SQL} AS logit
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, toks, logit,
+             sum(toks) OVER (PARTITION BY source
+                             ORDER BY logit DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS src_cum
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, toks, logit,
+           CAST(src_cum AS BIGINT) AS src_cum
+    FROM ranked WHERE src_cum <= 2000
+    """
+
+
+@register(
+    "pipeline_domain_token_budget",
+    oracle=_domain_budget_oracle(),
+    tags=("pipeline", "selection", "budget", "mixing"),
+)
+def pipeline_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token quotas: within every source, keep the
+    highest-quality documents (learned logit, doc_id tie-break) until
+    that source's token budget is exhausted — the per-domain cap step of
+    corpus mixing (domain quotas in TOKENS, not documents, so one
+    verbose domain cannot swamp the mix; cf. the per-domain limits used
+    by C4/web-corpus curation).
+
+    The global-budget companion (`pipeline_budget_select`) needs a
+    bucket-boundary trick to avoid a corpus-wide window; this one does
+    not: the running sum is PARTITIONED BY source, so the whole
+    selection is embarrassingly parallel across domains — one hash
+    exchange on source, per-partition sort, zero global state.  Skewed
+    domains are bounded by their own budget: work per partition is
+    O(domain size), and at 100 TB the quota evaluation streams each
+    domain once."""
+    from pyspark.sql import Window as W
+
+    from multisql_spark.operators.textan import quality_logit_expr
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+        quality_logit_expr().alias("logit"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("logit").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scored.withColumn("src_cum", F.sum("toks").over(w).cast("long"))
+        .filter(F.col("src_cum") <= 2000)
+        .select(F.col("doc_id").cast("long"), "source", "toks", "logit", "src_cum")
+    )
+
+
 @register(
     "events_retention_cohorts",
     oracle=f"""

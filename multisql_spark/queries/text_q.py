@@ -20,6 +20,12 @@ _ZLIB_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "tools", "fixtures", "zlib_ratio_fixture.parquet",
 )
+_BPE_MERGES = _os.path.join(
+    _os.path.dirname(_ZLIB_FIXTURE), "bpe_merges.parquet"
+)
+_BPE_WORD_TOKENS = _os.path.join(
+    _os.path.dirname(_ZLIB_FIXTURE), "bpe_word_tokens.parquet"
+)
 
 
 @register(
@@ -845,6 +851,81 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(20)
+    )
+
+
+@register(
+    "text_bpe_encode",
+    # Iterative merge application has no SQL equivalent, so the oracle
+    # JOINs each corpus word to a fixture of (word -> n_subwords)
+    # produced by an independent pure-Python BPE implementation
+    # (tools/make_bpe_fixture.py, zlib-fixture tradition).  The engine
+    # side encodes with its OWN kernel (textan.bpe_encode_len) — the
+    # hash-compare is a real cross-implementation check, additionally
+    # pinned word-by-word in tests/test_pipeline_ops.py.
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, lang,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT w.doc_id, w.source, w.lang, w.word, f.n_subwords
+      FROM words w
+      JOIN read_parquet('{_BPE_WORD_TOKENS}') f USING (word)
+    )
+    SELECT source, lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) FILTER (WHERE word <> '') AS n_words,
+           CAST(sum(n_subwords) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_subwords) * 10000
+                // NULLIF(count(*) FILTER (WHERE word <> ''), 0)
+                AS BIGINT) AS fertility_x1e4
+    FROM enc
+    GROUP BY source, lang
+    """,
+    tags=("text", "tokenizer", "bpe", "udf"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a pre-trained BPE merge table (Sennrich
+    et al. 2016): per (source, lang), document/word counts, total BPE
+    tokens, and fertility (subwords per word, ×1e4 integer — engine-exact
+    division).  The token-accounting pass every training-data pipeline
+    runs before packing/budgeting.
+
+    Scale shape: the 20-rule merge table is a tiny trained artifact
+    (read once, shipped in the UDF closure); the imperative merge loop
+    runs only over the DISTINCT word vocabulary (sublinear in corpus
+    size), and the corpus-sized word stream pays one broadcast hash join
+    against the encoded vocab plus one partial aggregation.  At 100 TB
+    the Python kernel's cost is O(vocabulary), not O(corpus) — the same
+    reason production tokenizers memoize word→pieces."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    merges_rows = sorted(
+        spark.read.parquet(_BPE_MERGES).collect(), key=lambda r: r["rank"]
+    )
+    merges = [(r["left"], r["right"]) for r in merges_rows]
+    words = t["documents"].select(
+        "doc_id", "source", "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    vocab = words.select("word").distinct()
+    enc = textan.bpe_encode_vocab(vocab, merges)
+    n_words = F.count(F.when(F.col("word") != "", F.lit(1)))
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("source", "lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            n_words.alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "source", "lang", "n_docs", "n_words", "bpe_tokens",
+            F.expr(
+                "CAST((bpe_tokens * 10000) DIV nullif(n_words, 0) AS BIGINT)"
+            ).alias("fertility_x1e4"),
+        )
     )
 
 

@@ -916,3 +916,28 @@ def test_cdc_chunks_resynchronize_after_edit(spark):
         "fixed-width chunks should lose all alignment after a "
         "one-token prepend"
     )
+
+
+def test_bpe_encoder_matches_fixture():
+    """The engine's BPE kernel (textan.bpe_encode_len) and the
+    independent fixture implementation (tools/make_bpe_fixture.py) must
+    agree on every vocabulary word — the cross-implementation exactness
+    pin behind text_bpe_encode's fixture oracle.  Pure-Python: no Spark
+    session needed."""
+    import pyarrow.parquet as pq
+
+    from multisql_spark.operators.textan import bpe_encode_len
+    from multisql_spark.queries.text_q import _BPE_MERGES, _BPE_WORD_TOKENS
+
+    mt = pq.read_table(_BPE_MERGES).to_pydict()
+    order = sorted(range(len(mt["rank"])), key=lambda i: mt["rank"][i])
+    merges = [(mt["left"][i], mt["right"][i]) for i in order]
+    assert len(merges) >= 10
+
+    wt = pq.read_table(_BPE_WORD_TOKENS).to_pydict()
+    assert "" in wt["word"], "empty word must be covered (split edge)"
+    for word, want in zip(wt["word"], wt["n_subwords"]):
+        got = bpe_encode_len(word, merges)
+        assert got == want, (word, got, want)
+        # a merge table never lengthens a word and never reaches zero
+        assert (0 if not word else 1) <= got <= max(1, len(word))
