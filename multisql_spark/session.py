@@ -550,29 +550,37 @@ class MultiSQLSession:
             raise EngineError(
                 "driver testdata is read-only; attach a copy to mutate it"
             )
-        if state.persist_kind == "xlsx":
+        if state.persist_kind in ("xlsx", "xls"):
             # embedded format: whole-book rewrite preserving other sheets
             # (reference sheet/mutable.rs loads and rewrites the book too).
             # The rewrite necessarily collects the sheet to the driver —
-            # bounded by the XLSX format's own 1,048,576-row sheet limit,
-            # enforced BEFORE collecting so an oversized table errors
-            # instead of OOMing the driver (VERDICT r2 "What's wrong" #2).
-            from multisql_spark.sources import xlsx as xmod
+            # bounded by the format's own sheet-row limit (1,048,576 for
+            # OOXML; 65,536 for BIFF8), enforced BEFORE collecting so an
+            # oversized table errors instead of OOMing the driver
+            # (VERDICT r2 "What's wrong" #2).
             from multisql_spark.sources import xlsx_sheet_df
 
+            if state.persist_kind == "xlsx":
+                from multisql_spark.sources import xlsx as xmod
+
+                max_rows = 1_048_575  # + header row = the format's max
+            else:
+                from multisql_spark.sources import xls as xmod
+
+                max_rows = 65_535
             n_rows = state.df.count()
-            if n_rows > 1_048_575:  # + header row = the format's max
+            if n_rows > max_rows:
                 raise UnsupportedError(
-                    f"xlsx sheet would exceed the format's 1,048,576-row "
-                    f"limit ({n_rows} data rows); use a parquet/csv-backed "
-                    "database for tables this large"
+                    f"{state.persist_kind} sheet would exceed the format's "
+                    f"{max_rows + 1:,}-row limit ({n_rows} data rows); use "
+                    "a parquet/csv-backed database for tables this large"
                 )
             sheet = state.name.split("__", 1)[1]
             book = xmod.read_workbook(state.persist_path)
             book[sheet] = [list(state.df.columns)] + [
                 list(r) for r in state.df.collect()
             ]
-            fd, tmpf = tempfile.mkstemp(suffix=".xlsx")
+            fd, tmpf = tempfile.mkstemp(suffix=f".{state.persist_kind}")
             os.close(fd)
             xmod.write_workbook(tmpf, book)
             shutil.move(tmpf, state.persist_path)
@@ -922,7 +930,7 @@ class MultiSQLSession:
             raise AlreadyExistsError(f"database exists: {name}")
         db = attach_database(self.spark, name, path)
         self.databases[name] = db
-        if db.kind in ("parquet", "csv", "json", "xlsx", "orc"):
+        if db.kind in ("parquet", "csv", "json", "xlsx", "xls", "orc"):
             # writable backends (reference DBMut): DML on db.table routes
             # through the managed-table pipeline and flushes back to disk
             for tname, df in db.tables.items():

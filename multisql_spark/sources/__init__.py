@@ -8,8 +8,9 @@ just like the reference (``src/glue/mod.rs:110-129``):
   every ``<table>.parquet`` inside becomes ``name__<table>``
 - ``*.csv``           → single-table CSV database (schema inference parity
   with ``src/databases/csv/discern.rs`` via Spark's inferSchema)
-- ``*.xlsx``          → spreadsheet backend; needs an excel reader on the
-  classpath — stubbed behind an import-try (not in this image)
+- ``*.xlsx``          → spreadsheet backend (stdlib OOXML reader/writer)
+- ``*.xls``           → legacy BIFF8 spreadsheet backend (stdlib, beyond
+  ref — the reference's sheet backend is xlsx-only)
 - ``jdbc:...`` URL    → JDBC passthrough (the ODBC-equivalent) via
   ``spark.read.jdbc`` — no 1000-row cap, predicate pushdown for free
 
@@ -50,13 +51,7 @@ def attach_database(
     if path.endswith(".orc"):
         return _attach_orc(spark, name, path)
     if path.endswith(".xls"):
-        raise NotImplementedError(
-            "legacy .xls (BIFF) is unsupported — the reference's sheet "
-            "backend (src/databases/sheet/) is xlsx-only too. Convert "
-            "once with `libreoffice --headless --convert-to xlsx "
-            "book.xls` (or Save As in any spreadsheet app) and attach "
-            "the .xlsx"
-        )
+        return _attach_xls(spark, name, path)
     if os.path.isdir(path) or path.endswith("/"):
         return _attach_parquet_dir(spark, name, path)
     raise ValueError(f"cannot guess database backend for path: {path}")
@@ -217,6 +212,22 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
+
+
+def _attach_xls(spark: SparkSession, name: str, path: str) -> SourceDatabase:
+    """Legacy BIFF8 spreadsheet backend (beyond ref — the reference's
+    sheet backend, src/databases/sheet/base.rs, is xlsx-only): same
+    one-table-per-sheet + header-discernment + rewrite-on-write contract
+    as xlsx, via the stdlib BIFF8 reader in
+    :mod:`multisql_spark.sources.xls`."""
+    from multisql_spark.sources import xls
+
+    db = SourceDatabase(name=name, path=path, kind="xls")
+    for sheet, rows in xls.read_workbook(path).items():
+        df = xlsx_sheet_df(spark, rows)
+        df.createOrReplaceTempView(f"{name}__{sheet}")
+        db.tables[sheet] = df
+    return db
 
 
 def _attach_xlsx(spark: SparkSession, name: str, path: str) -> SourceDatabase:

@@ -664,3 +664,117 @@ def test_key_sharded_delete_with_empty_shards(spark, tmp_path):
         layout.delete_keys(spark, root, "doc_id", [3])
     res3 = layout.delete_keys(spark, root, "doc_id", [3], n_shards=16)
     assert res3["rows_deleted"] == 1
+
+
+def test_xls_database_roundtrip(spark, tmp_path_factory):
+    """Legacy BIFF8 spreadsheet backend (beyond ref — the reference's
+    sheet backend src/databases/sheet/ is xlsx-only): one table per
+    sheet, typed columns, DML write-back preserving sibling sheets —
+    the same contract as the xlsx backend."""
+    from multisql_spark.sources import xls
+
+    book = str(tmp_path_factory.mktemp("xlsdb") / "book.xls")
+    xls.write_workbook(
+        book,
+        {
+            "people": [
+                ["id", "name", "score", "active"],
+                [1, "ada", 9.5, True],
+                [2, "bob", 7.0, False],
+                [3, "cy", None, True],
+            ],
+            "tags": [["tag"], ["x"], ["y"]],
+        },
+    )
+    g = MultiSQLSession(spark)
+    g.execute(f"CREATE DATABASE xb LOCATION '{book}'")
+    out = g.execute(
+        "SELECT name, score FROM xb.people WHERE active ORDER BY id"
+    )
+    assert out.rows == [("ada", 9.5), ("cy", None)]
+    assert sorted(g.execute("SELECT tag FROM xb.tags").rows) == [
+        ("x",), ("y",),
+    ]
+    g.execute("INSERT INTO xb.people (id, name, score, active)"
+              " VALUES (4, 'di', 8.25, TRUE)")
+    g.execute("DELETE FROM xb.people WHERE id = 2")
+    g2 = MultiSQLSession(spark)
+    g2.execute(f"CREATE DATABASE xb2 LOCATION '{book}'")
+    assert sorted(g2.execute("SELECT id, name FROM xb2.people").rows) == [
+        (1, "ada"), (3, "cy"), (4, "di"),
+    ]
+    assert sorted(g2.execute("SELECT tag FROM xb2.tags").rows) == [
+        ("x",), ("y",),
+    ]
+
+
+def test_xls_reader_handles_excel_native_records(tmp_path_factory):
+    """The BIFF8 reader must decode the record types REAL Excel writers
+    emit that our own writer does not: SST/LABELSST shared strings
+    (including an SST split across a CONTINUE record mid-string, with
+    the re-sent flags byte), RK packed numbers (all four encodings) and
+    MULRK runs.  The stream is hand-assembled per MS-XLS so the reader
+    is exercised against the spec, not against our writer."""
+    import struct
+
+    from multisql_spark.sources import xls
+    from multisql_spark.sources.xls import _cfb_wrap, _rec
+
+    def unistr16(s, high=True):
+        raw = s.encode("utf-16-le" if high else "latin-1")
+        return struct.pack("<HB", len(s), 1 if high else 0) + raw
+
+    # SST with 3 strings; the third splits across CONTINUE mid-string
+    # (first half compressed, continued half as utf-16 with flags=1)
+    s3a, s3b = "abc", "ДЕФ"  # continuation switches to high bytes
+    sst_head = struct.pack("<ii", 3, 3)
+    sst_body = unistr16("hello") + unistr16("wörld", high=False)
+    sst_body += struct.pack("<HB", len(s3a) + len(s3b), 0)
+    sst_body += s3a.encode("latin-1")
+    cont = b"\x01" + s3b.encode("utf-16-le")
+
+    # RK encodings: int, int/100, float, float/100
+    def rk(v):
+        return v & 0xFFFFFFFF
+
+    rk_int = rk((300 << 2) | 2)
+    rk_int_neg = rk(((-77 << 2)) | 2)
+    rk_cents = rk((1234 << 2) | 3)  # 12.34
+    ieee = struct.unpack("<Q", struct.pack("<d", 2.5))[0]
+    rk_float = rk((ieee >> 32) & 0xFFFFFFFC)
+
+    sheet = bytearray()
+    sheet += _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    for col, isst in enumerate((0, 1, 2)):
+        sheet += _rec(0x00FD, struct.pack("<HHHI", 0, col, 15, isst))
+    sheet += _rec(0x027E, struct.pack("<HHHI", 1, 0, 15, rk_int))
+    sheet += _rec(0x027E, struct.pack("<HHHI", 1, 1, 15, rk_int_neg))
+    mulrk = struct.pack("<HH", 2, 0)
+    mulrk += struct.pack("<HI", 15, rk_cents) + struct.pack("<HI", 15, rk_float)
+    mulrk += struct.pack("<H", 1)  # colLast
+    sheet += _rec(0x00BD, mulrk)
+    sheet += _rec(0x000A, b"")
+
+    def build_globals(sheet_off):
+        g = bytearray()
+        g += _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        g += _rec(
+            0x0085,
+            struct.pack("<IBB", sheet_off, 0, 0)
+            + struct.pack("<BB", 2, 0) + b"s1",
+        )
+        g += _rec(0x00FC, sst_head + sst_body)
+        g += _rec(0x003C, cont)
+        g += _rec(0x000A, b"")
+        return bytes(g)
+
+    glb = build_globals(0)
+    stream = build_globals(len(glb)) + bytes(sheet)
+    path = str(tmp_path_factory.mktemp("xlsnative") / "native.xls")
+    with open(path, "wb") as fh:
+        fh.write(_cfb_wrap(stream))
+
+    grid = xls.read_workbook(path)["s1"]
+    assert grid[0] == ["hello", "wörld", "abcДЕФ"]
+    assert grid[1][:2] == [300, -77]
+    assert grid[2][:2] == [12.34, 2.5]
