@@ -118,18 +118,36 @@ def lsh_bucketed_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand_filter=None,
 ) -> DataFrame:
     """ANN: search only within the query's LSH bucket. Recall trades off
     against bucket count (2^n_planes); multi-probe = union over adjacent
-    buckets (not needed at this corpus size)."""
+    buckets (not needed at this corpus size).
+
+    ``cand_filter`` is the filtered-search variant: a metadata predicate
+    applied to the CANDIDATE side before the bucket join (PRE-filter).
+    Pre-filtering is the scale-correct composition — the predicate
+    evaluates in the candidate scan stage before any exchange (simple
+    equality/range attribute predicates additionally reach Parquet
+    PushedFilters), the bucket join's probe side shrinks with the
+    predicate's selectivity, and every query receives a full top-k
+    drawn from the filtered distribution; post-filtering an unfiltered
+    shortlist instead under-delivers (< k survivors) exactly when the
+    predicate is selective, which is when filtered search matters."""
     from pyspark.sql import Window as W
 
     planes = [hyperplane(m, dim) for m in range(n_planes)]
-    base = emb.select(
-        F.col(id_col),
-        as_double(vec_col).alias("v"),
-    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
-    q = base.filter(query_filter).select(
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            as_double(vec_col).alias("v"),
+        ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+
+    base = with_bucket(
+        emb.filter(cand_filter) if cand_filter is not None else emb
+    )
+    q = with_bucket(emb.filter(query_filter)).select(
         F.col(id_col).alias("q_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("q_bucket"),

@@ -127,6 +127,57 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_filtered",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+          FROM emb WHERE vec_id < 5),
+    pairs AS (
+      SELECT q_id, c.vec_id AS cand_id,
+             {_COS.format(a="qv", b="c.v")} AS cos_sim
+      FROM q JOIN emb c ON c.bucket = q.q_bucket
+      WHERE c.vec_id <> q.q_id AND c.label % 2 = 0
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+           cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "lsh", "ann", "filtered"),
+)
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: ANN top-5 within the query's LSH bucket
+    among candidates satisfying a metadata predicate (even ``label``) —
+    the attribute-constrained retrieval every production vector store
+    serves ("similar items in category X").
+
+    Scale design — PRE-filter, not post-filter: the predicate is applied
+    to the candidate side before the bucket join, so it evaluates in the
+    scan stage ahead of any exchange, the join's probe side shrinks with
+    the predicate's selectivity, and each query's top-k is drawn
+    complete from the filtered distribution. Post-filtering an
+    unfiltered ANN shortlist returns fewer than k exactly when the
+    filter is selective — the known failure mode this composition
+    avoids."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return sim.lsh_bucketed_topk(
+        t["embeddings"],
+        F.col("vec_id") < 5,
+        n_planes=N_PLANES,
+        dim=DIM,
+        k=5,
+        cand_filter=F.col("label") % 2 == 0,
+    )
+
+
+@register(
     "sim_ann_ivf",
     oracle=f"""
     WITH emb AS (
