@@ -941,3 +941,43 @@ def test_bpe_encoder_matches_fixture():
         assert got == want, (word, got, want)
         # a merge table never lengthens a word and never reaches zero
         assert (0 if not word else 1) <= got <= max(1, len(word))
+
+
+def test_filtered_ann_prefilter_beats_postfilter(spark):
+    """The pre-filter composition must (a) return only predicate-passing
+    candidates, (b) give every query a top-k drawn from the FILTERED
+    bucket population, and (c) dominate post-filtering an unfiltered
+    shortlist, which drops below k whenever odd-label candidates held
+    shortlist slots.
+
+    sf0.1 explicitly: the under-delivery in (c) needs buckets larger
+    than k with mixed labels (~78 vectors/bucket here); at sf0.001 the
+    ~8-member buckets rarely waste a shortlist slot, so the failure
+    mode this test demonstrates would not surface."""
+    from collections import Counter
+
+    sf_dir = "/root/testdata/sf0.1"
+    reg = load_all()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    pre = reg["sim_ann_filtered"].fn(spark, sf_dir).collect()
+    assert pre, "filtered ANN returned nothing"
+    assert all(labels[r["cand_id"]] % 2 == 0 for r in pre)
+
+    unfiltered = reg["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    post = Counter(
+        r["q_id"] for r in unfiltered if labels[r["cand_id"]] % 2 == 0
+    )
+    pre_n = Counter(r["q_id"] for r in pre)
+    # post-filtering can never return MORE survivors than the pre-filter
+    # top-k for the same query, and drops strictly below wherever the
+    # unfiltered shortlist spent slots on odd labels
+    for q, n in pre_n.items():
+        assert post.get(q, 0) <= n
+    dropped = [q for q in pre_n if post.get(q, 0) < pre_n[q]]
+    assert dropped, (
+        "expected at least one query where post-filtering under-delivers"
+    )
