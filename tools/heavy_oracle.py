@@ -53,8 +53,18 @@ def _md5(s: str) -> str:
 
 
 def _round_half_up(x: float, d: int) -> float:
-    """Spark F.round on DoubleType: HALF_UP over the exact binary value."""
-    return float(Decimal(x).quantize(Decimal(1).scaleb(-d), ROUND_HALF_UP))
+    """Spark F.round on DoubleType: HALF_UP over the SHORTEST decimal
+    representation of the double, not its exact binary expansion —
+    Spark's Round goes through BigDecimal.valueOf(double), i.e.
+    Double.toString, and Python's repr() produces the same shortest
+    round-trip digits.  The distinction bites exactly when the shortest
+    repr ends in a literal ...5 whose binary value sits a hair below
+    (r7 example: 181062305/1310/1e6 reprs as 0.1382155 but is
+    0.13821549999...; Spark rounds it UP to 0.138216, exact-binary
+    HALF_UP would go DOWN)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-d), ROUND_HALF_UP)
+    )
 
 
 # --------------------------------------------------------------------------
