@@ -14,8 +14,10 @@ the SQL oracles (VERDICT r3 ask #3).
 
 Numeric contract replicated exactly:
 - all fingerprints are md5 hex (engine + oracles share this);
-- Spark ``F.round(x, d)`` = HALF_UP on the double's exact binary value
-  (java.math.BigDecimal(double)) — replicated with decimal.Decimal;
+- Spark ``F.round(x, d)`` = HALF_UP on the double's SHORTEST decimal
+  repr (java.math.BigDecimal.valueOf → Double.toString) — replicated
+  with decimal.Decimal(repr(x)), fixed r7 (the exact-binary form
+  disagreed at literal-...5 reprs whose binary value sits just below);
 - ``F.floor(x)`` on double division replicated with math.floor on the
   same IEEE-754 quotient;
 - PageRank's driver-side ``round()`` literals are Python banker's
