@@ -64,6 +64,30 @@ def attach_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_audio_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque AUDIO binary column + typed metadata from
+    documents (same md5-chain bytes as :func:`attach_blobs`, audio-typed
+    meta): the modality lives in the metadata struct, not the bytes —
+    exactly how a multimodal lakehouse distinguishes assets without
+    decoding them.  sample_rate_hz varies per asset (8/12/16/24 kHz) so
+    duration math exercises real heterogeneity."""
+    blob = F.unhex(
+        F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))
+    )
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        blob.alias("blob"),
+        F.struct(
+            F.lit("fake_pcm").alias("codec"),
+            ((F.col("n_chars") % 4) * 4000 + 8000)
+            .cast("int")
+            .alias("sample_rate_hz"),
+            F.lit(2).cast("int").alias("bytes_per_sample"),
+            F.octet_length(blob).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def decode_image(blob: bytes, fake: bool = False) -> list[float]:
     """Decode an image blob to pixels. REAL decode needs PIL — not in this
     container; the deterministic fake derives FEATURE_DIM floats from the
@@ -181,3 +205,69 @@ def resize_pool(mm: DataFrame) -> DataFrame:
 
     schema = "doc_id long, resized_csv string, n_px_in int, n_px_out int"
     return mm.select("doc_id", "blob").mapInPandas(run, schema)
+
+
+def audio_chunk_plan(
+    mm_audio: DataFrame, chunk_samples: int = 4, bytes_per_sample: int = 2
+) -> DataFrame:
+    """Sample-aligned chunking plan for opaque audio blobs — the
+    segmentation step every speech/audio pipeline runs before decode
+    (VAD windows, ASR segments, training clips).
+
+    The plan derives every chunk's BYTE OFFSETS from typed metadata
+    alone (sample rate, bytes/sample, blob length): chunk boundaries
+    land on sample boundaries by construction
+    (byte_start % bytes_per_sample == 0), the final partial chunk keeps
+    its true length, and a decode-free energy proxy (sum of the chunk's
+    byte values — pure JVM column algebra over hex pairs, the
+    ``frame_sample`` trick) gives the silence-pruning signal without
+    any codec.
+
+    Scale shape: one row per (asset, chunk) carrying offsets + 3 ints —
+    the blob bytes themselves never enter a shuffle; at 100 TB the
+    decode stage reads each chunk's byte range from the parquet binary
+    chunk it already sits in, driven by this plan table."""
+    chunk_bytes = chunk_samples * bytes_per_sample
+    hexed = F.hex(F.col("blob"))
+    n_bytes = F.octet_length("blob")
+    n_chunks = F.ceil(n_bytes / chunk_bytes).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    base = mm_audio.select(
+        "doc_id",
+        F.col("meta.sample_rate_hz").alias("sample_rate_hz"),
+        n_bytes.alias("n_bytes"),
+        hexed.alias("hx"),
+        chunk,
+    )
+    byte_start = F.col("chunk_id") * chunk_bytes
+    byte_len = F.least(
+        F.lit(chunk_bytes), F.col("n_bytes") - byte_start
+    )
+    # energy proxy: sum of byte values in [byte_start, byte_start+len)
+    energy = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), byte_len),
+            lambda j: F.conv(
+                F.substring(
+                    F.col("hx"), (byte_start + j - 1) * 2 + 1, 2
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_id").cast("long"),
+        byte_start.cast("long").alias("byte_start"),
+        byte_len.cast("long").alias("byte_len"),
+        (byte_len / bytes_per_sample).cast("long").alias("n_samples"),
+        F.col("sample_rate_hz").cast("long").alias("sample_rate_hz"),
+        energy.alias("energy_q"),
+    ).withColumn(
+        # integer microseconds: exact on both engines (no float time math)
+        "duration_us",
+        F.expr("(n_samples * 1000000) DIV sample_rate_hz"),
+    )

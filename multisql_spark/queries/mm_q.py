@@ -277,3 +277,62 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage; only the 8 pooled ints move."""
     t = load_tables(spark, sf_dir, ["documents"])
     return mm.resize_pool(mm.attach_blobs(t["documents"]))
+
+
+@register(
+    "mm_audio_chunk_plan",
+    # byte extraction replicated with the hex-nibble strpos trick (see
+    # mm_feature_extract); all offsets/durations are integer arithmetic
+    # so the hash compare is engine-exact
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, (n_chars % 4) * 4000 + 8000 AS sample_rate_hz,
+             md5(text) || md5('x' || text) AS hx
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, sample_rate_hz, hx,
+             unnest(range(0, 6)) AS chunk_id
+      FROM h
+    ),
+    p AS (
+      SELECT doc_id, sample_rate_hz, hx, chunk_id,
+             chunk_id * 6 AS byte_start,
+             least(6, 32 - chunk_id * 6) AS byte_len
+      FROM c
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(byte_start AS BIGINT) AS byte_start,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           CAST(byte_len // 2 AS BIGINT) AS n_samples,
+           CAST(sample_rate_hz AS BIGINT) AS sample_rate_hz,
+           CAST(list_sum(list_transform(
+                 range(byte_start, byte_start + byte_len), j ->
+                 16 * (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 1, 1)) - 1)
+                    + (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 2, 1)) - 1)))
+                AS BIGINT) AS energy_q,
+           CAST((byte_len // 2) * 1000000 // sample_rate_hz AS BIGINT)
+             AS duration_us
+    FROM p
+    """,
+    tags=("multimodal", "audio", "chunking"),
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-asset chunking plan: sample-aligned byte ranges derived
+    from typed metadata alone (heterogeneous sample rates, 2
+    bytes/sample, 3-sample chunks so the final chunk is partial), with
+    integer-exact per-chunk duration and a decode-free energy proxy —
+    the segmentation every speech pipeline runs before decoding
+    anything.
+
+    Scale design: the plan never decodes and never shuffles blob bytes —
+    one row per (asset, chunk) carrying offsets + ints; the decode stage
+    later reads exactly its byte range.  Boundaries land on sample
+    boundaries by construction, so a chunk is independently decodable —
+    the property that makes the plan distributable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    audio = mm.attach_audio_blobs(t["documents"])
+    return mm.audio_chunk_plan(audio, chunk_samples=3, bytes_per_sample=2)
