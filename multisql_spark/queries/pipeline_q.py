@@ -1386,6 +1386,81 @@ def pipeline_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_interleave_stride",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, sum(toks) AS src_tokens
+      FROM scored GROUP BY source
+    ),
+    r AS (
+      SELECT s.doc_id, s.source, s.toks, t.src_tokens,
+             sum(s.toks) OVER (PARTITION BY s.source ORDER BY s.doc_id
+                               ROWS UNBOUNDED PRECEDING) - s.toks
+               AS cum_before
+      FROM scored s JOIN tot t USING (source)
+      WHERE t.src_tokens > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, toks,
+           CAST(cum_before * 1000000 // src_tokens AS BIGINT) AS vt_q
+    FROM r
+    ORDER BY vt_q, source, doc_id
+    LIMIT 200
+    """,
+    tags=("pipeline", "mixing", "ordering"),
+)
+def pipeline_interleave_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional-share interleaving of sources — the
+    fixed-ratio training-order construction (RNG-free stride
+    scheduling): each source gets a virtual clock ``vt = tokens consumed
+    before this doc / source's total tokens`` (quantized ×1e6, integer
+    DIV), and reading docs in global ``vt`` order interleaves every
+    source at exactly its token share — a verbose domain never bursts,
+    a tiny one never starves.
+
+    Scale shape: one per-source window (hash exchange on source,
+    per-partition running sum) + a broadcast of per-source totals; the
+    global interleaved sequence is NEVER materialized or globally
+    sorted — each consumer merge-reads per-source streams by their
+    virtual clocks (the classic stride scheduler). The top-200 view
+    here (TakeOrderedAndProject heap, total tie-break) is the bounded
+    verification window onto that order, not a global sort."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
+    )
+    tot = scored.groupBy("source").agg(
+        F.sum("toks").alias("src_tokens")
+    ).filter(F.col("src_tokens") > 0)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = (
+        scored.join(F.broadcast(tot), "source")
+        .withColumn("cum_before", F.sum("toks").over(w) - F.col("toks"))
+        .withColumn(
+            "vt_q",
+            F.expr("CAST((cum_before * 1000000) DIV src_tokens AS BIGINT)"),
+        )
+    )
+    return (
+        r.orderBy("vt_q", "source", "doc_id")
+        .limit(200)
+        .select(F.col("doc_id").cast("long"), "source", "toks", "vt_q")
+    )
+
+
+@register(
     "events_retention_cohorts",
     oracle=f"""
     WITH u AS (
