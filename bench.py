@@ -37,9 +37,17 @@ SF = _parse_sf(SF_DIR)
 
 
 def build_session() -> SparkSession:
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="multisql_spark_bench_")
     b = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("multisql_spark_bench")
+        .config("spark.sql.warehouse.dir", f"{scratch}/spark-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch}",
+        )
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -99,21 +107,21 @@ def bench_queries(spark: SparkSession):
         .agg(F.sum("l_quantity").alias("s"))
     )
     cases = {
-        "filter_range": filter_df.collect,
-        "point_lookup": point_df.collect,
-        "groupby_sum": groupby_df.collect,
-        "join_groupby_sum": join_df.collect,
+        "filter_range": filter_df,
+        "point_lookup": point_df,
+        "groupby_sum": groupby_df,
+        "join_groupby_sum": join_df,
         # the rest of the round-1 headline set, still prepared up front
         # (cheap, no build-time jobs) so its numbers stay comparable
-        "pricing_summary": registry["pricing_summary"].fn(spark, SF_DIR).collect,
-        "join_multi_revenue": registry["join_multi_revenue"].fn(spark, SF_DIR).collect,
-        "window_topk": registry["window_topk_per_group"].fn(spark, SF_DIR).collect,
-        "dedup_exact": registry["dedup_exact"].fn(spark, SF_DIR).collect,
-        "text_token_stats": registry["text_token_stats"].fn(spark, SF_DIR).collect,
-        "sim_bruteforce_topk": registry["sim_bruteforce_topk"].fn(spark, SF_DIR).collect,
-        "sim_ann_ivf": registry["sim_ann_ivf"].fn(spark, SF_DIR).collect,
-        "tpch_cust_distribution": registry["tpch_cust_distribution"].fn(spark, SF_DIR).collect,
-        "range_join_events": registry["range_join_events"].fn(spark, SF_DIR).collect,
+        "pricing_summary": registry["pricing_summary"].fn(spark, SF_DIR),
+        "join_multi_revenue": registry["join_multi_revenue"].fn(spark, SF_DIR),
+        "window_topk": registry["window_topk_per_group"].fn(spark, SF_DIR),
+        "dedup_exact": registry["dedup_exact"].fn(spark, SF_DIR),
+        "text_token_stats": registry["text_token_stats"].fn(spark, SF_DIR),
+        "sim_bruteforce_topk": registry["sim_bruteforce_topk"].fn(spark, SF_DIR),
+        "sim_ann_ivf": registry["sim_ann_ivf"].fn(spark, SF_DIR),
+        "tpch_cust_distribution": registry["tpch_cust_distribution"].fn(spark, SF_DIR),
+        "range_join_events": registry["range_join_events"].fn(spark, SF_DIR),
     }
     # flagship engine shapes at the same SF — the DataFrame (logical plan)
     # is prepared once and re-collected warm, like Criterion re-running a
@@ -148,7 +156,7 @@ def bench_queries(spark: SparkSession):
         "join_cardinality": "sketch_join_cardinality",
     }
     for label, qname in flagships.items():
-        cases[label] = registry[qname].fn(spark, SF_DIR).collect
+        cases[label] = registry[qname].fn(spark, SF_DIR)
 
     # These timings sit on Spark's ~100 ms job-launch floor, where
     # run-to-run scheduler/GC jitter of ±30 ms reads as a fake ±25%
@@ -157,22 +165,42 @@ def bench_queries(spark: SparkSession):
     # the JVM/JIT is maximally warm for all of them, (2) report the
     # minimum of 7 measured runs — the minimum converges on the true
     # floor and is robust to one-sided noise, Criterion-style.
+    #
+    # Each query reports TWO columns (VERDICT r7 ask #4):
+    # - collect: the Payload contract (result rows land on the driver),
+    #   comparable with every prior round's numbers;
+    # - noop: the SAME prepared physical plan executed JVM-side with no
+    #   driver materialization (queryExecution().toRdd().count() — one
+    #   long comes back), so rows whose collect is dominated by
+    #   driver-side transfer (sessionize_batch: ~13x at sf10, SCALE.md
+    #   §8o) track the ENGINE round-over-round.  A `noop`-sink write is
+    #   NOT used because DataFrameWriter re-runs Catalyst analysis on
+    #   every .save() while Dataset.collect reuses the cached
+    #   QueryExecution — the write column would measure planning.
     timings: dict[str, float] = {}
-    for name, fn in cases.items():
-        fn()  # warmup
-        best = float("inf")
-        for _ in range(7):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-    return timings
+    timings_noop: dict[str, float] = {}
+    for name, df in cases.items():
+        runs = {
+            "collect": df.collect,
+            "noop": lambda d=df: d._jdf.queryExecution().toRdd().count(),
+        }
+        for kind, fn in runs.items():
+            fn()  # warmup
+            best = float("inf")
+            for _ in range(7):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            (timings if kind == "collect" else timings_noop)[name] = round(
+                best, 4
+            )
+    return timings, timings_noop
 
 
 def main() -> None:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
-    timings = bench_queries(spark)
+    timings, timings_noop = bench_queries(spark)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -181,6 +209,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_noop": round(sum(timings_noop.values()), 4),
+                "queries_noop": timings_noop,
                 "sf": SF,
             }
         )

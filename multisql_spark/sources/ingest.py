@@ -63,7 +63,9 @@ def ingest_new_files(
         [(f,) for f in new], "file string"
     )
     # ledger publish is the atomic symlink swap shared with the
-    # streaming sinks (multisql_spark.statedir) — no rename crash window
+    # streaming sinks (multisql_spark.statedir) — no rename crash window;
+    # a plain ledger directory from the pre-symlink release is migrated
+    # in place by swap_state_dir (renamed to __v0, link published)
     from multisql_spark.statedir import init_state_dir, swap_state_dir
 
     if os.path.isdir(ledger_path):

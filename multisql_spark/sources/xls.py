@@ -62,7 +62,10 @@ def _cfb_read_stream(data: bytes, names=("Workbook", "Book")) -> bytes:
     per = ssz // 4
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # sector 0 starts after one full sector, not after the 512-byte
+        # header struct: for v3 those coincide (ssz=512), for v4 CFB
+        # (4096-byte sectors) sector 0 sits at offset 4096 (ADVICE r7 #5)
+        off = (i + 1) * ssz
         return data[off : off + ssz]
 
     difat = list(struct.unpack_from("<109i", data, 76))
@@ -216,11 +219,36 @@ def _rec(rid: int, payload: bytes) -> bytes:
     return struct.pack("<HH", rid, len(payload)) + payload
 
 
+# LABEL record cap: BIFF8 records carry at most 8,224 payload bytes; a
+# cell string head is 6 (rw/col/ixfe) + 3 (cch/flags), leaving
+# (8224 - 9) // 2 UTF-16 code units.  Longer strings would need
+# CONTINUE-spanning cells — out of scope, so the writer raises up front
+# instead of emitting a file real Excel rejects (ADVICE r7 #4).
+_MAX_CELL_CU = (8224 - 9) // 2
+
+
 def _unistr(s: str, short: bool = False) -> bytes:
-    """XLUnicodeString: cch (u8 if short else u16), flags, UTF-16LE."""
+    """XLUnicodeString: cch (u8 if short else u16), flags, UTF-16LE.
+
+    cch counts UTF-16 CODE UNITS — ``len(raw) // 2``, not Python code
+    points: a non-BMP character (emoji) occupies two units, and an
+    undercounted cch makes the reader decode half a surrogate pair and
+    misparse every following record (ADVICE r7 #2)."""
     raw = s.encode("utf-16-le")
-    n = len(s)
-    head = struct.pack("<BB", n, 1) if short else struct.pack("<HB", n, 1)
+    n = len(raw) // 2
+    if short:
+        if n > 255:
+            raise ValueError(
+                f"xls short string exceeds 255 UTF-16 units ({n})"
+            )
+        head = struct.pack("<BB", n, 1)
+    else:
+        if n > _MAX_CELL_CU:
+            raise ValueError(
+                f"xls cell string of {n} UTF-16 units exceeds the BIFF8 "
+                f"single-record limit of {_MAX_CELL_CU}"
+            )
+        head = struct.pack("<HB", n, 1)
     return head + raw
 
 

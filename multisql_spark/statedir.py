@@ -23,6 +23,11 @@ The state path is therefore a SYMLINK to the current version directory
 Readers need no cooperation: ``spark.read.parquet(path)`` follows the
 symlink.  Superseded versions and stale tmp links are swept after
 publish; an interrupted sweep is finished by the next swap.
+
+A state dir written by the pre-symlink release (a plain parquet
+directory) is migrated on the first ``swap_state_dir`` against it —
+renamed to ``__v0`` and the link published — so old ledgers keep
+working without a manual step (ADVICE r7 #1).
 """
 
 from __future__ import annotations
@@ -34,10 +39,47 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _version_of(target: str) -> int:
+    return int(target.rsplit(".__v", 1)[1])
+
+
+def _current_version(path: str) -> str:
+    """Resolve ``path`` to its current version directory, absorbing the
+    two non-protocol layouts a writer can encounter:
+
+    - a PLAIN directory (a ledger/state written by the pre-symlink
+      rename-swap release): migrated in place — the directory is renamed
+      to ``__v0`` and the symlink published over the now-free path.  The
+      rename→symlink pair is not atomic, but the data is complete in
+      ``__v0`` throughout, and a crash between the two steps lands in the
+      next case;
+    - a MISSING path with ``__v*`` siblings (crash mid-migration): the
+      highest version — every ``__v`` dir is fully written before the
+      path ever stops resolving — is re-linked.  This is writer-side
+      convergence on the next swap; readers still never heal.
+    """
+    if os.path.islink(path):
+        return os.readlink(path)
+    if os.path.isdir(path):
+        v0 = f"{path}.__v0"
+        if os.path.exists(v0):
+            shutil.rmtree(v0)
+        os.rename(path, v0)
+        os.symlink(v0, path)
+        return v0
+    versions = glob.glob(glob.escape(path) + ".__v*")
+    if not versions:
+        raise FileNotFoundError(f"no state at {path}")
+    cur = max(versions, key=_version_of)
+    os.symlink(cur, path)
+    return cur
+
+
 def init_state_dir(seed: DataFrame, path: str) -> None:
     """Create versioned state at ``path`` (symlink → ``{path}.__v0``).
     An existing EMPTY directory (fresh ``mkdtemp`` scratch) is replaced;
     a non-empty one raises rather than clobbering data."""
+    path = os.path.abspath(path)
     v0 = f"{path}.__v0"
     seed.coalesce(1).write.mode("overwrite").parquet(v0)
     if os.path.islink(path):
@@ -49,8 +91,9 @@ def init_state_dir(seed: DataFrame, path: str) -> None:
 
 def swap_state_dir(path: str, new_state: DataFrame, coalesce: int = 1) -> None:
     """Publish ``new_state`` as the content of ``path`` — atomic."""
-    cur = os.readlink(path)
-    n = int(cur.rsplit(".__v", 1)[1])
+    path = os.path.abspath(path)
+    cur = _current_version(path)
+    n = _version_of(cur)
     new = f"{path}.__v{n + 1}"
     w = new_state.coalesce(coalesce) if coalesce else new_state
     w.write.mode("overwrite").parquet(new)

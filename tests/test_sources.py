@@ -778,3 +778,175 @@ def test_xls_reader_handles_excel_native_records(tmp_path_factory):
     assert grid[0] == ["hello", "wörld", "abcДЕФ"]
     assert grid[1][:2] == [300, -77]
     assert grid[2][:2] == [12.34, 2.5]
+
+
+def test_xls_non_bmp_string_roundtrip(tmp_path_factory):
+    """BIFF8 cch counts UTF-16 CODE UNITS: a non-BMP character (emoji,
+    U+1D11E) is two units.  Writing len(str) code points instead makes
+    the reader decode half a surrogate pair and misparse every record
+    after it — silent file corruption (ADVICE r7 #2)."""
+    from multisql_spark.sources import xls
+
+    path = str(tmp_path_factory.mktemp("xlsbmp") / "emoji.xls")
+    grid = [
+        ["name", "note"],
+        ["clef \U0001d11e here", "ok"],
+        ["\U0001f600\U0001f680", "two emoji"],
+        ["plain", "after the non-BMP rows, still parsed"],
+    ]
+    xls.write_workbook(path, {"s": grid})
+    assert xls.read_workbook(path)["s"] == grid
+
+
+def test_xls_write_rejects_oversized_cell(tmp_path_factory):
+    """A cell string beyond the single-record BIFF8 cap must raise up
+    front (like the row/col limits), not struct.error mid-write or emit
+    a file real Excel rejects (ADVICE r7 #4)."""
+    import pytest as _pytest
+
+    from multisql_spark.sources import xls
+
+    path = str(tmp_path_factory.mktemp("xlsbig") / "big.xls")
+    too_long = "x" * (xls._MAX_CELL_CU + 1)
+    with _pytest.raises(ValueError, match="single-record limit"):
+        xls.write_workbook(path, {"s": [["v"], [too_long]]})
+    # the cap itself still writes and round-trips
+    at_cap = "y" * xls._MAX_CELL_CU
+    xls.write_workbook(path, {"s": [["v"], [at_cap]]})
+    assert xls.read_workbook(path)["s"][1][0] == at_cap
+
+
+def test_xls_reads_cfb_v4_container(tmp_path_factory):
+    """CFB major version 4 uses 4,096-byte sectors with sector 0 at file
+    offset 4096 (one full sector past the 512-byte header struct); the
+    old `512 + i*ssz` offset silently misparsed such containers
+    (ADVICE r7 #5).  Wrap a known-good workbook stream in a hand-built
+    v4 container and require an identical parse."""
+    import struct
+
+    from multisql_spark.sources import xls
+
+    tmp = tmp_path_factory.mktemp("xlsv4")
+    v3 = str(tmp / "v3.xls")
+    grid = [["id", "name"], [1, "ada"], [2, "bob"]]
+    xls.write_workbook(v3, {"s": grid})
+    with open(v3, "rb") as fh:
+        stream = xls._cfb_read_stream(fh.read())
+
+    # v4 layout: header sector (512-byte struct + zero pad to 4096),
+    # sector 0 = FAT, sector 1 = directory, sectors 2.. = stream
+    # (padded past the 4096 mini cutoff so it is FAT-chained)
+    ssz = 4096
+    size = max(len(stream), ssz)
+    payload = stream.ljust(size, b"\x00")
+    n_stream = (len(payload) + ssz - 1) // ssz
+    payload = payload.ljust(n_stream * ssz, b"\x00")
+
+    fat = [-1] * (ssz // 4)
+    fat[0] = -3  # FATSECT
+    fat[1] = -2  # directory chain end
+    for i in range(n_stream):
+        fat[2 + i] = 2 + i + 1 if i < n_stream - 1 else -2
+
+    def dirent(name, etype, start, esize, child=-1):
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0 : len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw))
+        e[66] = etype
+        e[67] = 1
+        struct.pack_into("<i", e, 68, -1)
+        struct.pack_into("<i", e, 72, -1)
+        struct.pack_into("<i", e, 76, child)
+        struct.pack_into("<i", e, 116, start)
+        struct.pack_into("<I", e, 120, esize)
+        return bytes(e)
+
+    directory = (
+        dirent("Root Entry", 5, -2, 0, child=1)
+        + dirent("Workbook", 2, 2, size)
+    ).ljust(ssz, b"\x00")
+
+    header = bytearray(512)
+    header[0:8] = xls._CFB_MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0004)  # major version 4
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 12)  # 4096-byte sectors
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)  # one FAT sector
+    struct.pack_into("<i", header, 48, 1)  # directory at sector 1
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<i", header, 60, -2)  # no miniFAT
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<i", header, 68, -2)  # no DIFAT sectors
+    struct.pack_into("<I", header, 72, 0)
+    for i in range(109):
+        struct.pack_into("<i", header, 76 + 4 * i, 0 if i == 0 else -1)
+
+    v4 = str(tmp / "v4.xls")
+    with open(v4, "wb") as fh:
+        fh.write(bytes(header).ljust(ssz, b"\x00"))
+        fh.write(struct.pack(f"<{ssz // 4}i", *fat))
+        fh.write(directory)
+        fh.write(payload)
+    assert xls.read_workbook(v4)["s"] == grid
+
+
+def test_ingest_migrates_plain_ledger_dir(spark, sf_dir, tmp_path_factory):
+    """A ledger written by the pre-symlink release is a PLAIN parquet
+    directory; the symlink-publish protocol must migrate it in place on
+    the next batch instead of crashing in os.readlink (ADVICE r7 #1) —
+    already-recorded files stay recorded, the new batch lands, and the
+    ledger is a statedir symlink afterwards."""
+    import os
+    import shutil
+
+    from multisql_spark.sources.ingest import ingest_new_files
+
+    root = tmp_path_factory.mktemp("ingest_migrate")
+    src, ledger, out = str(root / "src"), str(root / "ledger"), str(
+        root / "out"
+    )
+    os.makedirs(src)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for name, n in (("batch1.parquet", 10), ("batch2.parquet", 15)):
+        stage = f"{src}/__stage"
+        nation.limit(n).coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(f"{stage}/{part}", f"{src}/{name}")
+        shutil.rmtree(stage)
+
+    # the legacy layout: plain directory recording batch1 as processed
+    spark.createDataFrame([("batch1.parquet",)], "file string").coalesce(
+        1
+    ).write.parquet(ledger)
+    assert not os.path.islink(ledger)
+
+    n_files, n_rows = ingest_new_files(spark, src, ledger, out)
+    assert (n_files, n_rows) == (1, 15)  # batch1 NOT re-processed
+    assert os.path.islink(ledger), "ledger migrated to the symlink protocol"
+    recorded = sorted(
+        r["file"] for r in spark.read.parquet(ledger).collect()
+    )
+    assert recorded == ["batch1.parquet", "batch2.parquet"]
+    assert spark.read.parquet(out).count() == 15
+    # subsequent batches use the normal protocol
+    assert ingest_new_files(spark, src, ledger, out) == (0, 0)
+
+
+def test_statedir_relative_path_with_dir_component(spark, tmp_path, monkeypatch):
+    """A relative state path with a directory component used to produce
+    a dangling symlink ('sub/state' -> target resolved under 'sub/sub/')
+    — abspath normalization fixes it (ADVICE r7 #3)."""
+    import os
+
+    from multisql_spark.statedir import init_state_dir, swap_state_dir
+
+    os.makedirs(tmp_path / "sub")
+    monkeypatch.chdir(tmp_path)
+    seed = spark.range(5).selectExpr("id AS k")
+    init_state_dir(seed, "sub/state")
+    assert spark.read.parquet(str(tmp_path / "sub/state")).count() == 5
+    swap_state_dir("sub/state", spark.range(9).selectExpr("id AS k"))
+    assert spark.read.parquet(str(tmp_path / "sub/state")).count() == 9

