@@ -7,9 +7,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os as _os
+
 from multisql_spark.operators import multimodal as mm
 from multisql_spark.queries import register
 from multisql_spark.tables import load_tables
+
+# repo-relative fixture path (the zlib-fixture convention, text_q.py)
+_WAV_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "tools", "fixtures", "wav_energy_fixture.parquet",
+)
 
 
 @register(
@@ -277,6 +287,52 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage; only the 8 pooled ints move."""
     t = load_tables(spark, sf_dir, ["documents"])
     return mm.resize_pool(mm.attach_blobs(t["documents"]))
+
+
+@register(
+    "mm_wav_energy",
+    # A RIFF container has no SQL parse, so the oracle JOINs a fixture
+    # parquet of md5(text) -> (n_samples, energy_sq, byte_sum) produced
+    # by an INDEPENDENT implementation — its own struct-built encoder
+    # and a manual RIFF chunk-walk decoder, no `wave` module, no
+    # Spark/engine import (tools/make_wav_fixture.py; the
+    # zlib/BPE-fixture tradition).  sample_rate_hz is n_chars-derived on
+    # the oracle side while the ENGINE reads it from the WAV header it
+    # decodes — the pin that the decode is real — and the byte_sum
+    # column is the bridge audio_chunk_plan's decode-free proxy is
+    # cross-checked over (tests/test_pipeline_ops.py).
+    oracle=f"""
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST((d.n_chars % 4) * 4000 + 8000 AS BIGINT) AS sample_rate_hz,
+           f.n_samples,
+           f.energy_sq,
+           f.byte_sum,
+           CAST(f.n_samples * 1000000
+                // ((d.n_chars % 4) * 4000 + 8000) AS BIGINT) AS duration_us
+    FROM documents d
+    JOIN read_parquet('{_WAV_FIXTURE}') f
+      ON md5(d.text) = f.text_md5
+    """,
+    tags=("multimodal", "audio", "codec", "udf"),
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode on the stdlib (closes the r7 codec-stub gap for
+    PCM WAV): synthesize RIFF/WAVE PCM16 assets, then decode each one
+    with ``wave`` in an Arrow-batched ``mapInPandas`` stage and emit
+    true waveform statistics — header sample rate, sample count, exact
+    integer sample energy — plus the data byte-sum that ties the decoded
+    truth to ``audio_chunk_plan``'s decode-free proxy.
+
+    Scale design: codec in the scan stage, five ints per asset across
+    any exchange, blobs never shuffled — identical discipline to the
+    rest of the multimodal family, now with a genuine decoder in the
+    worker."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    stats = mm.wav_energy(mm.attach_wav_blobs(t["documents"]))
+    return stats.withColumn(
+        "duration_us",
+        F.expr("(n_samples * 1000000) DIV sample_rate_hz"),
+    )
 
 
 @register(

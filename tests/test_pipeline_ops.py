@@ -981,3 +981,87 @@ def test_filtered_ann_prefilter_beats_postfilter(spark):
     assert dropped, (
         "expected at least one query where post-filtering under-delivers"
     )
+
+
+def test_mm_wav_energy_matches_independent_decode(spark, sf_dir):
+    """The REAL stdlib-`wave` decode behind mm_wav_energy must agree
+    with (a) a direct in-test decode of a rebuilt asset and (b) the
+    committed fixture produced by the manual-RIFF-walk implementation
+    (tools/make_wav_fixture.py) — the cross-implementation exactness
+    pin behind the query's fixture oracle.  Also pins that the engine's
+    sample_rate_hz really comes from the header: it must equal the
+    formula the encoder embedded."""
+    import hashlib
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from multisql_spark.operators import multimodal as mm
+    from multisql_spark.queries.mm_q import _WAV_FIXTURE
+
+    fixture = {
+        r["text_md5"]: r
+        for r in pq.read_table(_WAV_FIXTURE).to_pylist()
+    }
+    rows = load_all()["mm_wav_energy"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        text, n_chars = docs[r["doc_id"]]
+        data = (
+            hashlib.md5(text.encode()).digest()
+            + hashlib.md5(("x" + text).encode()).digest()
+        )
+        rate_formula = (n_chars % 4) * 4000 + 8000
+        # (a) direct decode of a rebuilt asset through the public codec
+        rate, samples = mm.decode_wav(
+            mm.encode_wav_pcm16(data, rate_formula)
+        )
+        assert r["sample_rate_hz"] == rate == rate_formula
+        assert r["n_samples"] == len(samples) == 16
+        assert r["energy_sq"] == sum(s * s for s in samples)
+        assert r["byte_sum"] == sum(data)
+        assert r["duration_us"] == len(samples) * 1_000_000 // rate
+        # sanity: the samples really are the int16 view of the payload
+        assert samples == list(struct.unpack("<16h", data))
+        # (b) the independent fixture (manual RIFF walk, no `wave`)
+        f = fixture[hashlib.md5(text.encode()).hexdigest()]
+        assert (r["n_samples"], r["energy_sq"], r["byte_sum"]) == (
+            f["n_samples"], f["energy_sq"], f["byte_sum"],
+        )
+
+
+def test_audio_chunk_plan_proxy_ties_to_wav_decode(spark, sf_dir):
+    """VERDICT r7 ask #3 cross-check: audio_chunk_plan's decode-free
+    energy proxy, totaled per asset, must equal the data byte-sum a REAL
+    WAV decode observes for the same asset (the WAV payload is
+    byte-identical to the fake_pcm blob by construction), and the chunk
+    plan's sample accounting must total the decoded frame count."""
+    from pyspark.sql import functions as F
+
+    from multisql_spark.operators import multimodal as mm
+    from multisql_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plan_totals = (
+        mm.audio_chunk_plan(
+            mm.attach_audio_blobs(docs), chunk_samples=3, bytes_per_sample=2
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("energy_q").alias("proxy_total"),
+            F.sum("n_samples").alias("plan_samples"),
+        )
+    )
+    decoded = mm.wav_energy(mm.attach_wav_blobs(docs))
+    joined = plan_totals.join(decoded, "doc_id").select(
+        "doc_id",
+        (F.col("proxy_total") == F.col("byte_sum")).alias("proxy_ok"),
+        (F.col("plan_samples") == F.col("n_samples")).alias("samples_ok"),
+    )
+    n = joined.count()
+    assert n == docs.count()
+    assert joined.filter(~F.col("proxy_ok") | ~F.col("samples_ok")).count() == 0
