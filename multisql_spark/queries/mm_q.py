@@ -290,6 +290,59 @@ def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_bmp_decode",
+    # Uncompressed 24-bit BMP content is deterministic md5-byte algebra
+    # here, so the oracle recomputes the DECODED truth in pure SQL via
+    # the hex-nibble trick (mm_feature_extract convention): pixel
+    # payload = md5-chain bytes 0..23, stored bottom-up in BGR — so
+    # byte j's channel is j % 3 (0=B, 1=G, 2=R), channel sums are
+    # row-order-free, and the TOP-LEFT pixel is stored row 1 (bytes
+    # 12..14 as B,G,R).  A decoder that forgot the bottom-up order or
+    # the BGR swap fails on top_left_rgb.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5('x' || text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 24), j ->
+               16 * (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 2, 1)) - 1)
+             ) AS bt
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 3]))
+                AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 2]))
+                AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 1]))
+                AS BIGINT) AS sum_b,
+           bt[15] || '-' || bt[14] || '-' || bt[13] AS top_left_rgb
+    FROM b
+    """,
+    tags=("multimodal", "image", "codec", "udf"),
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode on the stdlib (the image counterpart of
+    mm_wav_energy): synthesize genuine 4x2 24-bit BMP assets, then parse
+    headers + raster in an Arrow-batched ``mapInPandas`` stage — width
+    and height FROM THE HEADER, exact per-channel sums, and the top-left
+    pixel, which is only correct if the decoder undoes both the
+    bottom-up row order and the BGR channel order.  PIL remains required
+    (and honestly absent) only for compressed formats.
+
+    Scale design: codec in the scan stage; six ints + one short string
+    per asset cross any exchange; blobs never shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.bmp_pixel_stats(mm.attach_bmp_blobs(t["documents"]))
+
+
+@register(
     "mm_wav_energy",
     # A RIFF container has no SQL parse, so the oracle JOINs a fixture
     # parquet of md5(text) -> (n_samples, energy_sq, byte_sum) produced

@@ -1065,3 +1065,69 @@ def test_audio_chunk_plan_proxy_ties_to_wav_decode(spark, sf_dir):
     n = joined.count()
     assert n == docs.count()
     assert joined.filter(~F.col("proxy_ok") | ~F.col("samples_ok")).count() == 0
+
+
+def test_bmp_codec_roundtrip_and_orientation():
+    """The stdlib BMP codec must undo bottom-up row order and BGR
+    channel order (decode returns top-down RGB), handle the top-down
+    (negative height) variant, pad rows to the 4-byte stride, and
+    reject compressed/non-24bpp content like the PIL-less image path
+    rejects PNG/JPEG.  Pure Python: no Spark session needed."""
+    import struct
+
+    import pytest as _pytest
+
+    from multisql_spark.operators.multimodal import decode_bmp, encode_bmp24
+
+    # 2x2: bottom row = blue, green; top row = red, white (BGR on disk)
+    bottom = bytes([255, 0, 0]) + bytes([0, 255, 0]) + b"\x00\x00"  # pad to 8
+    top = bytes([0, 0, 255]) + bytes([255, 255, 255]) + b"\x00\x00"
+    blob = encode_bmp24(bottom + top, 2, 2)
+    w, h, px = decode_bmp(blob)
+    assert (w, h) == (2, 2)
+    # top-down raster, RGB triples
+    assert px == [[255, 0, 0], [255, 255, 255], [0, 0, 255], [0, 255, 0]]
+
+    # top-down variant: negative height, same logical image
+    td = bytearray(encode_bmp24(top + bottom, 2, 2))
+    struct.pack_into("<i", td, 22, -2)
+    assert decode_bmp(bytes(td)) == (2, 2, px)
+
+    # guards
+    with _pytest.raises(ValueError):
+        encode_bmp24(b"\x00" * 7, 2, 2)  # stride mismatch
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 28, 8)  # 8 bpp
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
+
+
+def test_mm_bmp_decode_matches_direct_decode(spark, sf_dir):
+    """mm_bmp_decode's mapInPandas stats must equal a direct
+    decode_bmp() of the rebuilt asset row-for-row — the pin that the
+    query's pure-SQL oracle and the real parser describe the same
+    bytes."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_bmp_decode"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        data = (
+            hashlib.md5(t.encode()).digest()
+            + hashlib.md5(("x" + t).encode()).digest()
+        )[:24]
+        w, h, px = mm.decode_bmp(mm.encode_bmp24(data, 4, 2))
+        assert (r["width"], r["height"]) == (w, h) == (4, 2)
+        assert r["sum_r"] == sum(p[0] for p in px)
+        assert r["sum_g"] == sum(p[1] for p in px)
+        assert r["sum_b"] == sum(p[2] for p in px)
+        assert r["top_left_rgb"] == "-".join(str(v) for v in px[0])
