@@ -686,6 +686,7 @@ def incremental_minhash_dedup(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup ingestion probe: each NEW document queries the standing
     corpus's banded-LSH index and reports its best near-duplicate match.
@@ -696,7 +697,16 @@ def incremental_minhash_dedup(
     (band_key → id) index (a bucketed table in production, built once and
     appended to), the band join carries ids only, and signatures are
     fetched back by keyed id-joins for the agreement estimate.  Work is
-    proportional to real collisions for the NEW batch, never corpus².
+    proportional to real collisions for the NEW batch — and, with
+    ``bucket_cap`` set, HARD-BOUNDED even when a bucket degenerates:
+    the corpus index keeps only the ``bucket_cap`` smallest ids per
+    (band_id, band_key) (the :func:`lsh_capped_members` discipline, same
+    deterministic ROW_NUMBER-by-id rank, same SQL replay), so one new
+    row joins at most ``bands × bucket_cap`` candidates.  Uncapped, a
+    mega-bucket (boilerplate, replicated fixtures — exactly the shape
+    derived scale dirs create) makes the probe quadratic: the r8 sf10
+    streaming sweep OOM-killed on it, the same cliff the r7 pair
+    enumeration cap closed for the batch family.
 
     Returns one row per NEW doc: (doc_id, n_candidates, best_match_id,
     best_sim, is_neardup) — docs with no band collision keep a row with
@@ -720,9 +730,17 @@ def incremental_minhash_dedup(
 
     corpus_sigs = sigs.filter(~F.col("_is_new")).drop("_is_new")
     new_sigs = sigs.filter(F.col("_is_new")).drop("_is_new")
+    corpus_index = band_rows(corpus_sigs, "corpus_id")
+    if bucket_cap is not None:
+        bw = Window.partitionBy("band_id", "band_key").orderBy("corpus_id")
+        corpus_index = (
+            corpus_index.withColumn("_rnk", F.row_number().over(bw))
+            .filter(F.col("_rnk") <= bucket_cap)
+            .drop("_rnk")
+        )
     cands = (
         band_rows(new_sigs, "new_id")
-        .join(band_rows(corpus_sigs, "corpus_id"), ["band_id", "band_key"])
+        .join(corpus_index, ["band_id", "band_key"])
         .select("new_id", "corpus_id")
         .distinct()
     )

@@ -87,20 +87,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # 50-cap keep their local pytest oracle gate (strictly stronger: exact
 # multiset equality).
 
-# Names whose ENGINE OR ORACLE SEMANTICS changed in round 7 (the heavy
-# dedup family moved to bucket-capped pair enumeration; the LSH baseline
-# became sample-bounded; two ADVICE boundary fixes).  Their pre-r7 green
-# rows certify the OLD tree, so they re-front for fresh certification —
-# remove a name once a green row from this round's tree lands.
+# Names whose ENGINE OR ORACLE SEMANTICS changed in round 8 (the
+# incremental minhash probe — batch and streaming twin — moved to a
+# bucket-capped corpus band index after the uncapped probe went
+# quadratic on derived-scale mega-buckets and OOM-killed the sf10
+# streaming sweep).  Their pre-r8 green rows certify the OLD tree, so
+# they re-front for fresh certification — remove a name once a green
+# row from this round's tree lands.  (The r7 set — heavy dedup family
+# capping — fully retired via CORRECTNESS_r07 green rows.)
 _RECERTIFY: frozenset[str] = frozenset({
-    "dedup_minhash_lsh", "dedup_cluster_components",
-    "dedup_ensemble_verdict", "dedup_graph_pagerank",
-    "dedup_minhash_calibration", "dedup_family_histogram",
-    "dedup_lsh_precision_recall", "dedup_graph_triangles",
-    "dedup_cluster_representatives",
-    "pipeline_budget_select", "approx_sketches",
+    "dedup_incremental_minhash", "stream_incremental_minhash",
 })
-_RECERTIFY_ROUND = 7  # green rows from this round onward retire the flag
+_RECERTIFY_ROUND = 8  # green rows from this round onward retire the flag
 
 
 def _row_green(row: object) -> bool:

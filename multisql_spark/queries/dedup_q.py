@@ -480,11 +480,19 @@ def _incremental_minhash_oracle() -> str:
       SELECT doc_id, is_new, band_id, {band_case} AS band_key
       FROM flagged, (VALUES {vals}) AS bb(band_id)
     ),
+    bandc AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               row_number() OVER (
+                 PARTITION BY band_id, band_key ORDER BY doc_id) AS rnk
+        FROM bandk WHERE NOT is_new
+      ) WHERE rnk <= {CAP}
+    ),
     cands AS (
       SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
       FROM bandk n
-      JOIN bandk c ON n.band_id = c.band_id AND n.band_key = c.band_key
-      WHERE n.is_new AND NOT c.is_new
+      JOIN bandc c ON n.band_id = c.band_id AND n.band_key = c.band_key
+      WHERE n.is_new
     ),
     scored AS (
       SELECT cand.new_id, cand.corpus_id,
@@ -521,12 +529,16 @@ def _incremental_minhash_oracle() -> str:
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup ingestion probe: the new batch (doc_id % 10 = 0) queries
     the corpus's banded-LSH index and reports its best match by estimated
-    Jaccard. One-sided LSH — the corpus contributes only its band index;
-    work scales with the new batch's collisions, never corpus²."""
+    Jaccard. One-sided LSH — the corpus contributes only its band index,
+    bucket-capped to the CAP smallest ids per (band, key) since r8 (the
+    r7 capped-family discipline applied to the incremental probe: the
+    uncapped probe went quadratic on derived-scale mega-buckets and
+    OOM-killed the sf10 streaming sweep); work per new row is at most
+    bands × CAP candidates."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.incremental_minhash_dedup(
         t["documents"], F.col("doc_id") % 10 == 0,
-        k=K, bands=BANDS, threshold=0.5,
+        k=K, bands=BANDS, threshold=0.5, bucket_cap=CAP,
     )
 
 

@@ -944,8 +944,12 @@ def stream_minhash_ingest(
         un = corpus.withColumn("_new", F.lit(False)).unionByName(
             batch_df.withColumn("_new", F.lit(True))
         )
+        # bucket_cap mirrors the batch twin (dedup_q.CAP): the corpus
+        # band index is capped to the same deterministic per-bucket
+        # membership, so microbatch boundaries still cannot change any
+        # verdict and the drained sink stays bit-equal to the batch run
         res = dd.incremental_minhash_dedup(
-            un, F.col("_new"), k=12, bands=4, threshold=0.5
+            un, F.col("_new"), k=12, bands=4, threshold=0.5, bucket_cap=32
         )
         res.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")

@@ -138,3 +138,35 @@ def test_registry_minhash_lsh_is_sampled_uncapped(spark, sf_dir):
         if p[0] in sampled and p[1] in sampled
     }
     assert got == expect
+
+
+def test_incremental_probe_cap_semantics(spark, sf_dir):
+    """r8: the incremental minhash probe's corpus band index carries the
+    same cap discipline.  Pins: (1) with a cap no bucket can bind, the
+    capped probe is bit-identical to the uncapped one; (2) with a tight
+    cap every NEW doc still gets exactly one verdict row and its
+    candidate count is bounded by bands x cap; (3) capped candidates are
+    a subset of uncapped ones, so best_sim can only stay or drop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = F.col("doc_id") % 10 == 0
+
+    uncapped = dedup.incremental_minhash_dedup(
+        docs, new, k=K, bands=BANDS, threshold=0.5
+    ).collect()
+    loose = dedup.incremental_minhash_dedup(
+        docs, new, k=K, bands=BANDS, threshold=0.5, bucket_cap=10**9
+    ).collect()
+    assert sorted(map(tuple, loose)) == sorted(map(tuple, uncapped))
+
+    tight = dedup.incremental_minhash_dedup(
+        docs, new, k=K, bands=BANDS, threshold=0.5, bucket_cap=2
+    ).collect()
+    assert len(tight) == len(uncapped)  # one verdict row per new doc
+    un_by_id = {r["doc_id"]: r for r in uncapped}
+    for r in tight:
+        assert r["n_candidates"] <= BANDS * 2
+        u = un_by_id[r["doc_id"]]
+        assert r["n_candidates"] <= u["n_candidates"]
+        if r["best_sim"] is not None:
+            assert u["best_sim"] is not None
+            assert r["best_sim"] <= u["best_sim"] + 1e-9
