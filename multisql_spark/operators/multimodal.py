@@ -10,7 +10,10 @@ tested.  The AUDIO codec is REAL: RIFF/WAVE PCM16 needs only the stdlib
 (``wave``/``struct``), so :func:`decode_wav` / :func:`wav_energy` run a
 genuine decode, validated against an independent fixture oracle
 (tools/make_wav_fixture.py) and cross-checked against
-``audio_chunk_plan``'s decode-free byte proxy.
+``audio_chunk_plan``'s decode-free byte proxy.  Two IMAGE codecs are
+REAL too: uncompressed 24-bit BMP (:func:`decode_bmp`, ``struct``) and
+compressed PNG (:func:`decode_png`, ``zlib`` inflate + all five
+scanline filters + chunk CRCs) — the honest stub now covers JPEG only.
 
 Scale notes: binary payloads dominate row size, so every plan here keeps
 them out of shuffles — features are extracted in the scan stage
@@ -391,10 +394,351 @@ def bmp_pixel_stats(mm_bmp: DataFrame) -> DataFrame:
     return mm_bmp.select("doc_id", "blob").mapInPandas(run, schema)
 
 
+# ------------------------------------------------------------------ PNG codec
+#
+# The COMPRESSED image container the stdlib can also genuinely decode:
+# PNG's DEFLATE stream is `zlib`, its chunk CRCs are `zlib.crc32`, and
+# the five scanline filters (None/Sub/Up/Average/Paeth) are pure byte
+# algebra — so the "PIL required for compressed formats" stub narrows to
+# JPEG only.  Synthesized assets pick a REAL filter per scanline from
+# the pixel bytes, so across a corpus every filter type (including
+# Paeth) is exercised; a decoder that inflates but skips unfiltering, or
+# implements Paeth's tie-breaking order wrong, cannot reproduce the
+# pixel payload.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_W, PNG_H = 4, 2  # synthesized asset grid: 4x2 px RGB8, 24 pixel bytes
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/above/upper-left
+    to a+b-c, ties broken a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encode side)."""
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        left = row[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[i] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(
+    ftype: int, row: bytearray, prior: bytes, bpp: int
+) -> None:
+    """Reverse PNG filter ``ftype`` in place (decode side)."""
+    for i in range(len(row)):
+        left = row[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        row[i] = (row[i] + pred) & 0xFF
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png_rgb8(
+    pixels_rgb: bytes, width: int, height: int, row_filters: list[int]
+) -> bytes:
+    """Build a genuine 8-bit truecolor PNG: signature, IHDR, one
+    zlib-DEFLATEd IDAT whose scanlines carry the given filter types
+    (applied for real), IEND — all CRC'd.  Pixels are top-down RGB."""
+    import zlib
+
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixel payload does not match width*height*3")
+    if len(row_filters) != height:
+        raise ValueError("need one filter type per scanline")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prior = bytes(width * 3)
+    for r in range(height):
+        row = pixels_rgb[r * width * 3:(r + 1) * width * 3]
+        raw.append(row_filters[r])
+        raw += _png_filter_row(row_filters[r], row, prior, 3)
+        prior = row
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, list[int], list[list[int]]]:
+    """REAL compressed-image decode on the stdlib: walk the chunk stream
+    (verifying every CRC), inflate the concatenated IDAT payload with
+    ``zlib``, and reverse the per-scanline filters.  Returns (width,
+    height, row_filter_types, pixels) with pixels as top-down [r, g, b]
+    triples.  Only 8-bit truecolor non-interlaced is in scope; anything
+    else raises, like the BMP path does for compressed BMPs."""
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + ln)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only 8-bit truecolor non-interlaced PNG decode is in scope"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("inflated scanline payload has wrong length")
+    filters, pixels = [], []
+    prior = bytes(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        filters.append(raw[base])
+        row = bytearray(raw[base + 1:base + 1 + stride])
+        _png_unfilter_row(raw[base], row, prior, 3)
+        prior = bytes(row)
+        pixels.extend(
+            [row[3 * c], row[3 * c + 1], row[3 * c + 2]]
+            for c in range(width)
+        )
+    return width, height, filters, pixels
+
+
+def attach_png_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL 4x2 RGB8 PNG assets from documents: the pixel
+    payload is the 24 md5-chain bytes top-down RGB, and each scanline's
+    filter type is ``data[12*r] % 5`` — deterministic, SQL-derivable,
+    and uniform over all five filters across a corpus.  Encoding
+    (filtering + DEFLATE + CRC) runs in an Arrow-batched ``mapInPandas``
+    stage with a self-contained worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+        import zlib as _zlib
+
+        w, h, bpp = 4, 2, 3
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def filt(ft, row, prior):
+            out = bytearray(len(row))
+            for i, x in enumerate(row):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                pred = (0, left, up, (left + up) // 2,
+                        paeth(left, up, ul))[ft]
+                out[i] = (x - pred) & 0xFF
+            return bytes(out)
+
+        def chunk(ct, data):
+            return (
+                _struct.pack(">I", len(data)) + ct + data
+                + _struct.pack(">I", _zlib.crc32(ct + data))
+            )
+
+        ihdr = chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                t = (text or "").encode()
+                data = (
+                    hashlib.md5(t).digest()
+                    + hashlib.md5(b"x" + t).digest()
+                )[: w * h * bpp]
+                raw = bytearray()
+                prior = bytes(w * bpp)
+                for r in range(h):
+                    row = data[r * w * bpp:(r + 1) * w * bpp]
+                    ft = data[12 * r] % 5
+                    raw.append(ft)
+                    raw += filt(ft, row, prior)
+                    prior = row
+                blobs.append(
+                    b"\x89PNG\r\n\x1a\n" + ihdr
+                    + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+        run, "doc_id long, blob binary"
+    )
+
+
+def png_pixel_stats(mm_png: DataFrame) -> DataFrame:
+    """True per-asset pixel statistics from a REAL decode of each PNG
+    blob (stdlib ``zlib`` + ``struct`` in an Arrow-batched
+    ``mapInPandas`` stage): dimensions FROM THE HEADER, per-channel
+    sums, the top-left pixel, and the per-scanline filter signature
+    READ FROM THE COMPRESSED STREAM — reproducing the pixel sums
+    requires a correct inflate AND a correct unfilter of whichever of
+    the five filter types each row used (Paeth included).
+
+    Scale shape: codec in the scan stage before any exchange; six ints
+    and two short strings per asset move, blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        bpp = 3
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def unfilt(ft, row, prior):
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                pred = (0, left, up, (left + up) // 2,
+                        paeth(left, up, ul))[ft]
+                row[i] = (row[i] + pred) & 0xFF
+
+        for pdf in batches:
+            ws, hs, rsum, gsum, bsum, fsig, tl = [], [], [], [], [], [], []
+            for b in pdf["blob"]:
+                blob = bytes(b)
+                if blob[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG file")
+                pos, ihdr, idat = 8, None, bytearray()
+                while pos < len(blob):
+                    (ln,) = _struct.unpack_from(">I", blob, pos)
+                    ct = blob[pos + 4:pos + 8]
+                    data = blob[pos + 8:pos + 8 + ln]
+                    (crc,) = _struct.unpack_from(">I", blob, pos + 8 + ln)
+                    if _zlib.crc32(ct + data) != crc:
+                        raise ValueError(f"bad CRC in {ct!r} chunk")
+                    if ct == b"IHDR":
+                        ihdr = _struct.unpack(">IIBBBBB", data)
+                    elif ct == b"IDAT":
+                        idat += data
+                    elif ct == b"IEND":
+                        break
+                    pos += 12 + ln
+                w, h, depth, ctn, comp, filt_m, il = ihdr
+                if (depth, ctn, comp, filt_m, il) != (8, 2, 0, 0, 0):
+                    raise NotImplementedError(
+                        "only 8-bit truecolor non-interlaced PNG decode "
+                        "is in scope"
+                    )
+                raw = _zlib.decompress(bytes(idat))
+                stride = w * bpp
+                sr = sg = sb = 0
+                fts = []
+                prior = bytes(stride)
+                first_row = None
+                for r in range(h):
+                    base = r * (stride + 1)
+                    ft = raw[base]
+                    fts.append(ft)
+                    row = bytearray(raw[base + 1:base + 1 + stride])
+                    unfilt(ft, row, prior)
+                    prior = bytes(row)
+                    if r == 0:
+                        first_row = bytes(row)
+                    for c in range(w):
+                        sr += row[3 * c]
+                        sg += row[3 * c + 1]
+                        sb += row[3 * c + 2]
+                ws.append(w)
+                hs.append(h)
+                rsum.append(sr)
+                gsum.append(sg)
+                bsum.append(sb)
+                fsig.append("-".join(str(f) for f in fts))
+                tl.append(
+                    f"{first_row[0]}-{first_row[1]}-{first_row[2]}"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "sum_r": pd.Series(rsum, dtype="int64"),
+                    "sum_g": pd.Series(gsum, dtype="int64"),
+                    "sum_b": pd.Series(bsum, dtype="int64"),
+                    "filters_used": fsig,
+                    "top_left_rgb": tl,
+                }
+            )
+
+    schema = (
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long, filters_used string, top_left_rgb string"
+    )
+    return mm_png.select("doc_id", "blob").mapInPandas(run, schema)
+
+
 def decode_image(blob: bytes, fake: bool = False) -> list[float]:
     """Decode an image blob to pixels. REAL decode needs PIL — not in this
-    container — for COMPRESSED formats (PNG/JPEG); uncompressed 24-bit
-    BMP decodes for real via :func:`decode_bmp`.  The deterministic fake
+    container — only for JPEG now: uncompressed 24-bit BMP decodes for
+    real via :func:`decode_bmp`, and compressed PNG decodes for real via
+    :func:`decode_png` (stdlib ``zlib``).  The deterministic fake
     derives FEATURE_DIM floats from the byte content (stable across
     engines/runs)."""
     if not fake:

@@ -343,6 +343,62 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_decode",
+    # The PNG scanline filters are invertible, so the DECODED truth is
+    # the original md5-chain pixel payload — recomputable in pure SQL
+    # via the hex-nibble trick (mm_bmp_decode convention), this time in
+    # TOP-DOWN RGB order (PNG's native raster).  The engine side must
+    # inflate the IDAT zlib stream, verify chunk CRCs, and undo whichever
+    # of the five filters each scanline used (filter for row r is
+    # data[12*r] % 5 by construction — derived HERE from the same bytes,
+    # but read from the COMPRESSED STREAM by the engine); a decoder that
+    # skips unfiltering or botches Paeth cannot reproduce these sums.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5('x' || text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 24), j ->
+               16 * (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 2, 1)) - 1)
+             ) AS bt
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 1]))
+                AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 2]))
+                AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 8), i -> bt[3*i + 3]))
+                AS BIGINT) AS sum_b,
+           (bt[1] % 5) || '-' || (bt[13] % 5) AS filters_used,
+           bt[1] || '-' || bt[2] || '-' || bt[3] AS top_left_rgb
+    FROM b
+    """,
+    tags=("multimodal", "image", "codec", "udf"),
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode on the stdlib (the r8 extension of
+    mm_bmp_decode): synthesize genuine 4x2 RGB8 PNG assets — zlib
+    DEFLATE, chunk CRCs, and a real per-scanline filter drawn from the
+    pixel bytes so the corpus exercises all five PNG filter types — then
+    decode each one in an Arrow-batched ``mapInPandas`` stage: CRC
+    check, IDAT inflate, unfilter (Sub/Up/Average/Paeth included),
+    per-channel sums, filter signature, top-left pixel.  PIL remains
+    required (and honestly absent) only for JPEG.
+
+    Scale design: codec in the scan stage; six ints + two short strings
+    per asset cross any exchange; blobs never shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.png_pixel_stats(mm.attach_png_blobs(t["documents"]))
+
+
+@register(
     "mm_wav_energy",
     # A RIFF container has no SQL parse, so the oracle JOINs a fixture
     # parquet of md5(text) -> (n_samples, energy_sq, byte_sum) produced

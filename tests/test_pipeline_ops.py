@@ -1131,3 +1131,131 @@ def test_mm_bmp_decode_matches_direct_decode(spark, sf_dir):
         assert r["sum_g"] == sum(p[1] for p in px)
         assert r["sum_b"] == sum(p[2] for p in px)
         assert r["top_left_rgb"] == "-".join(str(v) for v in px[0])
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG codec must round-trip every scanline filter type
+    (None/Sub/Up/Average/Paeth), report the filters it read from the
+    compressed stream, verify chunk CRCs, and reject anything but 8-bit
+    truecolor non-interlaced — the same honesty contract as decode_bmp.
+    Pure Python: no Spark session needed."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from multisql_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    # 2x5 image: five rows, one per filter type; pixels chosen so every
+    # predictor (left / up / average / paeth) is non-trivial.
+    pixels = bytes(range(30))  # 2 px * 5 rows * 3 channels
+    blob = encode_png_rgb8(pixels, 2, 5, [0, 1, 2, 3, 4])
+    w, h, filters, px = decode_png(blob)
+    assert (w, h) == (2, 5)
+    assert filters == [0, 1, 2, 3, 4]
+    flat = [v for p in px for v in p]
+    assert bytes(flat) == pixels
+
+    # CRC corruption must be detected, not silently decoded
+    bad = bytearray(blob)
+    idat_at = blob.index(b"IDAT")
+    bad[idat_at + 4] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    # interlaced / non-truecolor is out of scope, like compressed BMP
+    ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 1)  # Adam7
+    chunk = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    il = blob[:8] + chunk + blob[8 + 25:]
+    with _pytest.raises(NotImplementedError):
+        decode_png(il)
+    with _pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+
+
+def test_png_decode_independent_assembly():
+    """decode_png against a PNG assembled BY HAND in this test — its own
+    chunk layout, its own filter arithmetic (Up and Sub computed with
+    explicit byte math, IDAT split across TWO chunks, an ancillary chunk
+    interleaved) — so the decoder is pinned to the spec, not to the
+    sibling encoder's idea of it."""
+    import struct
+    import zlib
+
+    from multisql_spark.operators.multimodal import decode_png
+
+    row0 = bytes([10, 20, 30, 40, 50, 60])  # 2 px RGB
+    row1 = bytes([15, 22, 37, 41, 58, 61])
+    # row 0 uses Sub: first pixel unchanged, second minus left
+    f0 = bytes([1]) + row0[:3] + bytes(
+        (row0[3 + i] - row0[i]) & 0xFF for i in range(3)
+    )
+    # row 1 uses Up: minus the byte directly above
+    f1 = bytes([2]) + bytes(
+        (row1[i] - row0[i]) & 0xFF for i in range(6)
+    )
+    comp = zlib.compress(f0 + f1)
+
+    def chunk(ct, data):
+        return (
+            struct.pack(">I", len(data)) + ct + data
+            + struct.pack(">I", zlib.crc32(ct + data))
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"tEXt", b"Comment\x00hand-assembled")
+        + chunk(b"IDAT", comp[: len(comp) // 2])
+        + chunk(b"IDAT", comp[len(comp) // 2:])
+        + chunk(b"IEND", b"")
+    )
+    w, h, filters, px = decode_png(blob)
+    assert (w, h) == (2, 2)
+    assert filters == [1, 2]
+    assert bytes(v for p in px for v in p) == row0 + row1
+
+
+def test_mm_png_decode_matches_direct_decode(spark, sf_dir):
+    """mm_png_decode's mapInPandas stats must equal a direct
+    decode_png() of the rebuilt asset row-for-row, and the corpus must
+    exercise ALL FIVE filter types — the pin that the query's pure-SQL
+    oracle and the real inflate+unfilter describe the same bytes."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_png_decode"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    seen_filters: set[int] = set()
+    for r in rows:
+        seen_filters.update(int(f) for f in r["filters_used"].split("-"))
+    assert seen_filters == {0, 1, 2, 3, 4}
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        data = (
+            hashlib.md5(t.encode()).digest()
+            + hashlib.md5(("x" + t).encode()).digest()
+        )[:24]
+        blob = mm.encode_png_rgb8(
+            data, 4, 2, [data[0] % 5, data[12] % 5]
+        )
+        w, h, filters, px = mm.decode_png(blob)
+        assert (r["width"], r["height"]) == (w, h) == (4, 2)
+        assert r["filters_used"] == "-".join(str(f) for f in filters)
+        assert r["sum_r"] == sum(p[0] for p in px)
+        assert r["sum_g"] == sum(p[1] for p in px)
+        assert r["sum_b"] == sum(p[2] for p in px)
+        assert r["top_left_rgb"] == "-".join(str(v) for v in px[0])
+        # filters invertible → decoded payload IS the md5 chain
+        assert bytes(v for p in px for v in p) == data
