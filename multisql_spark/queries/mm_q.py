@@ -399,6 +399,59 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_frame_plan",
+    # The synthesized AVI layout is deterministic (fixed 56-byte avih,
+    # 8x 12-byte '00dc' chunks), so the idx1-derived absolute offsets
+    # the ENGINE reads out of the container are recomputable here as
+    # pure arithmetic: the movi fourcc sits at byte 96, frame i's data
+    # at 108 + 12*i; payload bytes are the md5 chain (hex-nibble trick);
+    # frame timing is n_chars-derived on the oracle side while the
+    # engine reads it from the avih header it parsed — the pin that the
+    # container walk is real.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, (n_chars % 4 + 1) * 10000 AS us_per_frame,
+             md5(text) || md5('x' || text) AS hx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, us_per_frame, hx, unnest([0, 3, 6]) AS frame_id
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(frame_id AS BIGINT) AS frame_id,
+           CAST(frame_id * us_per_frame AS BIGINT) AS ts_us,
+           CAST(108 + 12 * frame_id AS BIGINT) AS byte_off,
+           CAST(4 AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(
+                 range(4 * frame_id, 4 * frame_id + 4), j ->
+                 16 * (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 1, 1)) - 1)
+                    + (strpos('0123456789abcdef',
+                              substr(hx, 2*j + 2, 1)) - 1)))
+                AS BIGINT) AS payload_sum
+    FROM f
+    """,
+    tags=("multimodal", "video", "codec", "chunking"),
+)
+def mm_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parse on the stdlib (completes the container
+    triple: BMP/PNG images, WAV audio, now RIFF/AVI video): synthesize
+    genuine minimal AVIs — avih main header, movi chunk list, idx1
+    index — then plan every-3rd-frame sampling from a real chunk walk
+    in an Arrow-batched ``mapInPandas`` stage: absolute byte ranges
+    resolved against the movi position the walk found, timestamps from
+    the avih frame timing, and the payload sum read AT THE PLANNED
+    OFFSET.  Codec payload decode stays honestly out of scope (libav).
+
+    Scale design: one 6-int row per sampled frame crosses any exchange;
+    blobs never shuffle; the fetch stage later reads exactly the planned
+    byte range (the seek-based sampling every video pipeline runs)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.avi_frame_plan(mm.attach_avi_blobs(t["documents"]), stride=3)
+
+
+@register(
     "mm_wav_energy",
     # A RIFF container has no SQL parse, so the oracle JOINs a fixture
     # parquet of md5(text) -> (n_samples, energy_sq, byte_sum) produced

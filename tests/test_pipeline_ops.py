@@ -1259,3 +1259,86 @@ def test_mm_png_decode_matches_direct_decode(spark, sf_dir):
         assert r["top_left_rgb"] == "-".join(str(v) for v in px[0])
         # filters invertible → decoded payload IS the md5 chain
         assert bytes(v for p in px for v in p) == data
+
+
+def test_avi_codec_roundtrip_and_index():
+    """The stdlib RIFF/AVI parser must recover frame timing from avih,
+    resolve idx1 offsets against the movi position it actually found
+    (not a hardcoded layout), survive word-aligned odd-sized sibling
+    chunks, and reject non-AVI RIFF.  Pure Python: no Spark needed."""
+    import struct
+
+    import pytest as _pytest
+
+    from multisql_spark.operators.multimodal import (
+        encode_avi_frames,
+        parse_avi,
+    )
+
+    frames = [bytes([i, i + 1, i + 2, i + 3]) for i in range(0, 12, 4)]
+    blob = encode_avi_frames(frames, us_per_frame=40000)
+    upf, total, entries = parse_avi(blob)
+    assert (upf, total) == (40000, 3)
+    assert [e[0] for e in entries] == [0, 1, 2]
+    for (fid, off, size), fr in zip(entries, frames):
+        assert size == 4
+        assert blob[off:off + size] == fr
+
+    # an odd-sized padding chunk BEFORE movi shifts every offset; the
+    # parser must still resolve frames via the real movi position
+    junk = b"JUNK" + struct.pack("<I", 3) + b"pad" + b"\x00"  # word-align
+    shifted = (
+        blob[:12] + junk + blob[12:8 + struct.unpack_from("<I", blob, 4)[0]]
+    )
+    shifted = (
+        b"RIFF" + struct.pack("<I", len(shifted) - 8 + 8)
+        + shifted[8:]
+    )
+    upf2, _, entries2 = parse_avi(shifted)
+    assert upf2 == 40000
+    for (fid, off, size), fr in zip(entries2, frames):
+        assert shifted[off:off + size] == fr
+
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        encode_avi_frames([b"odd"], 1000)  # unaligned payload
+
+
+def test_mm_video_frame_plan_matches_direct_parse(spark, sf_dir):
+    """mm_video_frame_plan's mapInPandas rows must equal a direct
+    parse_avi() of the rebuilt asset — offsets, timing, and the payload
+    sums read at the planned offsets — the pin that the query's
+    arithmetic oracle and the real chunk walk describe the same
+    container."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_video_frame_plan"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == 3 * len(docs)  # frames 0, 3, 6 per asset
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in list(by_doc.items())[:50]:
+        text, n_chars = docs[doc_id]
+        data = (
+            hashlib.md5(text.encode()).digest()
+            + hashlib.md5(("x" + text).encode()).digest()
+        )
+        blob = mm.encode_avi_frames(
+            [data[i * 4:(i + 1) * 4] for i in range(8)],
+            (n_chars % 4 + 1) * 10000,
+        )
+        upf, total, entries = mm.parse_avi(blob)
+        assert total == 8
+        for r in sorted(rs, key=lambda x: x["frame_id"]):
+            fid, off, size = entries[r["frame_id"]]
+            assert r["byte_off"] == off
+            assert r["byte_len"] == size
+            assert r["ts_us"] == r["frame_id"] * upf
+            assert r["payload_sum"] == sum(blob[off:off + size])
