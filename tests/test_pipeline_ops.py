@@ -1342,3 +1342,42 @@ def test_mm_video_frame_plan_matches_direct_parse(spark, sf_dir):
             assert r["byte_len"] == size
             assert r["ts_us"] == r["frame_id"] * upf
             assert r["payload_sum"] == sum(blob[off:off + size])
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png_rgb8 → decode_png is the identity for ANY
+    pixel payload, dimensions, and per-row filter choice — the PNG
+    filters are bijections given the prior row, so a single counter-
+    example here means the filter math is wrong on encode or decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multisql_spark.operators.multimodal import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        w = data.draw(st.integers(1, 5), label="width")
+        h = data.draw(st.integers(1, 4), label="height")
+        pixels = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3, max_size=w * h * 3,
+                ),
+                label="pixels",
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h),
+            label="filters",
+        )
+        blob = encode_png_rgb8(pixels, w, h, filters)
+        dw, dh, dfilters, px = decode_png(blob)
+        assert (dw, dh, dfilters) == (w, h, filters)
+        assert bytes(v for p in px for v in p) == pixels
+
+    prop()
