@@ -1381,3 +1381,47 @@ def test_png_roundtrip_property():
         assert bytes(v for p in px for v in p) == pixels
 
     prop()
+
+
+def test_avi_roundtrip_property():
+    """Property: encode_avi_frames → parse_avi recovers timing, count,
+    and every frame's exact byte range for ANY frame payloads (word-
+    aligned) and timing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multisql_spark.operators.multimodal import (
+        encode_avi_frames,
+        parse_avi,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        n = data.draw(st.integers(1, 6), label="n_frames")
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=2 * k, max_size=2 * k
+                    ),
+                    label=f"frame{i}",
+                )
+            )
+            for i, k in enumerate(
+                data.draw(
+                    st.lists(
+                        st.integers(1, 6), min_size=n, max_size=n
+                    ),
+                    label="half_sizes",
+                )
+            )
+        ]
+        upf = data.draw(st.integers(1, 1_000_000), label="us_per_frame")
+        blob = encode_avi_frames(frames, upf)
+        pupf, total, entries = parse_avi(blob)
+        assert (pupf, total) == (upf, len(frames))
+        for (fid, off, size), fr in zip(entries, frames):
+            assert blob[off:off + size] == fr
+
+    prop()
