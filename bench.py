@@ -149,6 +149,11 @@ def bench_queries(spark: SparkSession):
         # else now that every heavy consumer runs capped
         "dedup_lsh_capped": "dedup_lsh_bucket_capped",
         "dedup_capped_verdict": "dedup_ensemble_verdict",
+        # round-8: the Arrow-batched real-codec path (PNG inflate+unfilter,
+        # AVI index walk) — the Python-kernel cost tracked like everything
+        # else; both plans keep blobs in the scan stage
+        "png_decode": "mm_png_decode",
+        "video_frame_plan": "mm_video_frame_plan",
         # round-5 sketch family: engine-exact approximation primitives
         "hll_distinct": "sketch_hll_deterministic",
         "quantile_bottomk": "sketch_quantile_bottomk",
@@ -179,11 +184,19 @@ def bench_queries(spark: SparkSession):
     #   QueryExecution — the write column would measure planning.
     timings: dict[str, float] = {}
     timings_noop: dict[str, float] = {}
+    # A/B hook: SPARK_GRAFT_BENCH_COLLECT_ONLY=1 replicates the pre-r8
+    # single-column methodology (7 collect runs/query, no noop passes) to
+    # separate engine movement from the extra measurement work the second
+    # column adds to the session.
+    collect_only = os.environ.get("SPARK_GRAFT_BENCH_COLLECT_ONLY") == "1"
     for name, df in cases.items():
         runs = {
             "collect": df.collect,
             "noop": lambda d=df: d._jdf.queryExecution().toRdd().count(),
         }
+        if collect_only:
+            runs.pop("noop")
+            timings_noop[name] = 0.0
         for kind, fn in runs.items():
             fn()  # warmup
             best = float("inf")
