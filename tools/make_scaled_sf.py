@@ -130,25 +130,41 @@ def _consolidate(dst: str) -> None:
         path = os.path.join(dst, name)
         if not (name.endswith(".parquet") and os.path.isdir(path)):
             continue
-        tbl = pq.read_table(path)
+        parts = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        )
         # Spark 4.1 preserves TIMESTAMP(NANOS) on rewrite, but its
         # vectorized reader cannot serve a nanos column under the micros
         # schema a fresh session infers mid-stream — normalize to the
         # micros the driver testdata uses (exact: values started micros)
+        src_schema = pq.ParquetFile(parts[0]).schema_arrow
         fields = [
             pa.field(f.name, pa.timestamp("us"))
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
             and f.type.tz is None
             else f
-            for f in tbl.schema
+            for f in src_schema
         ]
-        tbl = tbl.cast(pa.schema(fields))
+        schema = pa.schema(fields)
         fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=dst)
         os.close(fd)
-        pq.write_table(tbl, tmp)
+        # stream part-file row groups through a single writer — memory
+        # stays one row group regardless of table size, so consolidation
+        # works at derived sf1000 (600M-row lineitem) where a whole-table
+        # read_table would need hundreds of GB
+        n_rows = 0
+        with pq.ParquetWriter(tmp, schema) as writer:
+            for part in parts:
+                f = pq.ParquetFile(part)
+                for g in range(f.num_row_groups):
+                    batch = f.read_row_group(g).cast(schema)
+                    writer.write_table(batch)
+                    n_rows += batch.num_rows
         shutil.rmtree(path)
         os.replace(tmp, path)
-        print(f"{name}: consolidated to a single file ({tbl.num_rows} rows)")
+        print(f"{name}: consolidated to a single file ({n_rows} rows)")
 
 
 if __name__ == "__main__":
