@@ -734,6 +734,420 @@ def png_pixel_stats(mm_png: DataFrame) -> DataFrame:
     return mm_png.select("doc_id", "blob").mapInPandas(run, schema)
 
 
+# ------------------------------------------------------------------ GIF codec
+#
+# A second COMPRESSED image format on the stdlib-only diet — and a
+# different algorithm class: GIF's LZW is implemented here directly
+# (variable-width codes growing 9→12 bits, clear/EOI control codes, the
+# KwKwK special case, LSB-first bit packing, 255-byte sub-block
+# framing), not delegated to a library the way PNG delegates DEFLATE to
+# `zlib`.  Synthesized assets repeat the md5 scanline 32×, so the
+# dictionary genuinely grows past the 9-bit boundary and long-match
+# codes dominate the stream — a decoder with a wrong growth point or a
+# wrong KwKwK branch cannot reproduce the indices.
+
+GIF_W, GIF_H = 24, 32  # 24-byte md5 scanline repeated 32 times
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF-variant LZW: emits CLEAR first, grows the code width
+    when the next free code would overflow it, resets at 4096."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF-variant LZW decode: LSB-first variable-width codes,
+    CLEAR resets the table, KwKwK handled, width grows when the table
+    reaches the current code space (GIF convention: the width in force
+    while reading code N accounts for the entry N will create)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = bitbuf = bitcnt = 0
+    out = bytearray()
+
+    def read(width: int) -> int | None:
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < width:
+            if pos >= len(data):
+                return None
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {i: bytes([i]) for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif87a(indices: bytes, width: int, height: int) -> bytes:
+    """Build a genuine GIF87a: logical screen descriptor, a 256-entry
+    grayscale global color table (entry i = i,i,i), one image descriptor,
+    and the pixel indices LZW-compressed for real (min code size 8) in
+    255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("index payload does not match width*height")
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_encode_gif(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        + gct
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8]) + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF decode on the stdlib: header + logical screen
+    descriptor, skip the global color table, image descriptor,
+    reassemble the LZW sub-blocks and decompress with the real
+    variable-width decoder.  Returns (width, height, indices).  Only
+    non-interlaced single-image GIF87a/89a without local color tables
+    is in scope; extensions (0x21) are skipped like a real reader."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while pos < len(blob):
+        marker = blob[pos]
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif marker == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", blob, pos + 1
+            )
+            if ipacked & 0xC0:
+                raise NotImplementedError(
+                    "local color tables / interlace out of scope"
+                )
+            pos += 10
+            mcs = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while blob[pos]:
+                n = blob[pos]
+                lzw += blob[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode_gif(bytes(lzw), mcs)
+            if len(indices) != w * h:
+                raise ValueError("LZW payload does not fill the raster")
+            return w, h, indices
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block marker {marker:#x}")
+    raise ValueError("no image descriptor found")
+
+
+def attach_gif_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL GIF87a assets from documents: the 24 md5-chain
+    bytes as one indexed scanline repeated 32 times (24x32), so the LZW
+    dictionary genuinely crosses the 9-bit width boundary.  Encoding
+    runs in an Arrow-batched ``mapInPandas`` stage with a self-contained
+    worker (executors never import this package; the roundtrip test pins
+    this copy of the LZW encoder to the module-level one)."""
+    w, h = GIF_W, GIF_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+
+        def lzw(indices, mcs):
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            out = bytearray()
+            buf = cnt = 0
+
+            def emit(code, width):
+                nonlocal buf, cnt
+                buf |= code << cnt
+                cnt += width
+                while cnt >= 8:
+                    out.append(buf & 0xFF)
+                    buf >>= 8
+                    cnt -= 8
+
+            def fresh():
+                return (
+                    {bytes([i]): i for i in range(1 << mcs)},
+                    eoi + 1, mcs + 1,
+                )
+
+            table, nxt, width = fresh()
+            emit(clear, width)
+            wseq = b""
+            for b in indices:
+                wk = wseq + bytes([b])
+                if wk in table:
+                    wseq = wk
+                    continue
+                emit(table[wseq], width)
+                if nxt < 4096:
+                    table[wk] = nxt
+                    nxt += 1
+                    if nxt - 1 == (1 << width) and width < 12:
+                        width += 1
+                else:
+                    emit(clear, width)
+                    table, nxt, width = fresh()
+                wseq = bytes([b])
+            if wseq:
+                emit(table[wseq], width)
+            emit(eoi, width)
+            if cnt:
+                out.append(buf & 0xFF)
+            return bytes(out)
+
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        head = (
+            b"GIF87a" + _struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + gct
+            + b"\x2C" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([8])
+        )
+        for pdf in batches:
+            blobs = []
+            for text in pdf["text"]:
+                t = (text or "").encode()
+                line = (
+                    hashlib.md5(t).digest()
+                    + hashlib.md5(b"x" + t).digest()
+                )[:w]
+                z = lzw(line * h, 8)
+                blocks = bytearray()
+                for i in range(0, len(z), 255):
+                    chunk = z[i:i + 255]
+                    blocks.append(len(chunk))
+                    blocks += chunk
+                blocks.append(0)
+                blobs.append(head + bytes(blocks) + b"\x3B")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+        run, "doc_id long, blob binary"
+    )
+
+
+def gif_index_stats(mm_gif: DataFrame) -> DataFrame:
+    """True per-asset index statistics from a REAL decode of each GIF
+    blob (the LZW decompressor above, in an Arrow-batched
+    ``mapInPandas`` stage): dimensions FROM THE DESCRIPTOR, exact index
+    sum / min / max over the full raster, and the top-left index.
+
+    Scale shape: codec in the scan stage before any exchange; six ints
+    per asset move, blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def unlzw(data, mcs):
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            pos = buf = cnt = 0
+            out = bytearray()
+
+            def read(width):
+                nonlocal pos, buf, cnt
+                while cnt < width:
+                    if pos >= len(data):
+                        return None
+                    buf |= data[pos] << cnt
+                    pos += 1
+                    cnt += 8
+                code = buf & ((1 << width) - 1)
+                buf >>= width
+                cnt -= width
+                return code
+
+            def fresh():
+                return (
+                    {i: bytes([i]) for i in range(1 << mcs)},
+                    eoi + 1, mcs + 1,
+                )
+
+            table, nxt, width = fresh()
+            prev = None
+            while True:
+                code = read(width)
+                if code is None or code == eoi:
+                    break
+                if code == clear:
+                    table, nxt, width = fresh()
+                    prev = None
+                    continue
+                if code in table:
+                    entry = table[code]
+                elif code == nxt and prev is not None:
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError(f"corrupt LZW stream: code {code}")
+                out += entry
+                if prev is not None and nxt < 4096:
+                    table[nxt] = prev + entry[:1]
+                    nxt += 1
+                    if nxt == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+            return bytes(out)
+
+        def dec(blob):
+            if blob[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF file")
+            _sw, _sh, packed, _bg, _ar = _struct.unpack_from(
+                "<HHBBB", blob, 6
+            )
+            pos = 13
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            while pos < len(blob):
+                marker = blob[pos]
+                if marker == 0x21:
+                    pos += 2
+                    while blob[pos]:
+                        pos += 1 + blob[pos]
+                    pos += 1
+                elif marker == 0x2C:
+                    _l, _t, w, h, ipacked = _struct.unpack_from(
+                        "<HHHHB", blob, pos + 1
+                    )
+                    if ipacked & 0xC0:
+                        raise NotImplementedError(
+                            "local color tables / interlace out of scope"
+                        )
+                    pos += 10
+                    mcs = blob[pos]
+                    pos += 1
+                    z = bytearray()
+                    while blob[pos]:
+                        n = blob[pos]
+                        z += blob[pos + 1:pos + 1 + n]
+                        pos += 1 + n
+                    idx = unlzw(bytes(z), mcs)
+                    if len(idx) != w * h:
+                        raise ValueError(
+                            "LZW payload does not fill the raster"
+                        )
+                    return w, h, idx
+                elif marker == 0x3B:
+                    break
+                else:
+                    raise ValueError(
+                        f"unexpected GIF block marker {marker:#x}"
+                    )
+            raise ValueError("no image descriptor found")
+
+        for pdf in batches:
+            ws, hs, sums, mins, maxs, tls = [], [], [], [], [], []
+            for b in pdf["blob"]:
+                w, h, idx = dec(bytes(b))
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(idx))
+                mins.append(min(idx))
+                maxs.append(max(idx))
+                tls.append(idx[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "idx_sum": pd.Series(sums, dtype="int64"),
+                    "idx_min": pd.Series(mins, dtype="int64"),
+                    "idx_max": pd.Series(maxs, dtype="int64"),
+                    "top_left_idx": pd.Series(tls, dtype="int64"),
+                }
+            )
+
+    schema = (
+        "doc_id long, width long, height long, idx_sum long, "
+        "idx_min long, idx_max long, top_left_idx long"
+    )
+    return mm_gif.select("doc_id", "blob").mapInPandas(run, schema)
+
+
 # ------------------------------------------------------------------ AVI codec
 #
 # The VIDEO container completing the real-parser triple (BMP/PNG images,

@@ -399,6 +399,55 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_gif_decode",
+    # LZW is lossless, so the DECODED truth is the original index
+    # payload — the 24 md5-chain bytes as one scanline repeated 32
+    # times, recomputable in pure SQL via the hex-nibble trick.  The
+    # engine side must reassemble the sub-blocks and run a REAL
+    # variable-width LZW decode (the dictionary crosses the 9-bit
+    # boundary on every asset by construction); a decoder with a wrong
+    # growth point or KwKwK branch cannot reproduce these sums.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5('x' || text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 24), j ->
+               16 * (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 2, 1)) - 1)
+             ) AS bt
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(24 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(32 * list_sum(bt) AS BIGINT) AS idx_sum,
+           CAST(list_min(bt) AS BIGINT) AS idx_min,
+           CAST(list_max(bt) AS BIGINT) AS idx_max,
+           CAST(bt[1] AS BIGINT) AS top_left_idx
+    FROM b
+    """,
+    tags=("multimodal", "image", "codec", "udf"),
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode on the stdlib — and unlike PNG (which delegates
+    DEFLATE to ``zlib``), the decompressor itself is implemented here:
+    GIF-variant LZW with LSB-first variable-width codes growing 9→12
+    bits, clear/EOI control codes, the KwKwK corner case, and 255-byte
+    sub-block framing.  Assets repeat the md5 scanline 32×, so every
+    stream genuinely crosses the 9-bit width boundary and long-match
+    codes dominate.  Fifth real codec (BMP, PNG, WAV, AVI, GIF).
+
+    Scale design: codec in the scan stage; six ints per asset cross any
+    exchange; blobs never shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.gif_index_stats(mm.attach_gif_blobs(t["documents"]))
+
+
+@register(
     "mm_video_frame_plan",
     # The synthesized AVI layout is deterministic (fixed 56-byte avih,
     # 8x 12-byte '00dc' chunks), so the idx1-derived absolute offsets

@@ -1425,3 +1425,134 @@ def test_avi_roundtrip_property():
             assert blob[off:off + size] == fr
 
     prop()
+
+
+def test_gif_lzw_roundtrip_and_guards():
+    """The real LZW pair must round-trip streams that cross the 9-bit
+    width boundary (and the 4096 table reset), and the GIF container
+    must reject wrong payload sizes and unknown markers.  Pure Python."""
+    import pytest as _pytest
+
+    from multisql_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif87a,
+    )
+
+    # 24-byte line repeated 32x: dictionary crosses 9 bits (the asset
+    # shape); byte-exact roundtrip
+    line = bytes(range(100, 124))
+    payload = line * 32
+    assert _lzw_decode_gif(_lzw_encode_gif(payload, 8), 8) == payload
+
+    # long low-entropy stream: forces the 4096-entry table reset path
+    big = bytes([7, 7, 9]) * 6000
+    assert _lzw_decode_gif(_lzw_encode_gif(big, 8), 8) == big
+
+    # container roundtrip
+    blob = encode_gif87a(payload, 24, 32)
+    assert decode_gif(blob) == (24, 32, payload)
+    with _pytest.raises(ValueError):
+        encode_gif87a(payload, 24, 31)  # size mismatch
+    with _pytest.raises(ValueError):
+        decode_gif(b"\x89PNG not a gif")
+
+
+def test_gif_decode_hand_built_lzw_stream():
+    """decode_gif against a GIF whose LZW stream is packed BY HAND in
+    this test — its own LSB-first bit packer over a known code sequence
+    (the textbook [1,1,1] encode: CLEAR,1,(1,1)-code,EOI at 3-bit
+    width), an interleaved 89a extension block, and the image split
+    across two sub-blocks — pinning the decoder to the format, not to
+    the sibling encoder."""
+    import struct
+
+    from multisql_spark.operators.multimodal import decode_gif
+
+    # min code size 2: clear=4, eoi=5, first free code=6, width=3
+    codes = [(4, 3), (1, 3), (6, 3), (5, 3)]
+    buf = cnt = 0
+    stream = bytearray()
+    for code, width in codes:
+        buf |= code << cnt
+        cnt += width
+        while cnt >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            cnt -= 8
+    if cnt:
+        stream.append(buf & 0xFF)
+
+    gct = bytes(v for i in range(4) for v in (i, i, i))
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 3, 1, 0x80 | 0x01, 0, 0)  # 4-entry GCT
+        + gct
+        + b"\x21\xFE" + bytes([3]) + b"abc" + b"\x00"  # comment ext
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+        + bytes([2])                       # min code size
+        + bytes([1]) + stream[:1]          # sub-block 1
+        + bytes([len(stream) - 1]) + stream[1:]  # sub-block 2
+        + b"\x00\x3B"
+    )
+    assert decode_gif(blob) == (3, 1, bytes([1, 1, 1]))
+
+
+def test_gif_lzw_roundtrip_property():
+    """Property: LZW encode→decode is the identity for arbitrary byte
+    streams — including ones long enough to grow the code width and
+    degenerate single-symbol runs that hammer the KwKwK branch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multisql_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        payload=st.one_of(
+            st.binary(min_size=1, max_size=400),
+            st.builds(
+                lambda b, n: bytes(b) * n,
+                st.binary(min_size=1, max_size=8),
+                st.integers(1, 400),
+            ),
+        )
+    )
+    def prop(payload):
+        assert _lzw_decode_gif(_lzw_encode_gif(payload, 8), 8) == payload
+
+    prop()
+
+
+def test_mm_gif_decode_matches_direct_decode(spark, sf_dir):
+    """mm_gif_decode's mapInPandas stats must equal a direct decode_gif
+    of the rebuilt asset row-for-row — pinning the self-contained worker
+    copies of the LZW codec to the module-level pair the unit tests
+    exercise."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_gif_decode"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        line = (
+            hashlib.md5(t.encode()).digest()
+            + hashlib.md5(("x" + t).encode()).digest()
+        )[:24]
+        blob = mm.encode_gif87a(line * 32, 24, 32)
+        w, h, idx = mm.decode_gif(blob)
+        assert (r["width"], r["height"]) == (w, h) == (24, 32)
+        assert r["idx_sum"] == sum(idx) == 32 * sum(line)
+        assert r["idx_min"] == min(idx)
+        assert r["idx_max"] == max(idx)
+        assert r["top_left_idx"] == idx[0] == line[0]
