@@ -407,7 +407,10 @@ def bmp_pixel_stats(mm_bmp: DataFrame) -> DataFrame:
 # pixel payload.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-PNG_W, PNG_H = 4, 2  # synthesized asset grid: 4x2 px RGB8, 24 pixel bytes
+# Synthesized asset grid: 4x2 px RGB8, 24 pixel bytes.  COUPLED to the
+# mm_png_decode SQL oracle in queries/mm_q.py, which re-derives the same
+# 4x2 shape from md5(text) independently — change both together.
+PNG_W, PNG_H = 4, 2
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -570,7 +573,7 @@ def attach_png_blobs(docs: DataFrame) -> DataFrame:
         import struct as _struct
         import zlib as _zlib
 
-        w, h, bpp = 4, 2, 3
+        w, h, bpp = PNG_W, PNG_H, 3
 
         def paeth(a, b, c):
             p = a + b - c
@@ -792,6 +795,16 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+    # Width-boundary edge at EOI: after reading the final data code the
+    # DECODER creates one more table entry and may grow its width before
+    # reading EOI, while this encoder emits EOI at the old width.  That
+    # mismatch is harmless BY CONSTRUCTION: codes are packed LSB-first,
+    # so the decoder's wider read sees EOI's bits plus high bits that are
+    # either the stream's zero padding or absent entirely (read() returns
+    # None at end-of-data, which also terminates) — both zero-extend to
+    # the same EOI value.  Growing the encoder width here would require
+    # simulating the decoder's entry-creation lag; the invariant above
+    # makes that complexity unnecessary.
     emit(eoi, width)
     if bitcnt:
         out.append(bitbuf & 0xFF)
@@ -895,8 +908,10 @@ def decode_gif(blob: bytes) -> tuple[int, int, bytes]:
         marker = blob[pos]
         if marker == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while blob[pos]:
+            while pos < len(blob) and blob[pos]:
                 pos += 1 + blob[pos]
+            if pos >= len(blob):
+                raise ValueError("truncated GIF extension sub-blocks")
             pos += 1
         elif marker == 0x2C:
             left, top, w, h, ipacked = struct.unpack_from(
@@ -907,13 +922,17 @@ def decode_gif(blob: bytes) -> tuple[int, int, bytes]:
                     "local color tables / interlace out of scope"
                 )
             pos += 10
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image data")
             mcs = blob[pos]
             pos += 1
             lzw = bytearray()
-            while blob[pos]:
+            while pos < len(blob) and blob[pos]:
                 n = blob[pos]
                 lzw += blob[pos + 1:pos + 1 + n]
                 pos += 1 + n
+            if pos >= len(blob):
+                raise ValueError("truncated GIF image sub-blocks")
             indices = _lzw_decode_gif(bytes(lzw), mcs)
             if len(indices) != w * h:
                 raise ValueError("LZW payload does not fill the raster")

@@ -135,11 +135,15 @@ def _consolidate(dst: str) -> None:
             for p in os.listdir(path)
             if p.endswith(".parquet")
         )
+        if not parts:
+            continue
         # Spark 4.1 preserves TIMESTAMP(NANOS) on rewrite, but its
         # vectorized reader cannot serve a nanos column under the micros
         # schema a fresh session infers mid-stream — normalize to the
         # micros the driver testdata uses (exact: values started micros)
-        src_schema = pq.ParquetFile(parts[0]).schema_arrow
+        src_schema = pa.unify_schemas(
+            [pq.ParquetFile(p).schema_arrow for p in parts]
+        )
         fields = [
             pa.field(f.name, pa.timestamp("us"))
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
