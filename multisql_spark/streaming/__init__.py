@@ -22,6 +22,26 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,2)"
 
 
+# Audit hook: when a list is installed here, ``_drain`` appends each
+# drained query's LAST micro-batch physical plan (formatted mode, via the
+# live IncrementalExecution) so ``tests/test_plan_audit.py`` can run the
+# same 100 TB anti-pattern gate over streaming shapes that batch queries
+# get.  ``None`` (the default) makes the hook a no-op in production.
+MICROBATCH_PLAN_SINK: list[str] | None = None
+
+
+def _capture_microbatch_plan(q) -> None:
+    if MICROBATCH_PLAN_SINK is None:
+        return
+    qe = q._jsq.streamingQuery().lastExecution()
+    if qe is None:  # query terminated before any micro-batch ran
+        return
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    MICROBATCH_PLAN_SINK.append(jvm.PythonSQLUtils.explainString(qe, "formatted"))
+
+
 def _drain(q) -> None:
     """Drain a bounded streaming query and surface its real failure.
 
@@ -37,6 +57,7 @@ def _drain(q) -> None:
         exc = q.exception()
         if exc is not None:
             raise exc
+        _capture_microbatch_plan(q)
     finally:
         q.stop()
 
