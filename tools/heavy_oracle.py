@@ -74,69 +74,141 @@ def _round_half_up(x: float, d: int) -> float:
 # --------------------------------------------------------------------------
 
 
+class _DocView:
+    """doc_id -> per-distinct-text value (the replication-aware map that
+    makes the model affordable at derived scale; see Corpus)."""
+
+    __slots__ = ("_tid_of", "_table")
+
+    def __init__(self, tid_of: dict, table: list):
+        self._tid_of = tid_of
+        self._table = table
+
+    def __getitem__(self, d: int):
+        return self._table[self._tid_of[d]]
+
+
 class Corpus:
     """Per-document token sets, minhash signatures, band keys, simhash,
     and the banded-LSH candidate pair list with estimated Jaccard —
-    computed once, shared by every query's ground truth."""
+    computed once, shared by every query's ground truth.
+
+    Scaling (VERDICT r8 ask #1): the derived sf directories replicate
+    ``documents.text`` VERBATIM (only doc_id offsets —
+    tools/make_scaled_sf.py), so the expensive md5 model is computed per
+    DISTINCT TEXT (sf0.1-sized work) with a per-distinct-token hash
+    cache, then fanned out to replica doc_ids.  Bucket membership is
+    capped ON THE FLY with a size-CAP max-heap per (band, key) — only
+    the CAP smallest doc_ids per bucket (exactly the engine's
+    ``lsh_candidate_pairs_capped`` selection) are ever materialized, so
+    memory stays bounded by buckets×CAP instead of total membership.
+    Results are bit-identical to the naive per-document model: the
+    min-over-token-hashes signature depends only on the token SET, and
+    the capped selection is order-independent."""
 
     def __init__(self, sf_dir: str):
+        import heapq
+
         import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-        )
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        self.doc_ids = [int(i) for i in ids]
+        pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+        tid_by_text: dict[str, int] = {}
+        texts: list[str] = []
+        docs_by_tid: list[list] = []
+        self.doc_ids: list[int] = []
+        for batch in pf.iter_batches(
+            columns=["doc_id", "text"], batch_size=1 << 16
+        ):
+            for i, tx in zip(
+                batch.column(0).to_pylist(), batch.column(1).to_pylist()
+            ):
+                i = int(i)
+                self.doc_ids.append(i)
+                tid = tid_by_text.get(tx)
+                if tid is None:
+                    tid = tid_by_text[tx] = len(texts)
+                    texts.append(tx)
+                    docs_by_tid.append([])
+                docs_by_tid[tid].append(i)
+        # --- per-distinct-text model (token hashes cached across texts)
         # F.split(text, " ") + array_distinct == str.split(" ") + set
-        self.toks: dict[int, set] = {
-            int(i): set(tx.split(" ")) for i, tx in zip(ids, texts)
-        }
-        # sig_i = min over tokens of md5(tok + "#i"), i in 1..K
-        self.sigs: dict[int, list] = {}
-        tok_md5: dict[int, list] = {}
-        for d, ts in self.toks.items():
-            hs = [[_md5(f"{tok}#{i}") for i in range(1, K + 1)] for tok in ts]
-            self.sigs[d] = [min(h[i] for h in hs) for i in range(K)]
-            tok_md5[d] = [_md5(tok) for tok in ts]
-        # 32-bit simhash: bit j-1 set iff the count of token-md5s whose
-        # j-th hex digit has its high bit set is >= half (vote sum >= 0)
-        self.simhash: dict[int, int] = {}
+        toks_t = [set(tx.split(" ")) for tx in texts]
+        tok_cache: dict[str, tuple] = {}  # tok -> (md5(tok#1..#K), md5(tok))
+        sigs_t: list[list] = []
+        simhash_t: list[int] = []
         high = set("89abcdef")
-        for d, hs in tok_md5.items():
+        for ts in toks_t:
+            hs, ms = [], []
+            for tok in ts:
+                c = tok_cache.get(tok)
+                if c is None:
+                    c = tok_cache[tok] = (
+                        [_md5(f"{tok}#{i}") for i in range(1, K + 1)],
+                        _md5(tok),
+                    )
+                hs.append(c[0])
+                ms.append(c[1])
+            # sig_i = min over tokens of md5(tok + "#i"), i in 1..K
+            sigs_t.append([min(h[i] for h in hs) for i in range(K)])
+            # 32-bit simhash: bit j-1 set iff the count of token-md5s
+            # whose j-th hex digit has its high bit set is >= half
             v = 0
             for j in range(32):
-                vote = sum(1 if h[j] in high else -1 for h in hs)
+                vote = sum(1 if m[j] in high else -1 for m in ms)
                 if vote >= 0:
                     v |= 1 << j
-            self.simhash[d] = v
-        # banded LSH: band_key = md5(sig[b*r+1] | ... | sig[b*r+r])
-        buckets: dict[tuple, list] = {}
-        for d, sg in self.sigs.items():
-            for b in range(BANDS):
-                key = _md5(
-                    "|".join(sg[b * ROWS_PER_BAND + j] for j in range(ROWS_PER_BAND))
-                )
-                buckets.setdefault((b, key), []).append(d)
-        # per-bucket membership cap, mirroring
+            simhash_t.append(v)
+        # --- banded LSH with on-the-fly membership cap, mirroring
         # operators/dedup.py lsh_candidate_pairs_capped (CAP smallest
         # ids per bucket) — the r7 switch of every heavy consumer to
-        # the bounded enumeration
+        # the bounded enumeration.  band_key = md5(sig[b*r+1]|...|)
+        bkeys_t = [
+            [
+                _md5(
+                    "|".join(
+                        sg[b * ROWS_PER_BAND + j]
+                        for j in range(ROWS_PER_BAND)
+                    )
+                )
+                for b in range(BANDS)
+            ]
+            for sg in sigs_t
+        ]
+        heaps: dict[tuple, list] = {}  # (band, key) -> CAP-smallest max-heap
+        counts: dict[tuple, int] = {}
+        member_tid: dict[int, int] = {}  # only capped members need lookups
+        for tid, ds in enumerate(docs_by_tid):
+            for b in range(BANDS):
+                kk = (b, bkeys_t[tid][b])
+                heap = heaps.setdefault(kk, [])
+                counts[kk] = counts.get(kk, 0) + len(ds)
+                for d in ds:
+                    if len(heap) < CAP:
+                        heapq.heappush(heap, (-d, tid))
+                    elif -heap[0][0] > d:
+                        heapq.heapreplace(heap, (-d, tid))
         pair_set: set[tuple] = set()
-        for docs in buckets.values():
-            if len(docs) < 2:
+        for kk, heap in heaps.items():
+            if counts[kk] < 2:
                 continue
-            ds = sorted(docs)[:CAP]
+            ds = sorted(-x for x, _t in heap)
+            for x, tid in heap:
+                member_tid[-x] = tid
             for i in range(len(ds)):
                 for j in range(i + 1, len(ds)):
                     pair_set.add((ds[i], ds[j]))
+        # doc-keyed views: every downstream access (candidate pairs, the
+        # edge graph they induce) touches only capped members, for which
+        # member_tid resolves; doc_ids itself stays the full corpus
+        tid_of = member_tid
+        self.toks = _DocView(tid_of, toks_t)
+        self.sigs = _DocView(tid_of, sigs_t)
+        self.simhash = _DocView(tid_of, simhash_t)
         # est_sim = round(agreeing-components / K, 4)
         self.cand: dict[tuple, float] = {}
         for a, b in pair_set:
-            agree = sum(
-                1 for i in range(K) if self.sigs[a][i] == self.sigs[b][i]
-            )
+            sa, sb = self.sigs[a], self.sigs[b]
+            agree = sum(1 for i in range(K) if sa[i] == sb[i])
             self.cand[(a, b)] = _round_half_up(agree / float(K), 4)
 
     # -- derived graph over est_sim >= 0.5 pairs ---------------------------
