@@ -253,6 +253,62 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_digest",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec,
+             CAST(user_id AS BIGINT) AS user_id,
+             event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_s
+      FROM events
+    ),
+    strs AS (
+      SELECT event_id || '|' || ts_sec || '|' || user_id || '|'
+             || event_type || '|' || value_s AS s
+      FROM base
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT))
+                AS DECIMAL(38,0)) AS digest_sum
+    FROM strs
+    """,
+    tags=("streaming", "dedup", "digest", "extreme-scale"),
+)
+def stream_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup certified WITHOUT driver materialization
+    (VERDICT r8 ask #4): same double-delivery stream and
+    ``dropDuplicatesWithinWatermark`` as `stream_dedup`, but through the
+    distributed parquet file sink, then reduced to an order-independent
+    value digest — (row count, sum over rows of the first 48 bits of
+    md5(canonical row string)).  The digest pins every row's full
+    content (any changed/missing/duplicated row moves the sum), yet the
+    driver only ever sees ONE row — so the exactly-once path certifies
+    at derived sf1000 where the memory-sink twin's O(events) driver
+    transfer kills the JVM.  The oracle recomputes the identical digest
+    in DuckDB over the batch table (exactly-once output == batch
+    table)."""
+    load_tables(spark, sf_dir, ["events"])
+    d = streaming.stream_dedup_exactly_once(spark, sf_dir, sink="parquet")
+    s = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("ts_sec").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").cast("string"),
+    )
+    return d.select(s.alias("s")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast(
+                "decimal(38,0)"
+            )
+        ).alias("digest_sum"),
+    )
+
+
+@register(
     "stream_incremental_dedup",
     oracle="""
     WITH hashed AS (

@@ -456,6 +456,7 @@ def stream_dedup_exactly_once(
     spark: SparkSession,
     sf_dir: str,
     watermark: str = "1 hour",
+    sink: str = "memory",
 ) -> DataFrame:
     """Exactly-once projection of an at-least-once stream: every event is
     delivered TWICE in separate microbatches (two copies of the source
@@ -467,6 +468,14 @@ def stream_dedup_exactly_once(
     unbounded ``dropDuplicates`` would accumulate every key ever seen.
     Redeliveries falling behind the watermark are dropped as late data —
     either path yields exactly-once output.
+
+    ``sink="memory"`` (default) returns the in-memory sink table —
+    convenient at test scale but O(events) DRIVER-side, which is what
+    killed the r8 sf1000 attempt.  ``sink="parquet"`` writes the stream
+    through the distributed file sink instead and returns a scan of the
+    written table: nothing event-scale ever crosses the driver, so the
+    exactly-once path certifies at extreme scale (via the bounded
+    ``stream_dedup_digest`` twin).
     """
     import os
 
@@ -499,6 +508,18 @@ def stream_dedup_exactly_once(
             F.col("value").cast("double"),
         )
     )
+    if sink == "parquet":
+        out_dir = tempfile.mkdtemp(prefix="dedup_sink_")
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            _drain(q)
+        return spark.read.parquet(out_dir)
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             deduped.writeStream.outputMode("append")
