@@ -448,6 +448,62 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_decode",
+    # The corpus JPEGs are DC-only with Q[0]=8, so the IDCT of each MCU
+    # is the exact constant dc + 128 = the md5 byte (no float ambiguity
+    # — the lossless path through a lossy format), and the DECODED truth
+    # is recomputable in pure SQL from md5(text)'s first four bytes via
+    # the hex-nibble trick.  The engine side must walk the markers,
+    # entropy-decode real Huffman codes with DC differential prediction
+    # across MCUs and components, dequantize, IDCT, and convert YCbCr —
+    # a decoder with a broken predictor, wrong magnitude sign extension,
+    # or botched table build cannot reproduce the per-MCU DC path.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), j ->
+               16 * (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 2, 1)) - 1)
+             ) AS bt
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(64 * list_sum(bt) AS BIGINT) AS sum_r,
+           CAST(64 * list_sum(bt) AS BIGINT) AS sum_g,
+           CAST(64 * list_sum(bt) AS BIGINT) AS sum_b,
+           CAST(bt[1] AS BIGINT) AS top_left_y,
+           bt[1] || '-' || bt[2] || '-' || bt[3] || '-' || bt[4] AS dc_path
+    FROM b
+    """,
+    tags=("multimodal", "image", "codec", "udf"),
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode on the stdlib+numpy (the r9 closure of
+    the last codec stub): synthesize genuine baseline-sequential JPEGs
+    — JFIF/DQT/SOF0/DHT/SOS markers, Huffman-coded entropy stream with
+    per-component DC differential prediction and byte stuffing — then
+    decode each in an Arrow-batched ``mapInPandas`` stage: marker walk,
+    DHT table build, entropy decode (DC diff, AC EOB/ZRL run-length),
+    dequantize, de-zigzag, IDCT (numpy basis matmul), YCbCr→RGB,
+    per-channel sums and the per-MCU DC path.  Corpus assets are
+    DC-only so the decode is bit-exact (sixth real codec: BMP, PNG,
+    GIF, WAV, AVI, JPEG); the general AC/IDCT path is property-tested
+    against an independent naive IDCT.
+
+    Scale design: codec in the scan stage; six ints + two small values
+    per asset cross any exchange; blobs never shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.jpeg_pixel_stats(mm.attach_jpeg_blobs(t["documents"]))
+
+
+@register(
     "mm_video_frame_plan",
     # The synthesized AVI layout is deterministic (fixed 56-byte avih,
     # 8x 12-byte '00dc' chunks), so the idx1-derived absolute offsets

@@ -1556,3 +1556,182 @@ def test_mm_gif_decode_matches_direct_decode(spark, sf_dir):
         assert r["idx_min"] == min(idx)
         assert r["idx_max"] == max(idx)
         assert r["top_left_idx"] == idx[0] == line[0]
+
+
+def test_jpeg_roundtrip_property():
+    """Property: encode_jpeg_dconly → decode_jpeg is EXACT for any DC
+    bytes and MCU-aligned dimensions — the DC-only IDCT constant is
+    dc·Q00/8 + 128 = the input byte, so a single off-by-one means the
+    Huffman coding, DC prediction, magnitude sign extension, dequant,
+    or IDCT scale is wrong."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from multisql_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_dconly,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        mw = data.draw(st.integers(1, 3), label="mcu_cols")
+        mh = data.draw(st.integers(1, 3), label="mcu_rows")
+        dcs = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=mw * mh, max_size=mw * mh
+                ),
+                label="dc_bytes",
+            )
+        )
+        blob = encode_jpeg_dconly(dcs, mw * 8, mh * 8)
+        w, h, nc, px = decode_jpeg(blob)
+        assert (w, h, nc) == (mw * 8, mh * 8, 3)
+        for y in range(h):
+            for x in range(w):
+                m = (y // 8) * mw + (x // 8)
+                assert px[y * w + x] == [dcs[m]] * 3
+
+    prop()
+
+
+def test_jpeg_general_ac_path_vs_independent_idct():
+    """The corpus is DC-only, so pin the GENERAL entropy/IDCT path with
+    hand-assembled single-block grayscale JPEGs carrying arbitrary AC
+    coefficients (run-lengths, ZRL, EOB, negative magnitudes) through a
+    custom DHT — decode_jpeg must match an IDCT computed independently
+    here (math.cos, textbook formula)."""
+    import math
+    import random
+    import struct
+
+    from multisql_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    for _trial in range(20):
+        zz = [0] * 64
+        zz[0] = rng.randrange(-100, 101)
+        for p in sorted(rng.sample(range(1, 64), 5)):
+            zz[p] = rng.choice([v for v in range(-60, 61) if v])
+        emit, k = [], 1
+        last_nz = max(
+            (p for p in range(1, 64) if zz[p]), default=0
+        )
+        while k <= last_nz:
+            run = 0
+            while zz[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                emit.append((0xF0, 0, 0))
+                run -= 16
+            t = abs(zz[k]).bit_length()
+            v = zz[k] if zz[k] >= 0 else zz[k] + (1 << t) - 1
+            emit.append(((run << 4) | t, t, v))
+            k += 1
+        if last_nz < 63:
+            emit.append((0x00, 0, 0))
+        syms = sorted({e[0] for e in emit})
+        ln = max(2, (len(syms) - 1).bit_length() + 1)
+        acb = [0] * 16
+        acb[ln - 1] = len(syms)
+        q = [1] * 64
+        q[0], q[5] = 3, 2
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(q)
+        out += (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + bytes([1]) + bytes((1, 0x11, 0))
+        )
+        for cls, bits, vals in (
+            (0x00, mm._JDC_BITS, mm._JDC_VALS),
+            (0x10, tuple(acb), tuple(syms)),
+        ):
+            out += (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([cls]) + bytes(bits) + bytes(vals)
+            )
+        out += (
+            b"\xff\xda" + struct.pack(">H", 8) + bytes([1])
+            + bytes((1, 0x00)) + bytes((0, 63, 0))
+        )
+        dcc = mm._jpeg_huff_codes(mm._JDC_BITS, mm._JDC_VALS)
+        acc = mm._jpeg_huff_codes(tuple(acb), tuple(syms))
+        w = mm._JBitWriter()
+        t = abs(zz[0]).bit_length()
+        v = zz[0] if zz[0] >= 0 else zz[0] + (1 << t) - 1
+        w.put(*dcc[t])
+        if t:
+            w.put(v, t)
+        for sym, t2, v2 in emit:
+            w.put(*acc[sym])
+            if t2:
+                w.put(v2, t2)
+        blob = bytes(out) + w.flush() + b"\xff\xd9"
+        W, H, nc, px = mm.decode_jpeg(blob)
+        assert (W, H, nc) == (8, 8, 1)
+        coef = [0] * 64
+        for i in range(64):
+            coef[mm._JZIGZAG[i]] = zz[i] * q[i]
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for vv in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if vv == 0 else 1.0
+                        s += (
+                            cu * cv * coef[vv * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * vv * math.pi / 16)
+                        )
+                p = int(round(s / 4)) + 128
+                assert px[y * 8 + x][0] == min(255, max(0, p))
+
+
+def test_jpeg_decode_guards():
+    """Malformed/out-of-scope inputs raise the uniform errors: not a
+    JPEG, truncated entropy stream, progressive SOF2."""
+    import struct
+
+    import pytest
+
+    from multisql_spark.operators import multimodal as mm
+
+    blob = mm.encode_jpeg_dconly(bytes(range(4)), 16, 16)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x00\x01" + blob[2:])
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(blob[:-12])  # entropy stream cut mid-MCU
+    sof2 = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        mm.encode_jpeg_dconly(b"\x00", 12, 8)  # not MCU-aligned
+
+
+def test_mm_jpeg_decode_matches_direct_decode(spark, sf_dir):
+    """mm_jpeg_decode's mapInPandas stats must equal a direct
+    decode_jpeg of the rebuilt asset row-for-row — pinning the
+    self-contained worker's numpy-IDCT decoder to the module-level
+    pure-Python one the unit tests exercise."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_jpeg_decode"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:100]:
+        t = docs[r["doc_id"]]
+        dcs = hashlib.md5(t.encode()).digest()[:4]
+        blob = mm.encode_jpeg_dconly(dcs, 16, 16)
+        w, h, nc, px = mm.decode_jpeg(blob)
+        assert (r["width"], r["height"], nc) == (w, h, 3) == (16, 16, 3)
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == 64 * sum(dcs)
+        assert r["top_left_y"] == px[0][0] == dcs[0]
+        assert r["dc_path"] == "-".join(str(b) for b in dcs)
