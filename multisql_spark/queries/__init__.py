@@ -91,14 +91,17 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # incremental minhash probe — batch and streaming twin — moved to a
 # bucket-capped corpus band index after the uncapped probe went
 # quadratic on derived-scale mega-buckets and OOM-killed the sf10
-# streaming sweep).  Their pre-r8 green rows certify the OLD tree, so
-# they re-front for fresh certification — remove a name once a green
-# row from this round's tree lands.  (The r7 set — heavy dedup family
-# capping — fully retired via CORRECTNESS_r07 green rows.)
+# streaming sweep).  Their pre-round green rows certify the OLD tree,
+# so they re-front for fresh certification — remove a name once a green
+# row from this round's tree lands.  (The r8 set — incremental-minhash
+# bucket capping — fully retired via CORRECTNESS_r08 green rows.)
+# r9: window_rank_distribution switched its pr/cd columns to micro-unit
+# integer quantization (floor(x*1e6+0.5)) after the r9 sf100 sweep hit
+# a shortest-repr rounding divergence at 15M-row partitions.
 _RECERTIFY: frozenset[str] = frozenset({
-    "dedup_incremental_minhash", "stream_incremental_minhash",
+    "window_rank_distribution",
 })
-_RECERTIFY_ROUND = 8  # green rows from this round onward retire the flag
+_RECERTIFY_ROUND = 9  # green rows from this round onward retire the flag
 
 
 def _row_green(row: object) -> bool:

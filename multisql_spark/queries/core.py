@@ -1020,11 +1020,19 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rank_distribution",
+    # pr/cd are quantized to integer MICRO-UNITS with floor(x*1e6 + 0.5)
+    # — both engines compute the same IEEE double for (rank-1)/(n-1), so
+    # the multiply/add/floor chain is bit-identical, where a decimal
+    # round(x, 6) diverges at shortest-repr ...5 boundaries (Spark
+    # HALF_UP on Double.toString vs DuckDB on the binary value — first
+    # hit at sf100's 15M-row partitions, r9 sweep).
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pr_micro,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cd_micro,
            ntile(4) OVER w AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice,
@@ -1038,7 +1046,9 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded set, but each partition's sort is distributed; for a single
     global distribution at 100 TB use the approx-percentile cutpoint
     pattern of `window_ntile_quartiles`). Total order via the
-    (o_totalprice, o_orderkey) tie-break keeps ranks engine-identical."""
+    (o_totalprice, o_orderkey) tie-break keeps ranks engine-identical;
+    micro-unit quantization keeps the emitted values engine-identical
+    (see oracle note)."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ["orders"])
@@ -1046,7 +1056,7 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.floor(F.percent_rank().over(w) * 1000000 + 0.5).alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000 + 0.5).alias("cd_micro"),
         F.ntile(4).over(w).alias("quartile"),
     )
