@@ -154,6 +154,8 @@ def bench_queries(spark: SparkSession):
         # else; both plans keep blobs in the scan stage
         "png_decode": "mm_png_decode",
         "video_frame_plan": "mm_video_frame_plan",
+        # round-9: the baseline-JPEG entropy-decode + numpy-IDCT path
+        "jpeg_decode": "mm_jpeg_decode",
         # round-5 sketch family: engine-exact approximation primitives
         "hll_distinct": "sketch_hll_deterministic",
         "quantile_bottomk": "sketch_quantile_bottomk",
