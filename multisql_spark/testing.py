@@ -22,11 +22,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # Bound the oracle's resources: a pair-explosive oracle at a large SF
     # must FAIL FAST with a clean out-of-temp error, not spill until the
     # machine's disk is full (the pagerank oracle wrote 73 GB of spill at
-    # sf0.1 before this cap existed).
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='.tmp'")
-    con.execute("SET max_temp_directory_size='20GB'")
+    # sf0.1 before this cap existed).  Extreme-scale sweeps (derived
+    # sf1000, where LEGITIMATE oracles need tens of GB of sort spill)
+    # raise the caps per-run via the env knobs instead of loosening the
+    # fail-fast default for everyone.
     import os
+
+    con.execute(
+        "SET memory_limit="
+        f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
+    )
+    con.execute("SET temp_directory='.tmp'")
+    con.execute(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('SPARK_GRAFT_ORACLE_SPILL', '20GB')}'"
+    )
 
     for name in TABLE_NAMES:
         path = f"{sf_dir}/{name}.parquet"
