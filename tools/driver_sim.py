@@ -111,6 +111,16 @@ def main() -> int:
                                 str(a[k]),
                                 str(b[k]),
                             ]
+        except ConnectionRefusedError:
+            # The JVM gateway is GONE (OOM-killed mid-chunk): every
+            # remaining name would red-cascade with the same error and
+            # the complete-looking artifact would record them as real
+            # verdicts.  Hard-exit WITHOUT an artifact instead, so
+            # sf1_sweep's crash isolation gives each pending name its
+            # own fresh JVM (r9: a co-running sweep's memory spike
+            # cascaded 15 false reds this way).
+            print(f"JVM gateway lost at {name}; aborting chunk", flush=True)
+            os._exit(13)
         except Exception:
             row = {"err": traceback.format_exc(limit=3)[-800:]}
         row["wall_sec"] = round(time.perf_counter() - t0, 3)
