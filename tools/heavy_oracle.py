@@ -111,6 +111,7 @@ class Corpus:
 
         import pyarrow.parquet as pq
 
+        self.sf_dir = sf_dir
         pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
         tid_by_text: dict[str, int] = {}
         texts: list[str] = []
@@ -428,7 +429,48 @@ def gt_dedup_graph_triangles(c: Corpus, cap: int = 64):
     )
 
 
+def gt_pipeline_pack_sequences(c: Corpus, budget: int = 128, n_groups: int = 16):
+    """First-fit-in-order packing replay (pipeline_q.py oracle is a
+    row-at-a-time RECURSIVE CTE — O(depth × n) in DuckDB, hours at
+    derived sf100, where this linear Python walk is sub-second).
+    Identical rule: within each md5 hash group walk docs by id, new pack
+    when the next doc would overflow the budget."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(c.sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    groups: dict[int, list] = {}
+    for d, nch in zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()):
+        d = int(d)
+        grp = int(_md5(str(d))[:2], 16) % n_groups
+        groups.setdefault(grp, []).append((d, -(-int(nch) // 4)))
+    rows = []
+    for grp, docs in groups.items():
+        docs.sort()
+        pack_seq = cur_total = 0
+        start = len(rows)
+        for d, n in docs:
+            if cur_total > 0 and cur_total + n > budget:
+                for i in range(start, len(rows)):
+                    rows[i][-1] = cur_total
+                start = len(rows)
+                pack_seq += 1
+                cur_total = 0
+            rows.append([grp, pack_seq, d, n, 0])
+            cur_total += n
+        for i in range(start, len(rows)):
+            rows[i][-1] = cur_total
+    return (
+        ["grp", "pack_seq", "doc_id", "n_tokens", "pack_total"],
+        [tuple(r) for r in rows],
+        ["i4", "i", "i", "i", "i"],
+    )
+
+
 GROUND_TRUTH = {
+    "pipeline_pack_sequences": gt_pipeline_pack_sequences,
     "dedup_cluster_components": gt_dedup_cluster_components,
     "dedup_family_histogram": gt_dedup_family_histogram,
     "dedup_cluster_representatives": gt_dedup_cluster_representatives,
@@ -439,7 +481,7 @@ GROUND_TRUTH = {
     "dedup_graph_triangles": gt_dedup_graph_triangles,
 }
 
-_DTYPES = {"i": "int64", "f": "float64", "b": "bool"}
+_DTYPES = {"i": "int64", "i4": "int32", "f": "float64", "b": "bool"}
 
 
 def _gt_frame(cols, rows, kinds):
