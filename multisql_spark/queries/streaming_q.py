@@ -269,8 +269,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT))
-                AS DECIMAL(38,0)) AS digest_sum
+           CAST(SUM(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT))
+                AS BIGINT) AS digest_sum
     FROM strs
     """,
     tags=("streaming", "dedup", "digest", "extreme-scale"),
@@ -298,12 +298,14 @@ def stream_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("value").cast("decimal(18,2)").cast("string"),
     )
+    # 32-bit per-row digests summed as exact int64 (≤ 2^62 for 2^30
+    # rows): a 48-bit digest summed needs >2^53 and silently rides
+    # decimal→double conversion on both compare paths — the typed local
+    # parity gate caught that in r9.
     return d.select(s.alias("s")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
-            F.conv(F.substring(F.md5("s"), 1, 12), 16, 10).cast(
-                "decimal(38,0)"
-            )
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
         ).alias("digest_sum"),
     )
 
