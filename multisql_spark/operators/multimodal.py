@@ -1840,14 +1840,22 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                             / 4.0
                         )
 
-        def huffdec(bits, vals):
-            table, code, k = {}, 0, 0
-            for ln in range(1, 17):
-                for _ in range(bits[ln - 1]):
-                    table[(ln, code)] = vals[k]
-                    code += 1
-                    k += 1
-                code <<= 1
+        huff_cache: dict = {}  # DHT payload bytes -> decode table (the
+        # corpus shares one table set; rebuilding per asset dominated)
+
+        def huffdec(payload):
+            table = huff_cache.get(payload)
+            if table is None:
+                bits = list(payload[:16])
+                vals = list(payload[16:16 + sum(bits)])
+                table, code, k = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff_cache[payload] = table
             return table
 
         def dec(blob):
@@ -1863,18 +1871,15 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                 if marker == 0xDB:
                     i = 0
                     while i < len(body):
-                        qts[body[i] & 15] = np.frombuffer(
-                            body[i + 1:i + 65], dtype=np.uint8
-                        ).astype(np.int64)
+                        qts[body[i] & 15] = list(body[i + 1:i + 65])
                         i += 65
                 elif marker == 0xC4:
                     i = 0
                     while i < len(body):
                         tc, th = body[i] >> 4, body[i] & 15
-                        bits = list(body[i + 1:i + 17])
-                        n = sum(bits)
+                        n = sum(body[i + 1:i + 17])
                         huff[(tc, th)] = huffdec(
-                            bits, list(body[i + 17:i + 17 + n])
+                            bytes(body[i + 1:i + 17 + n])
                         )
                         i += 17 + n
                 elif marker == 0xC0:
@@ -1933,13 +1938,14 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
 
             mcux, mcuy = (w + 7) // 8, (h + 7) // 8
             pred = {cid: 0 for cid, _t, _a in scan}
-            planes = {
-                cid: np.zeros((mcuy * 8, mcux * 8)) for cid, _t, _a in scan
-            }
+            # entropy-decode every block first (pure-python lists), then
+            # run ONE batched IDCT matmul for the whole asset — per-block
+            # 64x64 matmuls are numpy-overhead-dominated
+            blocks = []  # (cid, my, mx, dezigzagged dequantized coef)
             for my in range(mcuy):
                 for mx in range(mcux):
                     for cid, td, ta in scan:
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64
                         t = hval(huff[(0, td)])
                         pred[cid] += ext(bits_(t), t) if t else 0
                         zz[0] = pred[cid]
@@ -1954,13 +1960,23 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                             k += rs >> 4
                             zz[k] = ext(bits_(rs & 15), rs & 15)
                             k += 1
-                        coef = np.zeros(64)
-                        coef[list(ZIG)] = zz * qts[tq_of[cid]]
-                        px = np.rint(basis @ coef) + 128
-                        np.clip(px, 0, 255, out=px)
-                        planes[cid][
-                            my * 8:my * 8 + 8, mx * 8:mx * 8 + 8
-                        ] = px.reshape(8, 8)
+                        q = qts[tq_of[cid]]
+                        coef = [0] * 64
+                        for i in range(64):
+                            coef[ZIG[i]] = zz[i] * q[i]
+                        blocks.append((cid, my, mx, coef))
+            px_all = np.rint(
+                np.array([b[3] for b in blocks], dtype=np.float64)
+                @ basis.T
+            ) + 128
+            np.clip(px_all, 0, 255, out=px_all)
+            planes = {
+                cid: np.zeros((mcuy * 8, mcux * 8)) for cid, _t, _a in scan
+            }
+            for (cid, my, mx, _c), px in zip(blocks, px_all):
+                planes[cid][
+                    my * 8:my * 8 + 8, mx * 8:mx * 8 + 8
+                ] = px.reshape(8, 8)
             cids = [cid for cid, _t, _a in scan]
             yp = planes[cids[0]][:h, :w]
             if len(cids) == 1:

@@ -364,14 +364,23 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
-    self-join is keyed (work ∝ bucket collisions, never all-pairs)."""
+    self-join is keyed (work ∝ bucket collisions, never all-pairs).
+
+    The probe side is explicitly repartitioned on the bucket key: the
+    INPUT is small (id + vector rows) so Spark broadcast-joins it and
+    AQE would otherwise coalesce the probe into a couple of partitions —
+    but the pair COMPUTE is quadratic in bucket occupancy, and the r9
+    sf100 sweep found one task grinding ~78M cosine evaluations.  An
+    explicit user repartition spreads buckets across the cluster and is
+    respected by AQE.  (At 100 TB, n_planes must also grow ~log2(n) to
+    keep occupancy flat — see SCALE.md.)"""
     planes = [hyperplane(m, dim) for m in range(n_planes)]
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
-    )
+    ).repartition(1 << n_planes, F.col("bucket"))
     b = base.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
     )
