@@ -1859,18 +1859,28 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
             return table
 
         def dec(blob):
+            # Guards mirror the module-level decode_jpeg (ADVICE r9): an
+            # out-of-scope or corrupt blob must RAISE here exactly like
+            # the decoder the tests pin against, never decode silently
+            # wrong.
             if blob[:2] != b"\xff\xd8":
                 raise ValueError("not a JPEG")
             pos, qts, huff, dims, comps, scan = 2, {}, {}, None, None, None
             while pos + 4 <= len(blob):
+                if blob[pos] != 0xFF:
+                    raise ValueError("marker expected")
                 marker = blob[pos + 1]
                 if marker == 0xD9:
                     break
                 (seg,) = _struct.unpack_from(">H", blob, pos + 2)
                 body = blob[pos + 4:pos + 2 + seg]
+                if len(body) != seg - 2:
+                    raise ValueError("truncated JPEG segment")
                 if marker == 0xDB:
                     i = 0
                     while i < len(body):
+                        if body[i] >> 4:
+                            raise NotImplementedError("16-bit quant tables")
                         qts[body[i] & 15] = list(body[i + 1:i + 65])
                         i += 65
                 elif marker == 0xC4:
@@ -1883,12 +1893,25 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                         )
                         i += 17 + n
                 elif marker == 0xC0:
+                    if body[0] != 8:
+                        raise NotImplementedError("only 8-bit precision")
                     h, w = _struct.unpack_from(">HH", body, 1)
+                    for c in range(body[5]):
+                        if body[7 + 3 * c] != 0x11:
+                            raise NotImplementedError("only 4:4:4 (h=v=1)")
                     comps = [
                         (body[6 + 3 * c], body[8 + 3 * c])
                         for c in range(body[5])
                     ]
                     dims = (w, h)
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    raise NotImplementedError(
+                        "only baseline sequential (SOF0) is in scope"
+                    )
+                elif marker == 0xDD:
+                    if _struct.unpack_from(">H", body, 0)[0]:
+                        raise NotImplementedError("restart intervals")
                 elif marker == 0xDA:
                     ns = body[0]
                     scan = [
@@ -1902,6 +1925,8 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                     pos += 2 + seg
                     break
                 pos += 2 + seg
+            if dims is None or scan is None:
+                raise ValueError("missing SOF0 or SOS")
             w, h = dims
             tq_of = dict(comps)
             data, acc, nb = blob, 0, 0
@@ -1909,10 +1934,23 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
             def bit():
                 nonlocal pos, acc, nb
                 if nb == 0:
+                    if pos >= len(data):
+                        raise ValueError("truncated entropy data")
                     b = data[pos]
                     pos += 1
-                    if b == 0xFF and data[pos] == 0x00:
-                        pos += 1
+                    if b == 0xFF:
+                        if pos >= len(data):
+                            raise ValueError("truncated entropy data")
+                        if data[pos] == 0x00:
+                            pos += 1
+                        else:
+                            # a real marker inside the entropy stream
+                            # (e.g. RSTn or premature EOI) — decoding it
+                            # as data would be silently wrong
+                            raise ValueError(
+                                f"unexpected marker 0xFF{data[pos]:02X} "
+                                "in entropy data"
+                            )
                     acc, nb = b, 8
                 nb -= 1
                 return (acc >> nb) & 1
@@ -1958,6 +1996,8 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                                 k += 16
                                 continue
                             k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
                             zz[k] = ext(bits_(rs & 15), rs & 15)
                             k += 1
                         q = qts[tq_of[cid]]

@@ -355,10 +355,36 @@ def ivf_kmeans_topk(
     )
 
 
+#: Adaptive-LSH clamp bounds and the target mean bucket occupancy.
+#: 2**ADAPTIVE_MAX_PLANES buckets is the most the plane table supports;
+#: TARGET_OCCUPANCY rows/bucket keeps the per-bucket quadratic pair
+#: compute ~O(64^2/2) regardless of corpus size.
+ADAPTIVE_MIN_PLANES = 8
+ADAPTIVE_MAX_PLANES = 16
+TARGET_OCCUPANCY = 64
+
+
+def adaptive_n_planes(
+    n: int,
+    lo: int = ADAPTIVE_MIN_PLANES,
+    hi: int = ADAPTIVE_MAX_PLANES,
+    target: int = TARGET_OCCUPANCY,
+) -> int:
+    """Plane count that keeps mean LSH bucket occupancy ≈ ``target``:
+    ceil(log2(n / target)), clamped to [lo, hi].  Deterministic given the
+    corpus count, and expressible in ANSI SQL (GREATEST/LEAST/CEIL/LOG2)
+    so DuckDB oracles can mirror it exactly."""
+    import math
+
+    if n <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target))))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -366,21 +392,34 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs, blocked by LSH bucket so the
     self-join is keyed (work ∝ bucket collisions, never all-pairs).
 
+    ``n_planes=None`` derives the plane count from a cheap corpus
+    count via :func:`adaptive_n_planes`, so mean bucket occupancy (and
+    with it the quadratic per-bucket pair compute) stays ~flat as the
+    corpus grows — the 100 TB setting.  A pinned ``n_planes`` keeps the
+    legacy fixed-blocking behavior for oracle parity.
+
     The probe side is explicitly repartitioned on the bucket key: the
     INPUT is small (id + vector rows) so Spark broadcast-joins it and
     AQE would otherwise coalesce the probe into a couple of partitions —
     but the pair COMPUTE is quadratic in bucket occupancy, and the r9
     sf100 sweep found one task grinding ~78M cosine evaluations.  An
     explicit user repartition spreads buckets across the cluster and is
-    respected by AQE.  (At 100 TB, n_planes must also grow ~log2(n) to
-    keep occupancy flat — see SCALE.md.)"""
+    respected by AQE.  The width is capped at max(4×parallelism, 256):
+    2**n_planes partitions would grow exponentially (2^~30 at the 100 TB
+    setting) while the useful spread is bounded by the cluster."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(emb.count())
     planes = [hyperplane(m, dim) for m in range(n_planes)]
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    spread = min(
+        1 << n_planes,
+        max(4 * emb.sparkSession.sparkContext.defaultParallelism, 256),
+    )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
-    ).repartition(1 << n_planes, F.col("bucket"))
+    ).repartition(spread, F.col("bucket"))
     b = base.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
     )

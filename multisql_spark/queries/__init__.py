@@ -98,10 +98,20 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # r9: window_rank_distribution switched its pr/cd columns to micro-unit
 # integer quantization (floor(x*1e6+0.5)) after the r9 sf100 sweep hit
 # a shortest-repr rounding divergence at 15M-row partitions.
+# (retired via its CORRECTNESS_r09 green row.)
+# r10: sim_embedding_neardup moved to the ADAPTIVE LSH plane count
+# (n_planes = ceil(log2(n/64)) clamped to [8,16], from a cheap corpus
+# count, mirrored in the oracle) so bucket occupancy stays ~flat at
+# scale — at sf0.01 the clamp floor keeps the output identical, but the
+# blocking semantics changed, so it re-fronts for fresh certification.
+# r10: stream_dedup_digest's canonicalization became NULL-symmetric
+# (coalesce-to-sentinel on both sides; identical output on the NULL-free
+# fixtures, but the digest encoding changed) — re-front it too.
 _RECERTIFY: frozenset[str] = frozenset({
-    "window_rank_distribution",
+    "sim_embedding_neardup",
+    "stream_dedup_digest",
 })
-_RECERTIFY_ROUND = 9  # green rows from this round onward retire the flag
+_RECERTIFY_ROUND = 10  # green rows from this round onward retire the flag
 
 
 def _row_green(row: object) -> bool:

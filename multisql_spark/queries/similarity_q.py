@@ -17,6 +17,7 @@ from multisql_spark.tables import load_tables
 DIM = 64
 N_PLANES = 8
 _PLANES = [sim.hyperplane(m, DIM) for m in range(N_PLANES)]
+_PLANES_MAX = [sim.hyperplane(m, DIM) for m in range(sim.ADAPTIVE_MAX_PLANES)]
 
 
 def _plane_literal(plane: list[float]) -> str:
@@ -28,6 +29,26 @@ def _bucket_sql(vec: str) -> str:
         f"(CASE WHEN list_dot_product({vec}, {_plane_literal(p)}) >= 0 "
         f"THEN {1 << m} ELSE 0 END)"
         for m, p in enumerate(_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# Adaptive variants (operators/similarity.py adaptive_n_planes): the
+# plane count comes from the corpus COUNT(*) — ceil(log2(n/64)) clamped
+# to [8, 16] — so bucket occupancy stays ~flat across scale factors.
+# The SQL masks each plane's bit with ``m < np`` over the full 16-plane
+# table, which is exactly planes[:np] on the Spark side.
+_NP_SQL = (
+    "GREATEST(8, LEAST(16, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT)))"
+)
+
+
+def _bucket_sql_adaptive(vec: str, np_col: str) -> str:
+    terms = [
+        f"(CASE WHEN {m} < {np_col} AND "
+        f"list_dot_product({vec}, {_plane_literal(p)}) >= 0 "
+        f"THEN {1 << m} ELSE 0 END)"
+        for m, p in enumerate(_PLANES_MAX)
     ]
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
@@ -308,10 +329,11 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_embedding_neardup",
     oracle=f"""
-    WITH emb AS (
+    WITH np AS (SELECT {_NP_SQL} AS np FROM embeddings),
+    emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
+             {_bucket_sql_adaptive("embedding::DOUBLE[]", "np.np")} AS bucket
+      FROM embeddings, np
     )
     SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
            {_COS.format(a="a.v", b="b.v")} AS cos_sim
@@ -322,11 +344,16 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥0.9), LSH-blocked — completes the
-    dedup family from BASELINE.json."""
+    """Embedding-cosine near-dup pairs (≥0.9), LSH-blocked with the
+    ADAPTIVE plane count (``n_planes=None`` → ceil(log2(n/64)) in [8,16],
+    r10): mean bucket occupancy — and the quadratic per-bucket pair
+    compute that red-flagged the r9 sf100 sweep — stays ~flat across
+    scale factors instead of growing linearly with the corpus.  The
+    oracle derives the same count from COUNT(*) and masks the same
+    16-plane table, so the blocking is bit-identical."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     return sim.embedding_neardup_pairs(
-        t["embeddings"], threshold=0.9, n_planes=N_PLANES, dim=DIM
+        t["embeddings"], threshold=0.9, n_planes=None, dim=DIM
     )
 
 

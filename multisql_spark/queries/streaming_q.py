@@ -264,8 +264,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     strs AS (
-      SELECT event_id || '|' || ts_sec || '|' || user_id || '|'
-             || event_type || '|' || value_s AS s
+      -- coalesce each field to a sentinel: '||' nulls the whole string
+      -- on any NULL field (md5 drops out of SUM but not COUNT) while
+      -- Spark's concat_ws silently skips NULLs — either way the two
+      -- digests would diverge on the first NULL, so pin both sides to
+      -- the same explicit encoding (chr(31) = unit separator)
+      SELECT coalesce(CAST(event_id AS VARCHAR), chr(31)) || '|'
+             || coalesce(CAST(ts_sec AS VARCHAR), chr(31)) || '|'
+             || coalesce(CAST(user_id AS VARCHAR), chr(31)) || '|'
+             || coalesce(event_type, chr(31)) || '|'
+             || coalesce(value_s, chr(31)) AS s
       FROM base
     )
     SELECT COUNT(*) AS n_rows,
@@ -290,13 +298,19 @@ def stream_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table)."""
     load_tables(spark, sf_dir, ["events"])
     d = streaming.stream_dedup_exactly_once(spark, sf_dir, sink="parquet")
+    # NULL-symmetric canonicalization (ADVICE r9): concat_ws SKIPS null
+    # fields (row still hashed, separator dropped) while the oracle's
+    # '||' nulls the whole string — coalesce every field to the same
+    # chr(31) sentinel on both sides so a future NULL-bearing fixture
+    # fails loudly on content, not silently on encoding.
+    nul = F.lit("\x1f")
     s = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("ts_sec").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("decimal(18,2)").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), nul),
+        F.coalesce(F.col("ts_sec").cast("string"), nul),
+        F.coalesce(F.col("user_id").cast("string"), nul),
+        F.coalesce(F.col("event_type"), nul),
+        F.coalesce(F.col("value").cast("decimal(18,2)").cast("string"), nul),
     )
     # 32-bit per-row digests summed as exact int64 (≤ 2^62 for 2^30
     # rows): a 48-bit digest summed needs >2^53 and silently rides

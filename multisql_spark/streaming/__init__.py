@@ -62,6 +62,23 @@ def _drain(q) -> None:
         q.stop()
 
 
+def _scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with process-exit cleanup registered.
+
+    Streaming sources/sinks need real directories that outlive the query
+    (the returned DataFrame scans the sink AFTER the stream stops), so
+    they can't be context-managed — but without cleanup each
+    ``stream_dedup_digest`` run leaves an EVENT-SCALE parquet table
+    under /tmp (ADVICE r9: at derived sf1000 that's GBs per run).
+    atexit-rmtree bounds the leak to one process lifetime."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _stage_source(src: str, stream_dir: str, name: str) -> None:
     """Expose ``src`` inside ``stream_dir`` for the file-stream source.
 
@@ -189,7 +206,7 @@ def stateful_sessionize(
 
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_stateful_")
+    stream_dir = _scratch_dir("events_stateful_")
     _stage_source(src, stream_dir, "events")
 
     # sentinel: one event far past max(ts) + gap + watermark so every real
@@ -249,7 +266,7 @@ def stateful_sessionize(
     )
     pq.write_table(sentinel, os.path.join(stream_dir, "sentinel.parquet"))
 
-    out_dir = tempfile.mkdtemp(prefix="upsert_table_")
+    out_dir = _scratch_dir("upsert_table_")
 
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
@@ -368,7 +385,7 @@ def stream_stream_join(
     tune_session(spark)
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    stream_dir = _scratch_dir("events_ssj_")
     _stage_source(src, stream_dir, "events")
 
     def read_side(event_type: str, prefix: str) -> DataFrame:
@@ -431,7 +448,7 @@ def run_stream_to_memory(
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source wants a directory; expose just events.parquet
     # through a symlink dir so the other tables' schemas don't mix in
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stream_dir = _scratch_dir("events_stream_")
     _stage_source(f"{sf_dir}/events.parquet", stream_dir, "events")
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
     # nanos-as-long conversion mirror of tables.load_tables
@@ -484,7 +501,7 @@ def stream_dedup_exactly_once(
     tune_session(spark)
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    stream_dir = _scratch_dir("events_dedup_")
     _stage_source(src, stream_dir, "delivery1")
     _stage_source(src, stream_dir, "delivery2")
 
@@ -509,7 +526,7 @@ def stream_dedup_exactly_once(
         )
     )
     if sink == "parquet":
-        out_dir = tempfile.mkdtemp(prefix="dedup_sink_")
+        out_dir = _scratch_dir("dedup_sink_")
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
                 deduped.writeStream.outputMode("append")
@@ -559,7 +576,7 @@ def stream_static_incremental_dedup(
     tune_session(spark)
     src = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="docs_ingest_")
+    stream_dir = _scratch_dir("docs_ingest_")
     _stage_source(src, stream_dir, "batch1")
 
     content_hash = F.md5(F.lower(F.trim(F.col("text"))))
@@ -617,9 +634,9 @@ def stream_rollup_to_table(
     tune_session(spark)
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_sink_")
+    stream_dir = _scratch_dir("events_sink_")
     _stage_source(src, stream_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="rollup_table_")
+    out_dir = _scratch_dir("rollup_table_")
 
     stream = spark.readStream.schema(batch_schema).parquet(stream_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -704,7 +721,7 @@ def stream_upsert_to_table(
     tune_session(spark)
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_upsert_src_")
+    stream_dir = _scratch_dir("events_upsert_src_")
     if n_source_files <= 1:
         _stage_source(src, stream_dir, "events")
     else:
@@ -715,7 +732,7 @@ def stream_upsert_to_table(
             "overwrite"
         ).parquet(stream_dir)
 
-    out_dir = tempfile.mkdtemp(prefix="upsert_table_")
+    out_dir = _scratch_dir("upsert_table_")
 
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger:
@@ -883,12 +900,12 @@ def stream_cms_heavy_hitters(
     src = f"{sf_dir}/documents.parquet"
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
-        stream_dir = tempfile.mkdtemp(prefix="docs_cms_")
+        stream_dir = _scratch_dir("docs_cms_")
         _stage_source(src, stream_dir, "documents")
     else:
         # pre-split source (tests): one file per desired microbatch
         stream_dir = stream_src_dir
-    state_dir = tempfile.mkdtemp(prefix="cms_state_")
+    state_dir = _scratch_dir("cms_state_")
     # seed empty state: (r, bucket, cell) + applied-batch ledger (bid)
     _init_state(
         spark.createDataFrame([], "r INT, bucket LONG, cell LONG, bid LONG"),
@@ -973,13 +990,13 @@ def stream_minhash_ingest(
     docs = spark.read.parquet(src)
     corpus = docs.filter(~(F.col("doc_id") % 10 == 0))
     if stream_src_dir is None:
-        stream_dir = tempfile.mkdtemp(prefix="docs_mh_")
+        stream_dir = _scratch_dir("docs_mh_")
         docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(stream_dir)
     else:
         stream_dir = stream_src_dir
-    out_dir = tempfile.mkdtemp(prefix="mh_ingest_out_")
+    out_dir = _scratch_dir("mh_ingest_out_")
     schema = docs.schema
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1070,11 +1087,11 @@ def stream_hll_sink(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
-        stream_dir = tempfile.mkdtemp(prefix="events_hll_")
+        stream_dir = _scratch_dir("events_hll_")
         _stage_source(src, stream_dir, "events")
     else:
         stream_dir = stream_src_dir
-    state_dir = tempfile.mkdtemp(prefix="hll_state_")
+    state_dir = _scratch_dir("hll_state_")
     _init_state(
         spark.createDataFrame([], "col_name STRING, bucket INT, rho INT"),
         state_dir,
@@ -1173,11 +1190,11 @@ def stream_quantile_sink(
     src = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(src).schema
     if stream_src_dir is None:
-        stream_dir = tempfile.mkdtemp(prefix="events_bk_")
+        stream_dir = _scratch_dir("events_bk_")
         _stage_source(src, stream_dir, "events")
     else:
         stream_dir = stream_src_dir
-    state_dir = tempfile.mkdtemp(prefix="bk_state_")
+    state_dir = _scratch_dir("bk_state_")
     _init_state(
         spark.createDataFrame([], "value DOUBLE, event_id LONG, h STRING"),
         state_dir,
