@@ -40,9 +40,84 @@ def _hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _big_compare(spark, con, spec, name: str, sf_dir: str) -> dict:
+    """Out-of-core exact compare for results too large for the pandas
+    path (r10: the sf1000 ladder's 60-270M-row outputs OOM-killed
+    ``toPandas`` / the driver hash).  The Spark result is written to
+    parquet DISTRIBUTED-side, then DuckDB — whose hash set-ops spill to
+    disk under SPARK_GRAFT_ORACLE_MEM/SPILL — computes the exact
+    multiset difference against the oracle:
+
+        (spark EXCEPT ALL oracle) UNION ALL (oracle EXCEPT ALL spark)
+
+    A zero diff count is the same strictness as the repr-hash compare
+    (for float64, shortest-repr equality <=> value equality; DuckDB
+    groups NaN with NaN and NULL with NULL in set ops), while nothing
+    row-scale ever crosses the driver.  Rows carry
+    ``compare_mode: exceptall_parquet`` so artifacts are auditable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sdf = spec.fn(spark, sf_dir)
+    scols = sorted(c.lower() for c in sdf.columns)
+    ocols = sorted(
+        d[0].lower()
+        for d in con.execute(
+            f"SELECT * FROM ({spec.oracle}) __o LIMIT 0"
+        ).description
+    )
+    if scols != ocols:
+        return {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "compare_mode": "exceptall_parquet",
+            "spark_cols": scols,
+            "oracle_cols": ocols,
+        }
+    out = tempfile.mkdtemp(prefix=f"bigcmp_{name}_")
+    try:
+        sdf.select(
+            *[F.col(c).alias(c.lower()) for c in sdf.columns]
+        ).select(*scols).write.mode("overwrite").parquet(out)
+        collist = ", ".join(f'"{c}"' for c in scols)
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW __spark_res AS "
+            f"SELECT {collist} FROM read_parquet('{out}/*.parquet')"
+        )
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW __oracle_res AS "
+            f"SELECT {collist} FROM ({spec.oracle}) __o"
+        )
+        n_s = con.execute("SELECT COUNT(*) FROM __spark_res").fetchone()[0]
+        n_o = con.execute("SELECT COUNT(*) FROM __oracle_res").fetchone()[0]
+        diff = con.execute(
+            "SELECT COUNT(*) FROM ("
+            "(SELECT * FROM __spark_res EXCEPT ALL "
+            " SELECT * FROM __oracle_res)"
+            " UNION ALL "
+            "(SELECT * FROM __oracle_res EXCEPT ALL "
+            " SELECT * FROM __spark_res)) __d"
+        ).fetchone()[0]
+        return {
+            "rows_match": n_s == n_o,
+            "schema_match": True,
+            "hash_match": n_s == n_o and diff == 0,
+            "compare_mode": "exceptall_parquet",
+            "n_diff": int(diff),
+            "spark_rows": int(n_s),
+            "oracle_rows": int(n_o),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    big = {n for n in os.environ.get("DRIVER_SIM_BIG", "").split(",") if n}
 
     from pyspark.sql import SparkSession
 
@@ -74,6 +149,20 @@ def main() -> int:
         row: dict = {}
         t0 = time.perf_counter()
         try:
+            if name in big and spec.oracle is not None:
+                row = _big_compare(spark, con, spec, name, sf_dir)
+                row["wall_sec"] = round(time.perf_counter() - t0, 3)
+                ok = row.get("hash_match") and not row.get("err")
+                if not ok:
+                    n_red += 1
+                report[name] = row
+                tag = "ok " if ok else "RED"
+                print(
+                    f"[{i + 1:3d}/{len(names)}] {tag} {name} (bigcompare) "
+                    f"{'' if ok else json.dumps(row)[:400]}",
+                    flush=True,
+                )
+                continue
             sdf = spec.fn(spark, sf_dir).toPandas()
             if spec.oracle is None:
                 row = {"rows_only": True, "spark_rows": len(sdf)}

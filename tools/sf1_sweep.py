@@ -35,9 +35,11 @@ Usage: python tools/sf1_sweep.py [sf_dir] [chunk_timeout_sec] [name ...]
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -48,6 +50,79 @@ from multisql_spark.queries import load_all
 HERE = os.path.dirname(os.path.abspath(__file__))
 SWEEPS = os.path.join(os.path.dirname(HERE), "sweeps")
 CHUNK = 25
+
+
+def _scale_mult(tag: object) -> float | None:
+    m = re.match(r"sf([0-9]+(?:\.[0-9]+)?)", str(tag or ""))
+    return float(m.group(1)) if m else None
+
+
+def _prior_stats(target_mult: float) -> dict[str, tuple[float, int, float]]:
+    """Per name, (scale_mult, spark_rows, wall_sec) from the LARGEST
+    already-swept scale below the target — the r9 feasibility method
+    (rank candidates by prior-scale output size and wall), now read by
+    the sweep itself instead of relying on operator discipline
+    (VERDICT r9 ask #8)."""
+    best: dict[str, tuple[float, int, float]] = {}
+    for f in glob.glob(os.path.join(SWEEPS, "*.json")):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except Exception:
+            continue
+        mult = _scale_mult(d.get("sf", ""))
+        if mult is None or mult >= target_mult:
+            continue
+        for n, row in (d.get("queries") or {}).items():
+            if not isinstance(row, dict) or "spark_rows" not in row:
+                continue
+            rows = row.get("spark_rows")
+            if rows is None:
+                continue
+            if n not in best or mult > best[n][0]:
+                best[n] = (mult, int(rows), float(row.get("wall_sec") or 0))
+    return best
+
+
+def _prescreen(
+    names: list[str],
+    target_mult: float,
+    pandas_cap: int,
+    wall_cap: float,
+) -> tuple[list[str], list[str], dict[str, str]]:
+    """Split ``names`` into (pandas-path, bigcompare-path, skipped) by
+    linear projection from the largest prior-scale artifact.  Linear is
+    a LOWER bound for super-linear ops (windows, pair scans), so a
+    projected breach is a real breach."""
+    stats = _prior_stats(target_mult)
+    run, big, skipped = [], [], {}
+    for n in names:
+        st = stats.get(n)
+        if st is None:
+            run.append(n)
+            continue
+        pm, prows, pwall = st
+        ratio = target_mult / pm
+        proj_rows = prows * ratio
+        proj_wall = pwall * ratio
+        if proj_rows > pandas_cap:
+            if proj_wall > 4 * wall_cap:
+                skipped[n] = (
+                    f"prescreen: projected ~{proj_rows / 1e6:.0f}M output "
+                    f"rows AND ~{proj_wall:.0f}s wall (prior {prows} rows "
+                    f"/ {pwall:.0f}s at {pm}x) — infeasible even via "
+                    f"bigcompare"
+                )
+            else:
+                big.append(n)
+        elif proj_wall > wall_cap:
+            skipped[n] = (
+                f"prescreen: projected ~{proj_wall:.0f}s wall > cap "
+                f"{wall_cap:.0f}s (prior {pwall:.0f}s at {pm}x)"
+            )
+        else:
+            run.append(n)
+    return run, big, skipped
 
 
 def _heavy_names() -> set[str]:
@@ -70,7 +145,7 @@ def _artifact_path(label: str, tag: str, names: list[str], heavy: bool) -> str:
 
 
 def _run(names: list[str], sf_dir: str, timeout: int, env: dict,
-         heavy: bool = False) -> tuple[str, str | None]:
+         heavy: bool = False, bigcompare: bool = False) -> tuple[str, str | None]:
     """Run one subprocess over ``names``; returns (status, artifact).
     status: 'ok' (artifact complete — red rows inside are real verdicts),
     'timeout', or 'crashed' (died without a complete artifact)."""
@@ -79,6 +154,9 @@ def _run(names: list[str], sf_dir: str, timeout: int, env: dict,
     if os.path.exists(art):
         os.unlink(art)  # never trust a stale artifact for this name-set
     tool = "heavy_oracle.py" if heavy else "driver_sim.py"
+    if bigcompare:
+        env = dict(env)
+        env["DRIVER_SIM_BIG"] = ",".join(names)
     try:
         subprocess.run(
             [sys.executable, os.path.join(HERE, tool), sf_dir, *names],
@@ -104,16 +182,51 @@ def main() -> int:
     only = set(sys.argv[3:])
     heavy_set = _heavy_names()
     names = [n for n in load_all() if not only or n in only]
-    light = [n for n in names if n not in heavy_set]
-    heavy = [n for n in names if n in heavy_set]
-    jobs: list[tuple[list[str], bool]] = [
-        (light[i : i + CHUNK], False) for i in range(0, len(light), CHUNK)
+
+    skipped: dict[str, str] = {}
+    bigs: list[str] = []
+    if os.environ.get("SWEEP_PRESCREEN") == "1":
+        tmult = _scale_mult(os.path.basename(sf_dir.rstrip("/")))
+        if tmult is not None:
+            pandas_cap = int(
+                os.environ.get("SWEEP_PANDAS_CAP", 20_000_000)
+            )
+            wall_cap = float(
+                os.environ.get("SWEEP_WALL_CAP", chunk_timeout)
+            )
+            kept, bigs, skipped = _prescreen(
+                names, tmult, pandas_cap, wall_cap
+            )
+            # fixture-oracle names can't bigcompare (no SQL oracle to
+            # replay in DuckDB) — a projected-huge heavy output is a skip
+            for n in [b for b in bigs if b in heavy_set]:
+                bigs.remove(n)
+                skipped[n] = (
+                    "prescreen: projected output exceeds the pandas cap "
+                    "and the fixture oracle has no bigcompare path"
+                )
+            names = [n for n in names if n not in skipped]
+            for n, why in skipped.items():
+                print(f"SKIP {n}: {why}", flush=True)
+        else:
+            kept = names
+    else:
+        kept = names
+    light = [n for n in kept if n not in heavy_set and n not in bigs]
+    heavy = [n for n in kept if n in heavy_set and n not in bigs]
+    # (chunk, is_heavy, is_big): big-output names run ONE per subprocess
+    # through driver_sim's exceptall_parquet compare — nothing row-scale
+    # crosses the driver, DuckDB spills the set-op under the oracle caps
+    jobs: list[tuple[list[str], bool, bool]] = [
+        (light[i : i + CHUNK], False, False)
+        for i in range(0, len(light), CHUNK)
     ]
+    jobs.extend(([b], False, True) for b in bigs)
     if heavy:
         # one job for all fixture-oracle names: the corpus model build
         # dominates heavy_oracle's cost and is shared across them; on
         # any crash the fallback below still isolates one-per-process
-        jobs.append((heavy, True))
+        jobs.append((heavy, True, False))
 
     env = dict(os.environ)
     env.setdefault("SWEEP_LABEL", "sf1sweep")
@@ -129,11 +242,16 @@ def main() -> int:
             if n in rows:
                 verdict[n] = rows[n]
 
-    for i, (chunk, is_heavy) in enumerate(jobs):
+    for i, (chunk, is_heavy, is_big) in enumerate(jobs):
+        kind = (
+            "fixture-oracle" if is_heavy
+            else "bigcompare" if is_big
+            else "driver_sim"
+        )
         print(f"=== job {i + 1}/{len(jobs)} ({len(chunk)} queries, "
-              f"{'fixture-oracle' if is_heavy else 'driver_sim'}) "
-              f"{chunk[0]}..{chunk[-1]}", flush=True)
-        status, art = _run(chunk, sf_dir, chunk_timeout, env, is_heavy)
+              f"{kind}) {chunk[0]}..{chunk[-1]}", flush=True)
+        status, art = _run(chunk, sf_dir, chunk_timeout, env, is_heavy,
+                           is_big)
         if status == "ok":
             absorb(art, chunk)
             continue
@@ -142,7 +260,8 @@ def main() -> int:
         print(f"chunk {status}; isolating {len(pending)} names "
               f"one-per-subprocess", flush=True)
         for n in pending:
-            s2, a2 = _run([n], sf_dir, chunk_timeout, env, is_heavy)
+            s2, a2 = _run([n], sf_dir, chunk_timeout, env, is_heavy,
+                          is_big)
             if s2 == "ok":
                 absorb(a2, [n])
             else:
@@ -156,9 +275,12 @@ def main() -> int:
 
     greens = [n for n in names if _green(verdict.get(n, {}))]
     reds = [n for n in names if not _green(verdict.get(n, {}))]
-    print(f"\n=== sweep done: {len(greens)}/{len(names)} green ===")
+    print(f"\n=== sweep done: {len(greens)}/{len(names)} green, "
+          f"{len(skipped)} prescreen-skipped ===")
     if reds:
         print("red:", reds)
+    for n, why in skipped.items():
+        verdict[n] = {"skipped": why}
     os.makedirs(SWEEPS, exist_ok=True)
     out = os.path.join(
         SWEEPS, f"{env['SWEEP_LABEL']}_{tag}_rollup_{len(names)}q.json"
@@ -171,6 +293,7 @@ def main() -> int:
                 "n_queries": len(names),
                 "n_green": len(greens),
                 "red": reds,
+                "skipped": skipped,
                 "queries": verdict,
             },
             f, indent=1, default=str,
