@@ -1421,12 +1421,27 @@ _JDC_VALS = tuple(range(12))
 _JAC_BITS = (1,) + (0,) * 15
 _JAC_VALS = (0x00,)
 
+# AC-exercising corpus table (r10, VERDICT r9 ask #5): EOB, ZRL, and
+# run-6/size-1..4 — exactly the symbols needed to code one coefficient
+# at zigzag index 39 (raster (4,4)) behind 38 zeros (ZRL + ZRL + run 6).
+# Canonical lengths: EOB:2, {ZRL, 0x61, 0x62}:3, {0x63, 0x64}:4.
+_JAC_BITS_AC = (0, 1, 3, 2) + (0,) * 12
+_JAC_VALS_AC = (0x00, 0xF0, 0x61, 0x62, 0x63, 0x64)
+
 _JZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
+
+# Zigzag index of raster position (v=4, u=4) — the one AC basis whose
+# IDCT contribution is EXACTLY ±1/8 per pixel (cos((2x+1)π/4) = ±√2/2,
+# so cu·cv·cos·cos/4 = ±1/8 with the sign pattern + - - + + - - +), the
+# only non-DC coefficient whose decode is integer-exact and therefore
+# pure-SQL-oracle-able.
+_JAC44_ZZ = 39
+assert _JZIGZAG[_JAC44_ZZ] == 36  # raster 4*8+4
 
 
 def _jpeg_huff_codes(bits, vals) -> dict:
@@ -1472,14 +1487,23 @@ def _jpeg_magnitude(diff: int) -> tuple[int, int]:
     return t, (diff if diff >= 0 else diff + (1 << t) - 1)
 
 
-def _jpeg_header(width: int, height: int, n_comp: int = 3) -> bytes:
-    """SOI..SOS header bytes for the synthesized DC-only layout: one
-    quant table (Q[0]=8, rest 1), one DC + one AC Huffman table shared
-    by all components, 4:4:4."""
+def _jpeg_header(
+    width: int,
+    height: int,
+    n_comp: int = 3,
+    ac_rich: bool = False,
+) -> bytes:
+    """SOI..SOS header bytes for the synthesized layouts: one quant
+    table (Q[0]=8, rest 1 — ``ac_rich`` also sets Q at zigzag 39 to 8
+    for the integer-exact (4,4) coefficient), one DC + one AC Huffman
+    table shared by all components, 4:4:4."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
         + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0))
-    qt = bytes([8] + [1] * 63)  # zigzag order; only Q[0] matters DC-only
+    qvals = [8] + [1] * 63  # zigzag order
+    if ac_rich:
+        qvals[_JAC44_ZZ] = 8
+    qt = bytes(qvals)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qt
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * n_comp) \
         + b"\x08" + struct.pack(">HH", height, width) + bytes([n_comp])
@@ -1487,7 +1511,8 @@ def _jpeg_header(width: int, height: int, n_comp: int = 3) -> bytes:
         out += bytes((c, 0x11, 0))  # id, h=v=1, quant table 0
     for cls, bits, vals in (
         (0x00, _JDC_BITS, _JDC_VALS),
-        (0x10, _JAC_BITS, _JAC_VALS),
+        (0x10, _JAC_BITS_AC if ac_rich else _JAC_BITS,
+         _JAC_VALS_AC if ac_rich else _JAC_VALS),
     ):
         out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals)) \
             + bytes([cls]) + bytes(bits) + bytes(vals)
@@ -1526,6 +1551,55 @@ def encode_jpeg_dconly(y_dc_bytes: bytes, width: int, height: int) -> bytes:
             code, ln = ac_codes[0x00]  # EOB: all 63 ACs zero
             w.put(code, ln)
     return _jpeg_header(width, height) + w.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_ac(
+    y_dc_bytes: bytes, y_acs: list, width: int, height: int
+) -> bytes:
+    """Baseline JPEG whose MCU m carries Y DC ``y_dc_bytes[m]`` PLUS one
+    signed AC coefficient ``y_acs[m]`` at zigzag index 39 — raster
+    (4,4), the single non-DC basis whose IDCT is exactly ±1/8 per pixel
+    — so with Q[39]=8 each pixel decodes to the exact integer
+    ``dc_byte + sign(x,y)·ac`` (sign pattern + - - + + - - + on both
+    axes).  The entropy stream exercises the AC path for real: two ZRL
+    runs + a run-6 coded coefficient with magnitude sign extension,
+    then EOB.  |ac| ≤ 15 (size ≤ 4) and dc±|ac| must stay in [0, 255]
+    so no pixel clips."""
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be MCU-aligned (multiples of 8)")
+    n_mcu = (width // 8) * (height // 8)
+    if len(y_dc_bytes) != n_mcu or len(y_acs) != n_mcu:
+        raise ValueError("need one Y DC byte and one AC value per MCU")
+    dc_codes = _jpeg_huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _jpeg_huff_codes(_JAC_BITS_AC, _JAC_VALS_AC)
+    w = _JBitWriter()
+    pred = [0, 0, 0]
+    for m in range(n_mcu):
+        ac = y_acs[m]
+        if not -15 <= ac <= 15:
+            raise ValueError("|ac| must be <= 15 (size <= 4)")
+        if not 0 <= y_dc_bytes[m] - abs(ac) <= y_dc_bytes[m] + abs(ac) <= 255:
+            raise ValueError("dc±|ac| must stay within [0, 255]")
+        dcs = (y_dc_bytes[m] - 128, 0, 0)
+        for comp in range(3):
+            diff = dcs[comp] - pred[comp]
+            pred[comp] = dcs[comp]
+            t, bits = _jpeg_magnitude(diff)
+            code, ln = dc_codes[t]
+            w.put(code, ln)
+            if t:
+                w.put(bits, t)
+            if comp == 0 and ac:
+                # 38 leading zero ACs: ZRL(16) + ZRL(16) + run 6
+                w.put(*ac_codes[0xF0])
+                w.put(*ac_codes[0xF0])
+                t, bits = _jpeg_magnitude(ac)
+                code, ln = ac_codes[(6 << 4) | t]
+                w.put(code, ln)
+                w.put(bits, t)
+            w.put(*ac_codes[0x00])  # EOB: zigzag 40..63 are all zero
+    return _jpeg_header(width, height, ac_rich=True) + w.flush() \
+        + b"\xff\xd9"
 
 
 class _JBitReader:
@@ -1806,13 +1880,89 @@ def attach_jpeg_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
+def attach_jpeg_ac_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize AC-exercising baseline JPEGs (VERDICT r9 ask #5):
+    like :func:`attach_jpeg_blobs` but MCU m also carries one signed AC
+    coefficient at zigzag 39 (raster (4,4)) — magnitude
+    ``min(d[4+m] % 16, d[m], 255 - d[m])`` (clip-safe, size ≤ 4) and
+    sign from ``d[4+m]``'s high bit, where d = md5(text) bytes.  The
+    (4,4) IDCT basis is exactly ±1/8, so with Q[39]=8 every pixel
+    decodes to the exact integer ``d[m] ± ac`` — nonzero AC
+    coefficients with a pure-SQL oracle.  The entropy stream exercises
+    ZRL runs, AC magnitude/sign extension, de-zigzag, and the full
+    IDCT, not just the DC predictor."""
+    header = _jpeg_header(JPEG_W, JPEG_H, ac_rich=True)
+    dc_codes = _jpeg_huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _jpeg_huff_codes(_JAC_BITS_AC, _JAC_VALS_AC)
+    n_mcu = (JPEG_W // 8) * (JPEG_H // 8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def entropy(d: bytes) -> bytes:
+            buf, acc, n = bytearray(), 0, 0
+
+            def put(code: int, length: int) -> None:
+                nonlocal acc, n
+                for i in range(length - 1, -1, -1):
+                    acc = (acc << 1) | ((code >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        buf.append(acc)
+                        if acc == 0xFF:
+                            buf.append(0x00)
+                        acc = n = 0
+
+            pred = [0, 0, 0]
+            for m in range(n_mcu):
+                mag = min(d[4 + m] % 16, d[m], 255 - d[m])
+                ac = -mag if d[4 + m] >= 128 else mag
+                for comp, dc in enumerate((d[m] - 128, 0, 0)):
+                    diff = dc - pred[comp]
+                    pred[comp] = dc
+                    t = abs(diff).bit_length()
+                    put(*dc_codes[t])
+                    if t:
+                        put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    if comp == 0 and ac:
+                        put(*ac_codes[0xF0])
+                        put(*ac_codes[0xF0])
+                        t = abs(ac).bit_length()
+                        put(*ac_codes[(6 << 4) | t])
+                        put(ac if ac >= 0 else ac + (1 << t) - 1, t)
+                    put(*ac_codes[0x00])
+            while n:
+                put(1, 1)
+            return bytes(buf)
+
+        for pdf in batches:
+            blobs = [
+                header
+                + entropy(hashlib.md5((text or "").encode()).digest()[:8])
+                + b"\xff\xd9"
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, blob binary"
+    )
+
+
+def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
     """REAL baseline JPEG decode in the scan stage: per asset, marker
     walk + DHT Huffman entropy decode + dequant + de-zigzag + IDCT
     (numpy basis matmul — same arithmetic as :func:`_jpeg_idct_block`)
     + YCbCr→RGB, then per-channel sums, the top-left Y, and the four
     MCU corner values (the DC path signature).  Only eight fixed-width
-    values per asset cross any exchange; blobs never shuffle."""
+    values per asset cross any exchange; blobs never shuffle.
+
+    ``stats="ac"`` (r10) emits the AC-corpus signature instead: channel
+    sum, top-left Y, per-MCU mean-deviation energy Σ|px − mean| (= 64·|ac|
+    for the (4,4)-coefficient corpus), and the per-MCU corner values —
+    which pin the decoded AC magnitude AND sign per MCU."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -2031,6 +2181,41 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
                 b = np.clip(np.rint(yp + 1.772 * cb), 0, 255)
             return w, h, r, g, b
 
+        if stats == "ac":
+            for pdf in batches:
+                out = {
+                    "doc_id": [], "width": [], "height": [], "sum_y": [],
+                    "top_left_y": [], "ac_energy": [], "corner_path": [],
+                }
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    w, h, r, _g, _b = dec(bytes(blob))
+                    energy, corners = 0, []
+                    for my in range(h // 8):
+                        for mx in range(w // 8):
+                            blk = r[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                            # the (4,4)-corpus block mean is the exact DC
+                            # byte (the ±ac pattern cancels), so the
+                            # deviation sum is exactly 64·|ac|
+                            energy += int(np.abs(blk - blk.mean()).sum())
+                            corners.append(str(int(blk[0, 0])))
+                    out["doc_id"].append(int(doc_id))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_y"].append(int(r.sum()))
+                    out["top_left_y"].append(int(r[0, 0]))
+                    out["ac_energy"].append(energy)
+                    out["corner_path"].append("-".join(corners))
+                yield pd.DataFrame(
+                    {
+                        k: pd.Series(
+                            v,
+                            dtype="object" if k == "corner_path"
+                            else "int64",
+                        )
+                        for k, v in out.items()
+                    }
+                )
+            return
         for pdf in batches:
             out = {
                 "doc_id": [], "width": [], "height": [],
@@ -2063,8 +2248,11 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame) -> DataFrame:
             )
 
     schema = (
-        "doc_id long, width long, height long, sum_r long, sum_g long, "
-        "sum_b long, top_left_y long, dc_path string"
+        "doc_id long, width long, height long, sum_y long, "
+        "top_left_y long, ac_energy long, corner_path string"
+        if stats == "ac"
+        else "doc_id long, width long, height long, sum_r long, "
+        "sum_g long, sum_b long, top_left_y long, dc_path string"
     )
     return mm_jpeg.select("doc_id", "blob").mapInPandas(run, schema)
 

@@ -504,6 +504,71 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_decode_ac",
+    # AC-exercising corpus (VERDICT r9 ask #5): MCU m carries DC byte
+    # d[m] AND one signed AC coefficient at zigzag 39 / raster (4,4) —
+    # the single non-DC basis whose IDCT is exactly ±1/8 per pixel, so
+    # with Q[39]=8 each pixel decodes to the exact integer d[m] ± ac
+    # (sign pattern + - - + + - - + on both axes).  ac magnitude =
+    # least(d[4+m] % 16, d[m], 255 - d[m]) (clip-safe), sign = high bit
+    # of d[4+m].  Per-MCU: pixel sum = 64·d[m] (the pattern cancels),
+    # mean-deviation energy = 64·ac, corner (0,0) = d[m] + sign·ac — so
+    # the oracle pins the decoded AC magnitude AND sign per MCU in pure
+    # SQL.  A decoder with broken ZRL runs, AC magnitude sign
+    # extension, de-zigzag, or IDCT cannot reproduce these.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), j ->
+               16 * (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(hx, 2*j + 2, 1)) - 1)
+             ) AS bt
+      FROM h
+    ),
+    m AS (
+      SELECT doc_id, bt,
+             list_transform(range(1, 5), m ->
+               least(bt[m + 4] % 16, bt[m], 255 - bt[m])) AS ac,
+             list_transform(range(1, 5), m ->
+               CASE WHEN bt[m + 4] >= 128 THEN -1 ELSE 1 END) AS sgn
+      FROM b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(64 * (bt[1] + bt[2] + bt[3] + bt[4]) AS BIGINT) AS sum_y,
+           CAST(bt[1] + sgn[1] * ac[1] AS BIGINT) AS top_left_y,
+           CAST(64 * (ac[1] + ac[2] + ac[3] + ac[4]) AS BIGINT)
+             AS ac_energy,
+           (bt[1] + sgn[1] * ac[1]) || '-' || (bt[2] + sgn[2] * ac[2])
+             || '-' || (bt[3] + sgn[3] * ac[3]) || '-'
+             || (bt[4] + sgn[4] * ac[4]) AS corner_path
+    FROM m
+    """,
+    tags=("multimodal", "image", "codec", "udf"),
+)
+def mm_jpeg_decode_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode over an AC-COEFFICIENT corpus (r10 — closes the
+    DC-only asterisk on the codec family): assets carry a Huffman-coded
+    signed AC coefficient per MCU behind two ZRL runs, exercising the
+    run-length decode, magnitude sign extension, de-zigzag, and the
+    full IDCT matmul — with every decoded pixel still integer-exact
+    (the (4,4) basis is exactly ±1/8), so the truth stays recomputable
+    in pure SQL.  Same scan-stage decode discipline as mm_jpeg_decode:
+    six fixed-width values per asset cross the exchange, blobs never
+    shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mm.jpeg_pixel_stats(
+        mm.attach_jpeg_ac_blobs(t["documents"]), stats="ac"
+    )
+
+
+@register(
     "mm_video_frame_plan",
     # The synthesized AVI layout is deterministic (fixed 56-byte avih,
     # 8x 12-byte '00dc' chunks), so the idx1-derived absolute offsets

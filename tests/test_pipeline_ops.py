@@ -1735,3 +1735,78 @@ def test_mm_jpeg_decode_matches_direct_decode(spark, sf_dir):
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == 64 * sum(dcs)
         assert r["top_left_y"] == px[0][0] == dcs[0]
         assert r["dc_path"] == "-".join(str(b) for b in dcs)
+
+
+def test_jpeg_ac_roundtrip_exact():
+    """encode_jpeg_ac → decode_jpeg is EXACT: every pixel of MCU m is
+    dc[m] + s(x)s(y)·ac[m] with s = + - - + + - - + (the (4,4) basis
+    is ±1/8 exactly, Q[39]=8 cancels it) — nonzero AC coefficients,
+    both signs, with zero float ambiguity."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    seen_neg = seen_pos = seen_zero = False
+    for i in range(40):
+        d = hashlib.md5(f"ac{i}".encode()).digest()[:8]
+        acs = []
+        for m in range(4):
+            mag = min(d[4 + m] % 16, d[m], 255 - d[m])
+            acs.append(-mag if d[4 + m] >= 128 else mag)
+        seen_neg |= any(a < 0 for a in acs)
+        seen_pos |= any(a > 0 for a in acs)
+        seen_zero |= any(a == 0 for a in acs)
+        blob = mm.encode_jpeg_ac(d[:4], acs, 16, 16)
+        w, h, nc, px = mm.decode_jpeg(blob)
+        assert (w, h, nc) == (16, 16, 3)
+        for m, (my, mx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            for y in range(8):
+                for x in range(8):
+                    p = px[(my * 8 + y) * 16 + mx * 8 + x]
+                    want = d[m] + s[x] * s[y] * acs[m]
+                    assert p == [want] * 3, (i, m, x, y, p, want)
+    assert seen_neg and seen_pos  # sign extension exercised both ways
+
+
+def test_jpeg_ac_encoder_guards():
+    from multisql_spark.operators import multimodal as mm
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.encode_jpeg_ac(bytes(4), [16, 0, 0, 0], 16, 16)  # |ac| > 15
+    with pytest.raises(ValueError):
+        mm.encode_jpeg_ac(bytes([1, 0, 0, 0]), [2, 0, 0, 0], 16, 16)
+
+
+def test_mm_jpeg_decode_ac_matches_direct_decode(spark, sf_dir):
+    """mm_jpeg_decode_ac's worker stats must equal a direct decode_jpeg
+    of the rebuilt AC asset — pinning the worker's numpy path to the
+    module-level decoder on a corpus with nonzero AC coefficients."""
+    import hashlib
+
+    from multisql_spark.operators import multimodal as mm
+
+    rows = load_all()["mm_jpeg_decode_ac"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    nonzero = 0
+    for r in rows[:100]:
+        d = hashlib.md5(docs[r["doc_id"]].encode()).digest()[:8]
+        acs = []
+        for m in range(4):
+            mag = min(d[4 + m] % 16, d[m], 255 - d[m])
+            acs.append(-mag if d[4 + m] >= 128 else mag)
+        nonzero += any(acs)
+        blob = mm.encode_jpeg_ac(d[:4], acs, 16, 16)
+        w, h, nc, px = mm.decode_jpeg(blob)
+        assert (r["width"], r["height"], nc) == (w, h, 3) == (16, 16, 3)
+        assert r["sum_y"] == 64 * sum(d[:4])
+        assert r["ac_energy"] == 64 * sum(abs(a) for a in acs)
+        assert r["top_left_y"] == px[0][0] == d[0] + acs[0]
+        corners = [d[m] + acs[m] for m in range(4)]
+        assert r["corner_path"] == "-".join(str(c) for c in corners)
+    assert nonzero > 50  # the corpus genuinely exercises the AC path

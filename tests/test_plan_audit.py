@@ -32,7 +32,9 @@ def test_no_scale_antipatterns_in_any_registered_plan(spark, sf_dir):
 
 def test_streaming_microbatch_plans_have_no_scale_antipatterns(spark, sf_dir):
     """VERDICT r8 ask #7: the main gate above skips ``stream_*`` names, so
-    the 13 streaming queries' micro-batch plans never met the detector.
+    the streaming queries' micro-batch plans never met the detector (14
+    registered ``stream_*`` names as of r9 — the loop below audits
+    whatever the registry holds, so the count never goes stale again).
     This runs each streaming query at sf0.001 with the ``_drain`` capture
     hook installed and audits BOTH every captured micro-batch physical
     plan (the real IncrementalExecution, formatted mode) AND the returned
