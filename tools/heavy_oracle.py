@@ -469,7 +469,144 @@ def gt_pipeline_pack_sequences(c: Corpus, budget: int = 128, n_groups: int = 16)
     )
 
 
+_EVENT_SHARDS = 16
+
+
+def _sharded_events_replay(sf_dir: str, shard_sql, tail=None):
+    """Run a per-user-shard DuckDB replay of an events oracle.
+
+    The two r9 sf1000 oracle reds (`events_user_sequence` OOM at ~45 GiB,
+    `events_markov_stationary` spill-dir exhaustion) are RESOURCE
+    failures of the one-shot SQL plan, not correctness gaps: both
+    oracles aggregate within user_id partitions, so the identical truth
+    is computable in {_EVENT_SHARDS} passes over ``user_id %
+    {_EVENT_SHARDS} = k`` at 1/{_EVENT_SHARDS} the memory — every
+    user's whole sequence lives in exactly one shard.  ``shard_sql(k)``
+    returns the per-shard query; ``tail(con, merged_df)`` optionally
+    runs the original oracle's cheap algebra tail (e.g. the Markov
+    power iteration) over the merged shard outputs IN DUCKDB, so the
+    semantics stay bit-identical to the registered one-shot SQL."""
+    import pandas as pd
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from multisql_spark.testing import duckdb_connection
+
+    parts = []
+    for k in range(_EVENT_SHARDS):
+        con = duckdb_connection(sf_dir)
+        parts.append(con.execute(shard_sql(k)).df())
+        con.close()
+    merged = pd.concat(parts, ignore_index=True)
+    if tail is None:
+        return merged
+    con = duckdb_connection(sf_dir)
+    try:
+        con.register("__shard_merged", merged)
+        return tail(con)
+    finally:
+        con.close()
+
+
+def gt_events_user_sequence(c):
+    """Sharded replay of the events_user_sequence oracle (pipeline_q.py):
+    per-user GROUP BY is embarrassingly user-parallel, so concatenating
+    the 16 shard outputs is the exact one-shot result."""
+    epoch = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
+    def shard(k: int) -> str:
+        return f"""
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               COUNT(*) AS n_events,
+               array_to_string(list_slice(
+                 list(event_type ORDER BY {epoch} DESC, event_id DESC),
+                 1, 5), ',') AS last5_types,
+               CAST(max({epoch}) - min({epoch}) AS BIGINT) AS span_sec,
+               round((max({epoch}) - min({epoch}))
+                     / greatest(COUNT(*) - 1, 1) / 60.0, 4) AS avg_gap_min
+        FROM events
+        WHERE user_id % {_EVENT_SHARDS} = {k}
+        GROUP BY user_id
+        """
+
+    df = _sharded_events_replay(c.sf_dir, shard)
+    return (
+        ["user_id", "n_events", "last5_types", "span_sec", "avg_gap_min"],
+        list(df.itertuples(index=False, name=None)),
+        ["i", "i", "s", "i", "f"],
+    )
+
+
+def gt_events_markov_stationary(c):
+    """Sharded replay of events_markov_stationary (analytics_q.py): the
+    expensive lead() window partitions by user_id (shardable — transition
+    COUNTS merge by summation), then the |types|² integer power
+    iteration runs as the ORIGINAL oracle tail SQL over the merged
+    counts, so every floor/casting quirk matches the one-shot plan."""
+    scale = 1000000000  # analytics_q._MK_SCALE
+
+    def shard(k: int) -> str:
+        return f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT),
+                            event_id) AS next_type
+          FROM events
+          WHERE user_id % {_EVENT_SHARDS} = {k}
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """
+
+    def step(n: int) -> str:
+        return f"""
+          SELECT t.to_type AS state,
+                 CAST(sum(p.mass * t.tq / {scale}) AS BIGINT) AS mass
+          FROM p{n} p JOIN tmat t ON t.from_type = p.state
+          GROUP BY t.to_type
+        """
+
+    def tail(con):
+        return con.execute(f"""
+        WITH cnt AS (
+          SELECT from_type, to_type, CAST(sum(n) AS BIGINT) AS n
+          FROM __shard_merged GROUP BY 1, 2
+        ),
+        rowtot AS (SELECT from_type, sum(n) AS rt FROM cnt GROUP BY 1),
+        tmat AS (
+          SELECT c.from_type, c.to_type,
+                 CAST(floor(c.n * {scale}.0 / r.rt + 0.5) AS BIGINT) AS tq
+          FROM cnt c JOIN rowtot r ON c.from_type = r.from_type
+        ),
+        states AS (SELECT DISTINCT from_type AS state FROM cnt),
+        nstates AS (SELECT COUNT(*) AS ns FROM states),
+        p0 AS (
+          SELECT state, CAST({scale} // ns AS BIGINT) AS mass
+          FROM states, nstates
+        ),
+        p1 AS ({step(0)}),
+        p2 AS ({step(1)}),
+        p3 AS ({step(2)}),
+        p4 AS ({step(3)})
+        SELECT state, round(mass / {scale}.0, 6) AS stationary_prob
+        FROM p4
+        """).df()
+
+    df = _sharded_events_replay(c.sf_dir, shard, tail)
+    return (
+        ["state", "stationary_prob"],
+        list(df.itertuples(index=False, name=None)),
+        ["s", "f"],
+    )
+
+
 GROUND_TRUTH = {
+    "events_user_sequence": gt_events_user_sequence,
+    "events_markov_stationary": gt_events_markov_stationary,
     "pipeline_pack_sequences": gt_pipeline_pack_sequences,
     "dedup_cluster_components": gt_dedup_cluster_components,
     "dedup_family_histogram": gt_dedup_family_histogram,
@@ -481,7 +618,10 @@ GROUND_TRUTH = {
     "dedup_graph_triangles": gt_dedup_graph_triangles,
 }
 
-_DTYPES = {"i": "int64", "i4": "int32", "f": "float64", "b": "bool"}
+_DTYPES = {
+    "i": "int64", "i4": "int32", "f": "float64", "b": "bool",
+    "s": "object",
+}
 
 
 def _gt_frame(cols, rows, kinds):
@@ -516,13 +656,20 @@ def main() -> int:
     names = [n for n in GROUND_TRUTH if not only or n in only]
 
     t0 = time.perf_counter()
-    corpus = Corpus(sf_dir)
-    print(
-        f"corpus model: {len(corpus.doc_ids)} docs, "
-        f"{len(corpus.cand)} LSH candidates "
-        f"({time.perf_counter() - t0:.1f}s)",
-        flush=True,
-    )
+    events_only = {"events_user_sequence", "events_markov_stationary"}
+    if set(names) <= events_only:
+        # the sharded events replays only need sf_dir — skip the
+        # (docs-scale) LSH corpus model build entirely
+        corpus = type("SfOnly", (), {"sf_dir": sf_dir})()
+        print("corpus model: skipped (events-only run)", flush=True)
+    else:
+        corpus = Corpus(sf_dir)
+        print(
+            f"corpus model: {len(corpus.doc_ids)} docs, "
+            f"{len(corpus.cand)} LSH candidates "
+            f"({time.perf_counter() - t0:.1f}s)",
+            flush=True,
+        )
 
     from pyspark.sql import SparkSession
 
