@@ -32,7 +32,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "SET memory_limit="
         f"'{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '24GB')}'"
     )
-    con.execute("SET temp_directory='.tmp'")
+    # Per-PROCESS spill dir: DuckDB temp block filenames are generated
+    # from a per-process counter, so two concurrent oracle processes
+    # sharing a cwd-relative '.tmp' CLOBBER each other's spill blocks —
+    # seen as "Cannot open file .tmp/duckdb_temp_block-...: No such
+    # file or directory" in the r10 parallel sf1000 sweep (and the
+    # likely cause of r9's unexplained 'co-load transient' oracle
+    # failures).  The per-pid suffix makes parallel sweep streams safe;
+    # atexit reclaims the directory.
+    tmpdir = f".tmp/p{os.getpid()}"
+    if not getattr(duckdb_connection, "_cleanup_registered", False):
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+        duckdb_connection._cleanup_registered = True
+    con.execute(f"SET temp_directory='{tmpdir}'")
     con.execute(
         "SET max_temp_directory_size="
         f"'{os.environ.get('SPARK_GRAFT_ORACLE_SPILL', '20GB')}'"
