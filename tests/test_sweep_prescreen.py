@@ -20,7 +20,8 @@ def test_scale_mult_parses_sweep_tags():
     assert sw._scale_mult("sf0.01") == 0.01
     assert sw._scale_mult("sf10_derived") == 10.0
     assert sw._scale_mult("sf1000_derived") == 1000.0
-    assert sw._scale_mult(0.1) == 0.1  # bench artifacts carry floats
+    # bench artifacts carry a bare float "sf" — ignored, never crashes
+    assert sw._scale_mult(0.1) is None
     assert sw._scale_mult("bogus") is None
     assert sw._scale_mult(None) is None
 
