@@ -87,9 +87,19 @@ def _big_compare(spark, con, spec, name: str, sf_dir: str) -> dict:
             f"CREATE OR REPLACE TEMP VIEW __spark_res AS "
             f"SELECT {collist} FROM read_parquet('{out}/*.parquet')"
         )
+        # TWO-PHASE: materialize the oracle result to parquet FIRST, so
+        # the oracle's own spill (e.g. a window over 600M rows) and the
+        # set-op's hash spill never share the temp budget — their
+        # overlap blew the disk on the r10 sf1000 window names.
+        # (sibling path: the spark view's glob '{out}/*.parquet' is
+        # re-evaluated lazily and must never match the oracle file)
+        con.execute(
+            f"COPY (SELECT {collist} FROM ({spec.oracle}) __o) "
+            f"TO '{out}_oracle.parquet' (FORMAT PARQUET)"
+        )
         con.execute(
             f"CREATE OR REPLACE TEMP VIEW __oracle_res AS "
-            f"SELECT {collist} FROM ({spec.oracle}) __o"
+            f"SELECT {collist} FROM read_parquet('{out}_oracle.parquet')"
         )
         n_s = con.execute("SELECT COUNT(*) FROM __spark_res").fetchone()[0]
         n_o = con.execute("SELECT COUNT(*) FROM __oracle_res").fetchone()[0]
@@ -112,6 +122,8 @@ def _big_compare(spark, con, spec, name: str, sf_dir: str) -> dict:
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        if os.path.exists(f"{out}_oracle.parquet"):
+            os.unlink(f"{out}_oracle.parquet")
 
 
 def main() -> int:
