@@ -140,6 +140,12 @@ def main() -> int:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
+        # memory-sink streaming results collect through task results;
+        # the 1g default killed stream_stateful_sessionize at sf1000
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("DRIVER_SIM_MAXRESULT", "8g"),
+        )
         .config("spark.sql.warehouse.dir", f"{scratch}/spark-warehouse")
         .config(
             "spark.driver.extraJavaOptions",
