@@ -41,6 +41,13 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # failures).  The per-pid suffix makes parallel sweep streams safe;
     # atexit reclaims the directory.
     tmpdir = f".tmp/p{os.getpid()}"
+    # DuckDB's SET temp_directory mkdirs ONE level lazily at first
+    # spill: with no pre-existing '.tmp' the parent is missing and the
+    # first spilling oracle dies with "Failed to create directory
+    # '.tmp/p<pid>': No such file or directory" (seen when a fresh
+    # checkout ran the r10 sweep — the campaign tree only worked
+    # because a pre-fix flat '.tmp' was still lying around).
+    os.makedirs(tmpdir, exist_ok=True)
     if not getattr(duckdb_connection, "_cleanup_registered", False):
         import atexit
         import shutil

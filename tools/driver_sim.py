@@ -228,8 +228,14 @@ def main() -> int:
             # cascaded 15 false reds this way).
             print(f"JVM gateway lost at {name}; aborting chunk", flush=True)
             os._exit(13)
-        except Exception:
-            row = {"err": traceback.format_exc(limit=3)[-800:]}
+        except Exception as exc:
+            # keep the exception TYPE+message (head) as well as the
+            # stack tail — a tail-only slice of a JVM stacktrace loses
+            # the root cause (r10: part_affinity_pairs' red was
+            # undiagnosable from its artifact)
+            tb = traceback.format_exc(limit=3)
+            row = {"err": f"{type(exc).__name__}: {str(exc)[:500]}\n"
+                          + tb[-800:]}
         row["wall_sec"] = round(time.perf_counter() - t0, 3)
         ok = row.get("hash_match", row.get("rows_only", False)) and not row.get("err")
         if not ok:
