@@ -33,6 +33,15 @@ _SESSION_CONFS = {
     # local-mode default of 200 over-parallelizes small data; AQE coalesces
     # but the initial hash partitioning still costs task setup.
     "spark.sql.shuffle.partitions": "32",
+    # ... but 32 is a SMALL-DATA floor, not a scale ceiling: at derived
+    # sf1000 a 600M-row hash aggregate split 32 ways put ~19M rows of
+    # aggregation state in each of 32 concurrent tasks on one heap and
+    # OOM'd (dedup_duplicated_spans, r10).  AQE coalesces DOWN from
+    # initialPartitionNum by its size target, so a high initial count is
+    # free at test scale (same post-coalesce partition count) and bounds
+    # per-task state at 100x — exactly how a 1000-executor cluster would
+    # be configured.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert below.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
