@@ -868,10 +868,18 @@ def duplicated_spans(
     width, so span ends are monotone too and a plain LAG break test is
     exact (no running-max needed).
 
-    Scale shape: the explode emits (md5, doc_id, start) — 32-byte
-    digests, never text — so the dup-hash groupBy shuffles digests
-    only; the survivors rejoin windows on the digest and the island
-    merge runs inside one per-doc window partition.  Unlike
+    Scale shape: the explode emits (digest, doc_id, start) — never
+    text — so the dup-hash groupBy shuffles digests only; the
+    survivors rejoin windows on the digest and the island merge runs
+    inside one per-doc window partition.  The digest is the first 60
+    bits of the window's md5 as a BIGINT (r10): 32-char hex-string agg
+    keys put ~1 GB of variable-width map state in each partial-agg
+    task at derived sf1000 and OOM'd the heap before the spill
+    threshold tripped; a fixed-width long key shrinks the state ~10x
+    and keeps the hash map in UnsafeRow fast paths.  A 60-bit
+    collision needs ~2^30 distinct windows to reach even 1%% odds and
+    would only mark one extra window duplicated; the DuckDB oracle
+    mirrors the same prefix so both sides agree exactly.  Unlike
     ``ngram_jaccard`` (which joins doc PAIRS through each shingle and
     therefore needs a stop-shingle frequency prune), the rejoin here
     matches each window row to at most ONE ``dup_h`` row — a
@@ -893,7 +901,9 @@ def duplicated_spans(
             F.expr(
                 f"transform(sequence(1, size(_toks) - {width} + 1),"
                 f"  i -> struct(i AS start,"
-                f"      md5(concat_ws(' ', slice(_toks, i, {width}))) AS h))"
+                f"      CAST(conv(substring(md5(concat_ws(' ',"
+                f" slice(_toks, i, {width}))), 1, 15), 16, 10)"
+                f" AS BIGINT) AS h))"
             )
         ).alias("w"),
     ).select(id_col, "total_tokens", "w.start", "w.h")

@@ -107,9 +107,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # r10: stream_dedup_digest's canonicalization became NULL-symmetric
 # (coalesce-to-sentinel on both sides; identical output on the NULL-free
 # fixtures, but the digest encoding changed) — re-front it too.
+# r10 (late): dedup_duplicated_spans' dup-hash digest moved from the
+# 32-char md5 hex string to its first-60-bits BIGINT prefix (engine +
+# oracle mirrored) after the variable-width string agg keys OOM'd the
+# partial-agg heap at derived sf1000 — outputs identical barring a
+# ~2^-60-per-pair collision, but the blocking digest changed.
 _RECERTIFY: frozenset[str] = frozenset({
     "sim_embedding_neardup",
     "stream_dedup_digest",
+    "dedup_duplicated_spans",
 })
 _RECERTIFY_ROUND = 10  # green rows from this round onward retire the flag
 

@@ -1359,7 +1359,9 @@ def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wins AS (
       SELECT doc_id, total_tokens, start,
-             md5(array_to_string(list_slice(tk, start, start + 7), ' ')) AS h
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(tk, start, start + 7), ' ')), 1, 15))
+               AS BIGINT) AS h
       FROM wins0
     ),
     dup_h AS (
