@@ -56,6 +56,13 @@ def build_session() -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fast Python-worker entry (drops ~140 ms of fixed per-task worker
+        # bookkeeping; see pyspark_graft_worker.py + OPTIMIZATION_r11.md)
+        .config("spark.python.worker.module", "pyspark_graft_worker")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.abspath(__file__)),
+        )
     )
     # SPARK_GRAFT_PROFILE=cluster replays the 1000-executor profile's
     # query-planning confs (AQE skew thresholds, 64 MB broadcast ceiling,
@@ -72,7 +79,9 @@ def build_session() -> SparkSession:
     return b.getOrCreate()
 
 
-def bench_queries(spark: SparkSession):
+def build_cases(spark: SparkSession) -> dict:
+    """Construct the benchmarked DataFrames (shared with tools/dump_plans.py
+    so the committed plan artifacts describe EXACTLY the benched plans)."""
     from multisql_spark.queries import load_all
     from multisql_spark.tables import load_tables
 
@@ -164,6 +173,11 @@ def bench_queries(spark: SparkSession):
     }
     for label, qname in flagships.items():
         cases[label] = registry[qname].fn(spark, SF_DIR)
+    return cases
+
+
+def bench_queries(spark: SparkSession):
+    cases = build_cases(spark)
 
     # These timings sit on Spark's ~100 ms job-launch floor, where
     # run-to-run scheduler/GC jitter of ±30 ms reads as a fake ±25%

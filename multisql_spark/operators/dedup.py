@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multisql_spark.operators import spread
+
 
 def tokens_col(text_col: str = "text"):
     """Distinct word tokens of a document (order-insensitive set)."""
@@ -65,7 +67,7 @@ def minhash_signatures(
     shuffle whose payload is k×32-byte strings per doc regardless of
     document size.
     """
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     )
     aggs = [
@@ -334,7 +336,7 @@ def simhash(
     """(id, simhash BIGINT): 32-bit fingerprint. Near-dup pairs are then
     found by banding the 4 fingerprint bytes (exact-match join per byte,
     Hamming filter) — same join shape as LSH, no all-pairs pass."""
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).select(F.col(id_col), F.md5("tok").alias("h"))
     toks.createOrReplaceTempView("__simhash_toks")

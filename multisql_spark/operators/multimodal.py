@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from multisql_spark.operators import spread
+
 FEATURE_DIM = 8
 
 MM_SCHEMA = T.StructType(
@@ -64,6 +66,9 @@ def attach_blobs(docs: DataFrame) -> DataFrame:
     blob = F.unhex(
         F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))
     )
+    # spread BEFORE synthesis: downstream Python stages inherit the full
+    # parallelism while only (doc_id, text, n_chars) ever cross the wire
+    docs = spread(docs.select("doc_id", "text", "n_chars"))
     return docs.select(
         F.col("doc_id").cast("long"),
         blob.alias("blob"),
@@ -86,6 +91,7 @@ def attach_audio_blobs(docs: DataFrame) -> DataFrame:
     blob = F.unhex(
         F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))
     )
+    docs = spread(docs.select("doc_id", "text", "n_chars"))
     return docs.select(
         F.col("doc_id").cast("long"),
         blob.alias("blob"),
@@ -179,8 +185,10 @@ def attach_wav_blobs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select(
-        F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
+    return spread(
+        docs.select(
+            F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
+        )
     ).mapInPandas(run, "doc_id long, blob binary")
 
 
@@ -324,7 +332,7 @@ def attach_bmp_blobs(docs: DataFrame) -> DataFrame:
                 blobs.append(head + data[: w * 3 * h])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+    return spread(docs.select(F.col("doc_id").cast("long"), "text")).mapInPandas(
         run, "doc_id long, blob binary"
     )
 
@@ -625,7 +633,7 @@ def attach_png_blobs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+    return spread(docs.select(F.col("doc_id").cast("long"), "text")).mapInPandas(
         run, "doc_id long, blob binary"
     )
 
@@ -1028,7 +1036,7 @@ def attach_gif_blobs(docs: DataFrame) -> DataFrame:
                 blobs.append(head + bytes(blocks) + b"\x3B")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select(F.col("doc_id").cast("long"), "text").mapInPandas(
+    return spread(docs.select(F.col("doc_id").cast("long"), "text")).mapInPandas(
         run, "doc_id long, blob binary"
     )
 
@@ -1304,8 +1312,10 @@ def attach_avi_blobs(docs: DataFrame) -> DataFrame:
                 blobs.append(b"RIFF" + _struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return docs.select(
-        F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
+    return spread(
+        docs.select(
+            F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
+        )
     ).mapInPandas(run, "doc_id long, blob binary")
 
 
@@ -1875,7 +1885,7 @@ def attach_jpeg_blobs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread(docs.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, blob binary"
     )
 
@@ -1946,7 +1956,7 @@ def attach_jpeg_ac_blobs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread(docs.select("doc_id", "text")).mapInPandas(
         run, "doc_id long, blob binary"
     )
 

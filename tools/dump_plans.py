@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Dump .explain("formatted") for every bench case (and a few extra
+registry queries of interest) to plans/r11/<name>_<tag>.txt.
+
+Usage: python tools/dump_plans.py <tag> [name ...]
+  tag:   suffix for the artifact files (before / after)
+  name:  optional subset of case names; default = all bench cases plus
+         EXTRA_QUERIES below.
+
+The session is built exactly like bench.py's so the committed plans
+describe the benched plans (same confs, same cached tables).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+# registry names the optimization round touches beyond the bench set
+EXTRA_QUERIES = [
+    "part_affinity_pairs",
+    "dedup_minhash_lsh",
+    "mm_jpeg_decode_ac",
+    "text_bpe_pair_stats",
+]
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r11",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = bench.build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    cases = bench.build_cases(spark)
+    from multisql_spark.queries import load_all
+
+    registry = load_all()
+    for qname in EXTRA_QUERIES:
+        if qname in registry and qname not in cases:
+            cases[qname] = registry[qname].fn(spark, bench.SF_DIR)
+    for name, df in cases.items():
+        if only and name not in only:
+            continue
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} chars)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
