@@ -346,6 +346,53 @@ def simhash(
     )
 
 
+def doc_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+) -> DataFrame:
+    """(id, sig_1..sig_k, simhash) in ONE explode + ONE groupBy — the
+    fused per-document feature pass for ensemble verdicts.
+
+    Computes exactly the same columns as :func:`minhash_signatures`
+    (sig_i = min md5(tok ⊕ i)) plus :func:`simhash` (32-bit fingerprint
+    from per-token md5 bit votes), but over a single token explode and a
+    single aggregation exchange instead of two full passes.  The consumer
+    (``dedup_ensemble_verdict``) previously instantiated the signature
+    subtree four times and the simhash subtree twice; fusing here turns
+    3 explode→agg pipelines into 1 (guide §2.4: remove shuffles outright;
+    §1.2: don't compute things twice).  Output values are bit-identical
+    to the separate operators (test-pinned)."""
+    toks = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).select(
+        F.col(id_col),
+        F.md5("tok").alias("h"),
+        *[
+            F.md5(F.concat(F.col("tok"), F.lit(f"#{i}"))).alias(f"m_{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    aggs = [F.min(f"m_{i}").alias(f"sig_{i}") for i in range(1, k + 1)] + [
+        F.sum(
+            F.when(F.substring("h", j, 1).isin(*hexhi), 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(1, 33)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    simhash_bits = sum(
+        F.when(F.col(f"v_{j}") >= 0, F.lit(2 ** (j - 1))).otherwise(F.lit(0))
+        for j in range(1, 33)
+    )
+    return votes.select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(1, k + 1)],
+        simhash_bits.cast("long").alias("simhash"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -594,18 +594,44 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-signal verdicts over-fire on boilerplate."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
-    sigs = dedup.minhash_signatures(docs, k=K)
-    pairs = dedup.lsh_candidate_pairs_capped(
-        sigs, k=K, bands=BANDS, cap=CAP
+    # ONE fused per-doc feature pass (sigs + simhash in a single
+    # explode→agg, guide §2.4/§1.2) instead of the r3 plan's four
+    # signature-subtree instantiations and two simhash passes; the token
+    # arrays attach via one keyed join and each pair side joins the
+    # feature table once (2 joins instead of 6).  Output bit-identical
+    # (driver t2 + pytest pinned); oracle unchanged.
+    feats = dedup.doc_features(docs, k=K).join(
+        docs.select(
+            F.col("doc_id"), dedup.tokens_col("text").alias("ts")
+        ),
+        "doc_id",
     )
-    tsets = docs.select(
-        F.col("doc_id"), dedup.tokens_col("text").alias("ts")
+    capped = dedup.lsh_capped_members(feats, k=K, bands=BANDS, cap=CAP)
+    left = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = capped.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sh = dedup.simhash(docs)
-    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
-    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"la_{i}") for i in range(1, K + 1)],
+        F.col("simhash").alias("sh_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"lb_{i}") for i in range(1, K + 1)],
+        F.col("simhash").alias("sh_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    agree = sum(
+        F.when(F.col(f"la_{i}") == F.col(f"lb_{i}"), 1).otherwise(0)
+        for i in range(1, K + 1)
+    )
+    est_sim = F.round(agree / F.lit(float(K)), 4)
     jac = F.round(
         F.size(F.array_intersect("ts_a", "ts_b"))
         / F.size(F.array_union("ts_a", "ts_b")).cast("double"),
@@ -613,19 +639,17 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     votes = (
-        F.when(F.col("est_sim") >= 0.5, 1).otherwise(0)
+        F.when(est_sim >= 0.5, 1).otherwise(0)
         + F.when(jac >= 0.5, 1).otherwise(0)
         + F.when(ham <= 4, 1).otherwise(0)
     )
     return (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select(
             F.col("doc_a").cast("long"),
             F.col("doc_b").cast("long"),
-            "est_sim",
+            est_sim.alias("est_sim"),
             jac.alias("jaccard"),
             ham.alias("hamming"),
             (votes >= 2).alias("is_dup"),
