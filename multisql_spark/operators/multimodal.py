@@ -2002,6 +2002,11 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
 
         huff_cache: dict = {}  # DHT payload bytes -> decode table (the
         # corpus shares one table set; rebuilding per asset dominated)
+        hdr_cache: list = []  # [(exact header bytes, parsed state)] — a
+        # corpus shares its DQT/SOF0/DHT/SOS bytes, so after the first
+        # asset the marker walk is one startswith() memcmp (r11: the
+        # per-asset re-parse and the per-asset numpy calls dominated;
+        # both now run once per batch, guide §4.2)
 
         def huffdec(payload):
             table = huff_cache.get(payload)
@@ -2018,13 +2023,14 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                 huff_cache[payload] = table
             return table
 
-        def dec(blob):
+        ZIG_ARR = np.array(ZIG, dtype=np.int64)
+        BASIS_T = np.ascontiguousarray(basis.T)
+
+        def parse_header(blob):
             # Guards mirror the module-level decode_jpeg (ADVICE r9): an
             # out-of-scope or corrupt blob must RAISE here exactly like
             # the decoder the tests pin against, never decode silently
             # wrong.
-            if blob[:2] != b"\xff\xd8":
-                raise ValueError("not a JPEG")
             pos, qts, huff, dims, comps, scan = 2, {}, {}, None, None, None
             while pos + 4 <= len(blob):
                 if blob[pos] != 0xFF:
@@ -2087,9 +2093,35 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                 pos += 2 + seg
             if dims is None or scan is None:
                 raise ValueError("missing SOF0 or SOS")
-            w, h = dims
             tq_of = dict(comps)
-            data, acc, nb = blob, 0, 0
+            return {
+                "hdr_len": pos,
+                "huff": huff,
+                "dims": dims,
+                "scan": scan,
+                # zigzag-order quant rows per scan component, ready for
+                # the batched dequant below
+                "qrows": np.array(
+                    [qts[tq_of[cid]] for cid, _t, _a in scan],
+                    dtype=np.float64,
+                ),
+            }
+
+        def header_state(blob):
+            for hdr, state in hdr_cache:
+                if blob.startswith(hdr):
+                    return state
+            state = parse_header(blob)
+            hdr_cache.append((bytes(blob[: state["hdr_len"]]), state))
+            return state
+
+        def entropy_blocks(blob, state, out_rows):
+            # bit-identical entropy decode to the r9 per-asset path; it
+            # appends each block's RAW zigzag coefficient row — dequant,
+            # de-zigzag, IDCT and color math run batched afterwards
+            huff, scan = state["huff"], state["scan"]
+            w, h = state["dims"]
+            data, pos, acc, nb = blob, state["hdr_len"], 0, 0
 
             def bit():
                 nonlocal pos, acc, nb
@@ -2136,12 +2168,9 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
 
             mcux, mcuy = (w + 7) // 8, (h + 7) // 8
             pred = {cid: 0 for cid, _t, _a in scan}
-            # entropy-decode every block first (pure-python lists), then
-            # run ONE batched IDCT matmul for the whole asset — per-block
-            # 64x64 matmuls are numpy-overhead-dominated
-            blocks = []  # (cid, my, mx, dezigzagged dequantized coef)
-            for my in range(mcuy):
-                for mx in range(mcux):
+            n_out = 0
+            for _my in range(mcuy):
+                for _mx in range(mcux):
                     for cid, td, ta in scan:
                         zz = [0] * 64
                         t = hval(huff[(0, td)])
@@ -2160,36 +2189,76 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                                 raise ValueError("AC run past end of block")
                             zz[k] = ext(bits_(rs & 15), rs & 15)
                             k += 1
-                        q = qts[tq_of[cid]]
-                        coef = [0] * 64
-                        for i in range(64):
-                            coef[ZIG[i]] = zz[i] * q[i]
-                        blocks.append((cid, my, mx, coef))
-            px_all = np.rint(
-                np.array([b[3] for b in blocks], dtype=np.float64)
-                @ basis.T
-            ) + 128
-            np.clip(px_all, 0, 255, out=px_all)
-            planes = {
-                cid: np.zeros((mcuy * 8, mcux * 8)) for cid, _t, _a in scan
-            }
-            for (cid, my, mx, _c), px in zip(blocks, px_all):
-                planes[cid][
-                    my * 8:my * 8 + 8, mx * 8:mx * 8 + 8
-                ] = px.reshape(8, 8)
-            cids = [cid for cid, _t, _a in scan]
-            yp = planes[cids[0]][:h, :w]
-            if len(cids) == 1:
-                r = g = b = yp
-            else:
-                cb = planes[cids[1]][:h, :w] - 128
-                cr = planes[cids[2]][:h, :w] - 128
-                r = np.clip(np.rint(yp + 1.402 * cr), 0, 255)
-                g = np.clip(
-                    np.rint(yp - 0.344136 * cb - 0.714136 * cr), 0, 255
+                        out_rows.append(zz)
+                        n_out += 1
+            return n_out
+
+        def decoded_groups(pdf):
+            """Entropy-decode every asset in the batch, then run ONE
+            dequant/de-zigzag/IDCT/color pipeline over the whole batch
+            (r11, guide §4.2 — the per-asset numpy-call overhead and the
+            per-asset header re-parse dominated the r9 kernel).  Yields
+            (doc_ids, w, h, r, g, b) per run of same-header assets, with
+            the channel arrays batched (ndocs, h, w); math and guard
+            behavior are bit-identical to the per-asset path."""
+            zz_rows, metas = [], []
+            for blob in pdf["blob"]:
+                blob = bytes(blob)
+                if blob[:2] != b"\xff\xd8":
+                    raise ValueError("not a JPEG")
+                state = header_state(blob)
+                metas.append((state, entropy_blocks(blob, state, zz_rows)))
+            if not zz_rows:
+                return
+            Z = np.array(zz_rows, dtype=np.float64)
+            q_parts, i = [], 0
+            while i < len(metas):
+                state, j, total = metas[i][0], i, 0
+                while j < len(metas) and metas[j][0] is state:
+                    total += metas[j][1]
+                    j += 1
+                q_parts.append(
+                    np.tile(state["qrows"], (total // len(state["scan"]), 1))
                 )
-                b = np.clip(np.rint(yp + 1.772 * cb), 0, 255)
-            return w, h, r, g, b
+                i = j
+            Q = q_parts[0] if len(q_parts) == 1 else np.concatenate(q_parts)
+            C = np.zeros_like(Z)
+            C[:, ZIG_ARR] = Z * Q
+            PX = C @ BASIS_T
+            np.rint(PX, out=PX)
+            PX += 128
+            np.clip(PX, 0, 255, out=PX)
+            doc_ids = list(pdf["doc_id"])
+            off = i = 0
+            while i < len(metas):
+                state, j = metas[i][0], i
+                while j < len(metas) and metas[j][0] is state:
+                    j += 1
+                ndocs = j - i
+                w, h = state["dims"]
+                ncomp = len(state["scan"])
+                mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+                nblk = mcux * mcuy * ncomp
+                grp = PX[off:off + ndocs * nblk].reshape(
+                    ndocs, mcuy, mcux, ncomp, 8, 8
+                )
+                off += ndocs * nblk
+                planes = grp.transpose(0, 3, 1, 4, 2, 5).reshape(
+                    ndocs, ncomp, mcuy * 8, mcux * 8
+                )[:, :, :h, :w]
+                yp = planes[:, 0]
+                if ncomp == 1:
+                    r = g = b = yp
+                else:
+                    cb = planes[:, 1] - 128
+                    cr = planes[:, 2] - 128
+                    r = np.clip(np.rint(yp + 1.402 * cr), 0, 255)
+                    g = np.clip(
+                        np.rint(yp - 0.344136 * cb - 0.714136 * cr), 0, 255
+                    )
+                    b = np.clip(np.rint(yp + 1.772 * cb), 0, 255)
+                yield doc_ids[i:j], w, h, r, g, b
+                i = j
 
         if stats == "ac":
             for pdf in batches:
@@ -2197,24 +2266,40 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                     "doc_id": [], "width": [], "height": [], "sum_y": [],
                     "top_left_y": [], "ac_energy": [], "corner_path": [],
                 }
-                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                    w, h, r, _g, _b = dec(bytes(blob))
-                    energy, corners = 0, []
-                    for my in range(h // 8):
-                        for mx in range(w // 8):
-                            blk = r[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                            # the (4,4)-corpus block mean is the exact DC
-                            # byte (the ±ac pattern cancels), so the
-                            # deviation sum is exactly 64·|ac|
-                            energy += int(np.abs(blk - blk.mean()).sum())
-                            corners.append(str(int(blk[0, 0])))
-                    out["doc_id"].append(int(doc_id))
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["sum_y"].append(int(r.sum()))
-                    out["top_left_y"].append(int(r[0, 0]))
-                    out["ac_energy"].append(energy)
-                    out["corner_path"].append("-".join(corners))
+                for doc_ids, w, h, r, _g, _b in decoded_groups(pdf):
+                    n = len(doc_ids)
+                    blks = r[:, : (h // 8) * 8, : (w // 8) * 8].reshape(
+                        n, h // 8, 8, w // 8, 8
+                    ).transpose(0, 1, 3, 2, 4)
+                    # the (4,4)-corpus block mean is the exact DC byte
+                    # (the ±ac pattern cancels), so the deviation sum is
+                    # exactly 64·|ac|; int-truncation applied PER BLOCK
+                    # exactly like the r9 loop's int(...)
+                    means = blks.mean(axis=(3, 4), keepdims=True)
+                    e_blk = (
+                        np.abs(blks - means)
+                        .sum(axis=(3, 4))
+                        .astype(np.int64)
+                    )
+                    corners = (
+                        blks[:, :, :, 0, 0].astype(np.int64).reshape(n, -1)
+                    )
+                    out["doc_id"].extend(int(d) for d in doc_ids)
+                    out["width"].extend([w] * n)
+                    out["height"].extend([h] * n)
+                    out["sum_y"].extend(
+                        r.sum(axis=(1, 2)).astype(np.int64).tolist()
+                    )
+                    out["top_left_y"].extend(
+                        r[:, 0, 0].astype(np.int64).tolist()
+                    )
+                    out["ac_energy"].extend(
+                        e_blk.reshape(n, -1).sum(axis=1).tolist()
+                    )
+                    out["corner_path"].extend(
+                        "-".join(map(str, row))
+                        for row in corners.tolist()
+                    )
                 yield pd.DataFrame(
                     {
                         k: pd.Series(
@@ -2232,21 +2317,22 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                 "sum_r": [], "sum_g": [], "sum_b": [],
                 "top_left_y": [], "dc_path": [],
             }
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, r, g, b = dec(bytes(blob))
-                out["doc_id"].append(int(doc_id))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_r"].append(int(r.sum()))
-                out["sum_g"].append(int(g.sum()))
-                out["sum_b"].append(int(b.sum()))
-                out["top_left_y"].append(int(r[0, 0]))
-                out["dc_path"].append(
-                    "-".join(
-                        str(int(r[my * 8, mx * 8]))
-                        for my in range(h // 8)
-                        for mx in range(w // 8)
-                    )
+            for doc_ids, w, h, r, g, b in decoded_groups(pdf):
+                n = len(doc_ids)
+                corners = (
+                    r[:, : (h // 8) * 8 : 8, : (w // 8) * 8 : 8]
+                    .astype(np.int64)
+                    .reshape(n, -1)
+                )
+                out["doc_id"].extend(int(d) for d in doc_ids)
+                out["width"].extend([w] * n)
+                out["height"].extend([h] * n)
+                out["sum_r"].extend(r.sum(axis=(1, 2)).astype(np.int64).tolist())
+                out["sum_g"].extend(g.sum(axis=(1, 2)).astype(np.int64).tolist())
+                out["sum_b"].extend(b.sum(axis=(1, 2)).astype(np.int64).tolist())
+                out["top_left_y"].extend(r[:, 0, 0].astype(np.int64).tolist())
+                out["dc_path"].extend(
+                    "-".join(map(str, row)) for row in corners.tolist()
                 )
             yield pd.DataFrame(
                 {
