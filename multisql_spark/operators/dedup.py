@@ -364,26 +364,51 @@ def doc_features(
     3 explode→agg pipelines into 1 (guide §2.4: remove shuffles outright;
     §1.2: don't compute things twice).  Output values are bit-identical
     to the separate operators (test-pinned)."""
+    # Simhash votes as BIT ARITHMETIC, not 32 substring/IN CASEs: the
+    # hex digit j of md5(tok) has its high bit set iff the digit is in
+    # 8..f, so packing each 8-hex-digit group into a long via conv()
+    # turns every vote into sum((group >> shift) & 1).  The CASE form
+    # made the 44-aggregate update method exceed the JIT/codegen method
+    # limit and fall back to interpreted evaluation (~100x slower,
+    # measured 26 s CPU for 116k tokens in the verdict's broadcast
+    # builds); the bit form keeps the generated update method small.
+    # vote_j >= 0  ⟺  2·cnt1_j >= n  (cnt1 +1s, n-cnt1 −1s) — values
+    # identical to :func:`simhash` (test-pinned).
     toks = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     ).select(
         F.col(id_col),
-        F.md5("tok").alias("h"),
+        *[
+            F.conv(F.substring(F.md5("tok"), 8 * g + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"b_{g}")
+            for g in range(4)
+        ],
         *[
             F.md5(F.concat(F.col("tok"), F.lit(f"#{i}"))).alias(f"m_{i}")
             for i in range(1, k + 1)
         ],
     )
-    hexhi = ("8", "9", "a", "b", "c", "d", "e", "f")
-    aggs = [F.min(f"m_{i}").alias(f"sig_{i}") for i in range(1, k + 1)] + [
-        F.sum(
-            F.when(F.substring("h", j, 1).isin(*hexhi), 1).otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(1, 33)
-    ]
+    aggs = (
+        [F.min(f"m_{i}").alias(f"sig_{i}") for i in range(1, k + 1)]
+        + [F.count(F.lit(1)).alias("n_tok")]
+        + [
+            # hex digit j lives in group g = (j-1)//8 at nibble shift
+            # (8 - 1 - (j-1)%8)*4; +3 selects the nibble's high bit
+            F.sum(
+                F.shiftright(
+                    F.col(f"b_{(j - 1) // 8}"),
+                    (7 - (j - 1) % 8) * 4 + 3,
+                ).bitwiseAND(F.lit(1))
+            ).alias(f"c_{j}")
+            for j in range(1, 33)
+        ]
+    )
     votes = toks.groupBy(id_col).agg(*aggs)
     simhash_bits = sum(
-        F.when(F.col(f"v_{j}") >= 0, F.lit(2 ** (j - 1))).otherwise(F.lit(0))
+        F.when(
+            F.col(f"c_{j}") * 2 >= F.col("n_tok"), F.lit(2 ** (j - 1))
+        ).otherwise(F.lit(0))
         for j in range(1, 33)
     )
     return votes.select(
@@ -925,10 +950,11 @@ def duplicated_spans(
     keys put ~1 GB of variable-width map state in each partial-agg
     task at derived sf1000 and OOM'd the heap before the spill
     threshold tripped; a fixed-width long key shrinks the state ~10x
-    and keeps the hash map in UnsafeRow fast paths.  A 60-bit
-    collision needs ~2^30 distinct windows to reach even 1%% odds and
-    would only mark one extra window duplicated; the DuckDB oracle
-    mirrors the same prefix so both sides agree exactly.  Unlike
+    and keeps the hash map in UnsafeRow fast paths.  60-bit collision
+    odds (birthday bound n²/2^61): ~0.1-0.2 expected colliding pairs
+    at the ~600M windows of derived sf1000, and each collision marks
+    at most one extra window duplicated; the DuckDB oracle mirrors
+    the same prefix so both sides agree exactly.  Unlike
     ``ngram_jaccard`` (which joins doc PAIRS through each shingle and
     therefore needs a stop-shingle frequency prune), the rejoin here
     matches each window row to at most ONE ``dup_h`` row — a
