@@ -1527,7 +1527,11 @@ def monitor_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_adj").alias("ma_b"),
         F.col("var_adj").alias("va_b"),
     )
-    return a.crossJoin(b).select(
+    # r11: both sides are single rows by construction; pinning the join
+    # broadcast keeps the plan a BroadcastNestedLoopJoin instead of a
+    # CartesianProduct at every parallelism (audit cleanliness — the
+    # data volume is identical).
+    return a.crossJoin(F.broadcast(b)).select(
         F.col("n_a").cast("long"),
         F.col("n_b").cast("long"),
         F.round(F.col("th"), 6).alias("theta"),
@@ -4673,22 +4677,33 @@ def events_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bit == 0, 1).otherwise(0)).alias(f"n_{i}")
         )
     wide = h.agg(*aggs)
-    reps = None
-    for i in range(16):
-        row = wide.select(
-            F.lit(i).alias("rep"),
-            # try_divide: a resample that drew no rows (tiny inputs)
-            # yields a NULL replicate mean, like the oracle's NULL on /0
-            F.floor(
-                F.try_divide(
-                    F.col(f"s_{i}") * 1000000.0, F.col(f"n_{i}")
-                )
-                + 0.5
+    # r11: unpivot the 1-row wide aggregate with ONE explode instead of
+    # the former 16-way self-union, which re-instantiated the whole
+    # scan+aggregate subtree per replicate (plan: 16 parquet scans + 16
+    # single-partition exchanges → 1 of each; guide §2.4).  try_divide:
+    # a resample that drew no rows (tiny inputs) yields a NULL replicate
+    # mean, like the oracle's NULL on /0.
+    reps = wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("rep"),
+                        F.floor(
+                            F.try_divide(
+                                F.col(f"s_{i}") * 1000000.0,
+                                F.col(f"n_{i}"),
+                            )
+                            + 0.5
+                        )
+                        .cast("long")
+                        .alias("mq"),
+                    )
+                    for i in range(16)
+                ]
             )
-            .cast("long")
-            .alias("mq"),
         )
-        reps = row if reps is None else reps.unionByName(row)
+    )
     dec = "decimal(38,0)"
     return reps.agg(
         F.count(F.lit(1)).alias("n_replicates"),
@@ -6021,9 +6036,16 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = part_orders.toDF("part_a", "n_a")
     pb = part_orders.toDF("part_b", "n_b")
+    # r11 (VERDICT r10 What's-wrong #1): the per-part marginals grow
+    # linearly with the corpus — a FORCED broadcast of that side would
+    # hit Spark's 8 GiB broadcast hard-limit at 100×.  No hint: AQE
+    # picks broadcast when the side is actually small (it is at every
+    # test SF) and falls back to a shuffled join when it is not.  The
+    # 1-row n_all broadcast stays pinned (it is a scalar by
+    # construction).
     return (
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
         .join(F.broadcast(n_all))
         .select(
             "part_a",
