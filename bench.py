@@ -63,6 +63,10 @@ def build_session() -> SparkSession:
             "spark.executorEnv.PYTHONPATH",
             os.path.dirname(os.path.abspath(__file__)),
         )
+        # one BLAS thread per python worker — 32 workers already cover
+        # the cores; per-worker OpenBLAS pools only thrash
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     # SPARK_GRAFT_PROFILE=cluster replays the 1000-executor profile's
     # query-planning confs (AQE skew thresholds, 64 MB broadcast ceiling,

@@ -95,6 +95,12 @@ def _enable_fast_worker(spark: SparkSession) -> None:
             sc.environment["PYTHONPATH"] = (
                 f"{current}:{root}" if current else root
             )
+        # one BLAS thread per worker: tasks already use every core, so
+        # letting each of 32 workers spawn its own OpenBLAS pool only
+        # oversubscribes (guide §4.5 — heavyweight state per task);
+        # must be in the env BEFORE the worker imports numpy.
+        sc.environment.setdefault("OPENBLAS_NUM_THREADS", "1")
+        sc.environment.setdefault("OMP_NUM_THREADS", "1")
     except Exception:
         pass
 
