@@ -1393,61 +1393,92 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
-    pdot = F.aggregate(
-        F.zip_with(F.col("v1"), F.col("v2"), lambda a, b: a * b),
+    # r11 (guide §2.4/§3.3): the former driver-side greedy loop built
+    # `selected` by unioning a `pick` that re-referenced rel + sims +
+    # the previous `selected` each step — lineage grew geometrically
+    # (441 Exchanges / 402 parquet scans in the physical plan) and the
+    # plan itself became the scale wall past sf100.  The shortlist is
+    # ≤20 candidates per query by construction, so the whole 5-step
+    # selection fits in ONE row per query: collect each shortlist,
+    # precompute the ≤20×20 integer sims matrix with nested transforms,
+    # and run the greedy argmax inside a single aggregate() expression.
+    # Selection math is unchanged and all-integer: step 1 maximizes
+    # 7·r (same argmax and cand_id tie-break as ordering by r), later
+    # steps 7·r − 3·max_{d∈selected} sim(c, d); ties break on the
+    # lowest cand_id because cs is sorted by cand_id and the argmax
+    # uses a strict >.  Physical plan: 2 scans / 3 exchanges, no
+    # per-step re-instantiation.
+    grouped = rel.groupBy("q_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("cand_id", "r", "cv"))
+        ).alias("cs")
+    )
+    dot = lambda u, v: F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    a = rel.select("q_id", F.col("cand_id").alias("c1"),
-                   F.col("cv").alias("v1"))
-    b = rel.select(F.col("q_id").alias("q2"),
-                   F.col("cand_id").alias("c2"), F.col("cv").alias("v2"))
-    sims = (
-        a.join(b, (F.col("q_id") == F.col("q2"))
-               & (F.col("c1") != F.col("c2")))
-        .select("q_id", "c1", "c2", pdot.alias("s"))
+    with_sims = grouped.select(
+        "q_id",
+        "cs",
+        F.transform(
+            F.col("cs"),
+            lambda ci: F.transform(
+                F.col("cs"), lambda cj: dot(ci["cv"], cj["cv"])
+            ),
+        ).alias("sm"),
     )
-    w1 = W.partitionBy("q_id").orderBy(F.desc("r"), F.asc("cand_id"))
-    selected = (
-        rel.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "cand_id", F.lit(1).alias("step"))
+    n = F.size(F.col("cs"))
+
+    def pick(sel):
+        # argmax over unselected shortlist indexes of
+        # 7·r − 3·maxsim(·, sel); first (lowest cand_id) wins ties
+        def score(i):
+            r_i = F.element_at(F.col("cs"), i + 1)["r"]
+            maxsim = F.when(
+                F.size(sel) == 0, F.lit(0).cast("long")
+            ).otherwise(
+                F.array_max(
+                    F.transform(
+                        sel,
+                        lambda j: F.element_at(
+                            F.element_at(F.col("sm"), i + 1), j + 1
+                        ),
+                    )
+                )
+            )
+            return 7 * r_i - 3 * maxsim
+
+        return F.aggregate(
+            F.filter(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: ~F.array_contains(sel, i),
+            ),
+            F.struct(
+                F.lit(-1).alias("bi"), F.lit(None).cast("long").alias("bs")
+            ),
+            lambda st, i: F.when(
+                st["bs"].isNull() | (score(i) > st["bs"]),
+                F.struct(i.alias("bi"), score(i).alias("bs")),
+            ).otherwise(st),
+        )["bi"]
+
+    sel_idx = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(5), n)),
+        F.array().cast("array<int>"),
+        lambda acc, _k: F.array_append(acc, pick(acc)),
     )
-    for k in range(2, 6):
-        ms = (
-            sims.join(
-                selected.select(
-                    F.col("q_id").alias("qd"), F.col("cand_id").alias("c2d")
-                ),
-                (sims.q_id == F.col("qd")) & (sims.c2 == F.col("c2d")),
-            )
-            .groupBy(sims.q_id.alias("mq"), sims.c1.alias("mc"))
-            .agg(F.max("s").alias("maxsim"))
+    return (
+        with_sims.select(
+            "q_id", "cs", F.posexplode(sel_idx).alias("pos", "idx")
         )
-        wk = W.partitionBy("q_id").orderBy(
-            F.desc(7 * F.col("r") - 3 * F.col("maxsim")), F.asc("cand_id")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            (F.col("pos") + 1).cast("long").alias("step"),
+            F.element_at(F.col("cs"), F.col("idx") + 1)["cand_id"]
+            .cast("long")
+            .alias("cand_id"),
         )
-        pick = (
-            rel.join(
-                selected.select("q_id", "cand_id"),
-                ["q_id", "cand_id"],
-                "left_anti",
-            )
-            .join(
-                ms,
-                (F.col("q_id") == F.col("mq"))
-                & (F.col("cand_id") == F.col("mc")),
-            )
-            .drop("mq", "mc")
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") == 1)
-            .select("q_id", "cand_id", F.lit(k).alias("step"))
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
-        F.col("q_id").cast("long").alias("q_id"),
-        F.col("step").cast("long").alias("step"),
-        F.col("cand_id").cast("long").alias("cand_id"),
     )
 
 

@@ -26,6 +26,10 @@ EXTRA_QUERIES = [
     "dedup_minhash_lsh",
     "mm_jpeg_decode_ac",
     "text_bpe_pair_stats",
+    "sim_mmr_diversified_topk",
+    "events_bootstrap_se",
+    "monitor_ab_cuped",
+    "dedup_graph_triangles",
 ]
 
 
