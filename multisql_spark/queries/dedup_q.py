@@ -1130,44 +1130,64 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_sim") >= 0.5)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    und = e.select(F.col("a").alias("u")).unionAll(
-        e.select(F.col("b").alias("u"))
-    )
+    # r11 (guide §2.1/§3): the former shape re-instantiated the whole
+    # minhash→LSH lineage once per reference (und 2×, ke 5×, scalar
+    # count branches…), compiling to a 2204-node plan with 280 parquet
+    # scans and 281 Exchanges that only finished at scale thanks to
+    # AQE runtime stage reuse.  Three structural changes, results
+    # identical (edges are DISTINCT with a<b by the operator contract):
+    #   1. endpoint multisets come from ONE reference via
+    #      explode(array(a,b)) instead of a unionAll of two projections;
+    #   2. node/edge/hub scalars all derive from a single degree pass
+    #      (count(e) == sum(d)/2 exactly), and capped-edge/wedge scalars
+    #      from a single kdeg pass — no per-scalar re-aggregation of e;
+    #   3. triangles count via the forward-adjacency intersection: for
+    #      ordered edges, Σ_(a,b)∈ke |N⁺(a) ∩ N⁺(b)| counts each
+    #      triangle x<y<z exactly once (at edge (x,y)) — same count as
+    #      the e1⋈e2⋈e3 enumeration, but shuffling ≤64-long adjacency
+    #      arrays against a node-sized table instead of a 3-way
+    #      edge-table self-join.
+    und = e.select(F.explode(F.array("a", "b")).alias("u"))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("d") > 64, 1).otherwise(0)).alias(
+            "n_hubs_excluded"
+        ),
+    )
     hubs = deg.filter(F.col("d") > 64).select("u")
     ke = (
         e.join(hubs.withColumnRenamed("u", "a"), "a", "left_anti")
         .join(hubs.withColumnRenamed("u", "b"), "b", "left_anti")
         .select("a", "b")
     )
-    kund = ke.select(F.col("a").alias("u")).unionAll(
-        ke.select(F.col("b").alias("u"))
-    )
+    kund = ke.select(F.explode(F.array("a", "b")).alias("u"))
     kdeg = kund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    e1 = ke.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = ke.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    e3 = ke.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    kstats = kdeg.agg(
+        (F.sum("d") / 2).cast("long").alias("n_edges_capped"),
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    fadj = ke.groupBy("a").agg(F.collect_list("b").alias("nb"))
     tri = (
-        e1.join(e2, e1.y == e2.y2)
-        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    counts = (
-        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-        .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .join(hubs.agg(F.count(F.lit(1)).alias("n_hubs_excluded")))
-        .join(ke.agg(F.count(F.lit(1)).alias("n_edges_capped")))
-        .join(
-            kdeg.agg(
-                F.coalesce(
-                    F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0)
-                )
-                .cast("long")
-                .alias("n_wedges")
-            )
+        fadj.select(
+            F.col("nb").alias("nx"), F.explode("nb").alias("y")
         )
-        .join(tri)
+        .join(
+            fadj.select(F.col("a").alias("y"), F.col("nb").alias("ny")),
+            "y",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nx", "ny"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
+    counts = gstats.join(kstats).join(tri)
     return counts.select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.col("n_edges").cast("long").alias("n_edges"),
