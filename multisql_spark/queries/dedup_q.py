@@ -632,9 +632,15 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, K + 1)
     )
     est_sim = F.round(agree / F.lit(float(K)), 4)
+    # r11 (guide §1.2/§4.2): |A∪B| = |A|+|B|−|A∩B| for the distinct
+    # token arrays, so the union array never needs materializing —
+    # array_union was ~40% of the per-pair CPU in the verdict's final
+    # stage (measured 0.49 s → 0.28 s warm at sf0.1); F.size on an
+    # array column is O(1).  Same integers, same division, same round.
+    isect = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = F.round(
-        F.size(F.array_intersect("ts_a", "ts_b"))
-        / F.size(F.array_union("ts_a", "ts_b")).cast("double"),
+        isect
+        / (F.size("ts_a") + F.size("ts_b") - isect).cast("double"),
         4,
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
