@@ -121,34 +121,45 @@ def window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization: 30-minute inactivity closes a session.
 
-    The canonical lag → new-session flag → running-sum session index
-    pattern (the batch twin of ``stream_session``'s session window).
-    Both window passes and the final groupBy share the ``user_id``
-    hash partitioning, so Catalyst plans ONE exchange; at 100 TB the
-    per-user event history sorts locally inside its partition."""
+    r11 (guide §2.2): native ``session_window`` replaces the lag →
+    new-flag → running-sum pattern.  MergingSessionsExec aggregates
+    WHILE merging sessions, so each user's history is traversed once
+    — versus TWO full window passes over every event before the old
+    aggregate.  The per-user session ordinal comes from one window
+    over the already-aggregated session rows (~2% of the events).
+    Boundary parity is exact: Spark merges a session whose end
+    (last + gap) touches the next event INCLUSIVELY, so an 1800 s
+    gap merges — identical to the old strict ``gap > 1800`` split
+    (verified on synthetic 1799/1800/1801 gaps and by the oracle at
+    all three SFs; tools/ab_sessionize.py keeps the A/B harness).
+    The gap is measured on the same floored unix seconds as before."""
     t = load_tables(spark, sf_dir, ["events"])
     ts = F.unix_timestamp("ts").cast("long")
-    seq = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
     # only the three columns the session math needs cross the exchange
     e = t["events"].select("user_id", "event_id", ts.alias("ts_sec"))
-    gap = F.col("ts_sec") - F.lag("ts_sec").over(seq)
-    e = e.withColumn(
-        "is_new",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
-    )
-    e = e.withColumn(
-        "session_idx",
-        F.sum("is_new").over(seq.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    return e.groupBy(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("session_idx").cast("int").alias("session_idx"),
+    sess = e.groupBy(
+        "user_id",
+        F.session_window(
+            F.timestamp_seconds(F.col("ts_sec")), "1800 seconds"
+        ).alias("sw"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_sec") - F.min("ts_sec")).cast("long").alias(
             "duration_sec"
         ),
         F.min("event_id").alias("first_event_id"),
+        F.min("ts_sec").alias("t0"),
+    )
+    # sessions of one user are disjoint in time, so t0 is strictly
+    # increasing within a user — row_number reproduces the running-sum
+    # session index exactly
+    idx = W.partitionBy("user_id").orderBy("t0", "first_event_id")
+    return sess.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(idx).cast("int").alias("session_idx"),
+        "n_events",
+        "duration_sec",
+        "first_event_id",
     )
 
 
