@@ -570,13 +570,10 @@ def decode_png(blob: bytes) -> tuple[int, int, list[int], list[list[int]]]:
     return width, height, filters, pixels
 
 
-def attach_png_blobs(docs: DataFrame) -> DataFrame:
-    """Synthesize REAL 4x2 RGB8 PNG assets from documents: the pixel
-    payload is the 24 md5-chain bytes top-down RGB, and each scanline's
-    filter type is ``data[12*r] % 5`` — deterministic, SQL-derivable,
-    and uniform over all five filters across a corpus.  Encoding
-    (filtering + DEFLATE + CRC) runs in an Arrow-batched ``mapInPandas``
-    stage with a self-contained worker."""
+def _png_attach_run():
+    """Build the self-contained synth kernel for :func:`attach_png_blobs`
+    (r11: factored out so the fused decode path can compose it with the
+    stats kernel inside ONE Python stage — guide §4.1)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -633,22 +630,31 @@ def attach_png_blobs(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
+    return run
+
+
+def attach_png_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL 4x2 RGB8 PNG assets from documents: the pixel
+    payload is the 24 md5-chain bytes top-down RGB, and each scanline's
+    filter type is ``data[12*r] % 5`` — deterministic, SQL-derivable,
+    and uniform over all five filters across a corpus.  Encoding
+    (filtering + DEFLATE + CRC) runs in an Arrow-batched ``mapInPandas``
+    stage with a self-contained worker."""
     return spread(docs.select(F.col("doc_id").cast("long"), "text")).mapInPandas(
-        run, "doc_id long, blob binary"
+        _png_attach_run(), "doc_id long, blob binary"
     )
 
 
-def png_pixel_stats(mm_png: DataFrame) -> DataFrame:
-    """True per-asset pixel statistics from a REAL decode of each PNG
-    blob (stdlib ``zlib`` + ``struct`` in an Arrow-batched
-    ``mapInPandas`` stage): dimensions FROM THE HEADER, per-channel
-    sums, the top-left pixel, and the per-scanline filter signature
-    READ FROM THE COMPRESSED STREAM — reproducing the pixel sums
-    requires a correct inflate AND a correct unfilter of whichever of
-    the five filter types each row used (Paeth included).
+_PNG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, sum_r long, sum_g long, "
+    "sum_b long, filters_used string, top_left_rgb string"
+)
 
-    Scale shape: codec in the scan stage before any exchange; six ints
-    and two short strings per asset move, blobs never shuffle."""
+
+def _png_stats_run():
+    """Build the self-contained decode kernel for
+    :func:`png_pixel_stats` (r11: factored out for the fused path —
+    guide §4.1)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -740,11 +746,36 @@ def png_pixel_stats(mm_png: DataFrame) -> DataFrame:
                 }
             )
 
-    schema = (
-        "doc_id long, width long, height long, sum_r long, sum_g long, "
-        "sum_b long, filters_used string, top_left_rgb string"
+    return run
+
+
+def png_pixel_stats(mm_png: DataFrame) -> DataFrame:
+    """True per-asset pixel statistics from a REAL decode of each PNG
+    blob (stdlib ``zlib`` + ``struct`` in an Arrow-batched
+    ``mapInPandas`` stage): dimensions FROM THE HEADER, per-channel
+    sums, the top-left pixel, and the per-scanline filter signature
+    READ FROM THE COMPRESSED STREAM — reproducing the pixel sums
+    requires a correct inflate AND a correct unfilter of whichever of
+    the five filter types each row used (Paeth included).
+
+    Scale shape: codec in the scan stage before any exchange; six ints
+    and two short strings per asset move, blobs never shuffle."""
+    return mm_png.select("doc_id", "blob").mapInPandas(
+        _png_stats_run(), _PNG_STATS_SCHEMA
     )
-    return mm_png.select("doc_id", "blob").mapInPandas(run, schema)
+
+
+def png_decode_stats(docs: DataFrame) -> DataFrame:
+    """Fused PNG synth + decode in ONE Arrow/`mapInPandas` stage (r11,
+    guide §4.1): blobs are produced and consumed inside the same Python
+    worker and never cross the JVM↔Python boundary.  Composes the exact
+    kernels :func:`attach_png_blobs` / :func:`png_pixel_stats` run."""
+    attach, decode = _png_attach_run(), _png_stats_run()
+    return spread(
+        docs.select(F.col("doc_id").cast("long"), "text")
+    ).mapInPandas(
+        lambda batches: decode(attach(batches)), _PNG_STATS_SCHEMA
+    )
 
 
 # ------------------------------------------------------------------ GIF codec
@@ -1263,11 +1294,9 @@ def parse_avi(blob: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return us_per_frame, total, entries
 
 
-def attach_avi_blobs(docs: DataFrame) -> DataFrame:
-    """Synthesize REAL RIFF/AVI assets from documents: 8 frames of 4
-    bytes each — the 32 md5-chain bytes — with per-asset frame timing
-    ``(n_chars % 4 + 1) * 10000`` µs/frame, built by an Arrow-batched
-    ``mapInPandas`` stage with a self-contained worker."""
+def _avi_attach_run():
+    """Build the self-contained synth kernel for :func:`attach_avi_blobs`
+    (r11: factored out for the fused path — guide §4.1)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1312,24 +1341,31 @@ def attach_avi_blobs(docs: DataFrame) -> DataFrame:
                 blobs.append(b"RIFF" + _struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
+    return run
+
+
+def attach_avi_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/AVI assets from documents: 8 frames of 4
+    bytes each — the 32 md5-chain bytes — with per-asset frame timing
+    ``(n_chars % 4 + 1) * 10000`` µs/frame, built by an Arrow-batched
+    ``mapInPandas`` stage with a self-contained worker."""
     return spread(
         docs.select(
             F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
         )
-    ).mapInPandas(run, "doc_id long, blob binary")
+    ).mapInPandas(_avi_attach_run(), "doc_id long, blob binary")
 
 
-def avi_frame_plan(mm_avi: DataFrame, stride: int = 3) -> DataFrame:
-    """Frame-sampling plan from a REAL parse of each AVI's `idx1` index
-    (stdlib ``struct`` in an Arrow-batched ``mapInPandas`` stage): every
-    ``stride``-th frame's absolute byte range — resolved against the
-    `movi` position the chunk walk actually found — its timestamp from
-    the `avih` frame timing, and the payload byte-sum READ AT THE
-    PLANNED OFFSET, which is only right if the index walk was.
+_AVI_PLAN_SCHEMA = (
+    "doc_id long, frame_id long, ts_us long, byte_off long, "
+    "byte_len long, payload_sum long"
+)
 
-    Scale shape: the plan never decodes codec payloads and never
-    shuffles blob bytes — one row per sampled frame carrying offsets +
-    ints; a fetch stage later reads exactly its byte range."""
+
+def _avi_plan_run(stride: int = 3):
+    """Build the self-contained index-walk kernel for
+    :func:`avi_frame_plan` (r11: factored out for the fused path —
+    guide §4.1)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -1392,11 +1428,39 @@ def avi_frame_plan(mm_avi: DataFrame, stride: int = 3) -> DataFrame:
                 }
             )
 
-    schema = (
-        "doc_id long, frame_id long, ts_us long, byte_off long, "
-        "byte_len long, payload_sum long"
+    return run
+
+
+def avi_frame_plan(mm_avi: DataFrame, stride: int = 3) -> DataFrame:
+    """Frame-sampling plan from a REAL parse of each AVI's `idx1` index
+    (stdlib ``struct`` in an Arrow-batched ``mapInPandas`` stage): every
+    ``stride``-th frame's absolute byte range — resolved against the
+    `movi` position the chunk walk actually found — its timestamp from
+    the `avih` frame timing, and the payload byte-sum READ AT THE
+    PLANNED OFFSET, which is only right if the index walk was.
+
+    Scale shape: the plan never decodes codec payloads and never
+    shuffles blob bytes — one row per sampled frame carrying offsets +
+    ints; a fetch stage later reads exactly its byte range."""
+    return mm_avi.select("doc_id", "blob").mapInPandas(
+        _avi_plan_run(stride), _AVI_PLAN_SCHEMA
     )
-    return mm_avi.select("doc_id", "blob").mapInPandas(run, schema)
+
+
+def avi_frame_plan_fused(docs: DataFrame, stride: int = 3) -> DataFrame:
+    """Fused AVI synth + index walk in ONE Arrow/`mapInPandas` stage
+    (r11, guide §4.1): container bytes are produced and consumed inside
+    the same Python worker and never cross the JVM↔Python boundary.
+    Composes the exact kernels :func:`attach_avi_blobs` /
+    :func:`avi_frame_plan` run."""
+    attach, plan = _avi_attach_run(), _avi_plan_run(stride)
+    return spread(
+        docs.select(
+            F.col("doc_id").cast("long"), "text", F.col("n_chars").cast("int")
+        )
+    ).mapInPandas(
+        lambda batches: plan(attach(batches)), _AVI_PLAN_SCHEMA
+    )
 
 
 # ------------------------------------------------------------------ JPEG codec
@@ -1829,14 +1893,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, list]:
     return w, h, len(cids), pixels
 
 
-def attach_jpeg_blobs(docs: DataFrame) -> DataFrame:
-    """Synthesize REAL baseline JPEG assets from documents: 16x16 px,
-    3 components 4:4:4, four DC-only MCUs whose Y levels are the first
-    four md5(text) bytes — real Huffman entropy coding, DC differential
-    prediction, byte stuffing.  The constant header (DQT/SOF0/DHT/SOS)
-    is built once on the driver; the Arrow-batched ``mapInPandas``
-    worker is self-contained (executors never import this package) and
-    only writes each asset's entropy stream."""
+def _jpeg_attach_run():
+    """Build the self-contained synth kernel for :func:`attach_jpeg_blobs`
+    (r11: factored out so the fused decode path can compose it with the
+    stats kernel inside ONE Python stage — guide §4.1)."""
     header = _jpeg_header(JPEG_W, JPEG_H)
     dc_codes = _jpeg_huff_codes(_JDC_BITS, _JDC_VALS)
     ac_eob = _jpeg_huff_codes(_JAC_BITS, _JAC_VALS)[0x00]
@@ -1885,22 +1945,25 @@ def attach_jpeg_blobs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )
 
+    return run
+
+
+def attach_jpeg_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline JPEG assets from documents: 16x16 px,
+    3 components 4:4:4, four DC-only MCUs whose Y levels are the first
+    four md5(text) bytes — real Huffman entropy coding, DC differential
+    prediction, byte stuffing.  The constant header (DQT/SOF0/DHT/SOS)
+    is built once on the driver; the Arrow-batched ``mapInPandas``
+    worker is self-contained (executors never import this package) and
+    only writes each asset's entropy stream."""
     return spread(docs.select("doc_id", "text")).mapInPandas(
-        run, "doc_id long, blob binary"
+        _jpeg_attach_run(), "doc_id long, blob binary"
     )
 
 
-def attach_jpeg_ac_blobs(docs: DataFrame) -> DataFrame:
-    """Synthesize AC-exercising baseline JPEGs (VERDICT r9 ask #5):
-    like :func:`attach_jpeg_blobs` but MCU m also carries one signed AC
-    coefficient at zigzag 39 (raster (4,4)) — magnitude
-    ``min(d[4+m] % 16, d[m], 255 - d[m])`` (clip-safe, size ≤ 4) and
-    sign from ``d[4+m]``'s high bit, where d = md5(text) bytes.  The
-    (4,4) IDCT basis is exactly ±1/8, so with Q[39]=8 every pixel
-    decodes to the exact integer ``d[m] ± ac`` — nonzero AC
-    coefficients with a pure-SQL oracle.  The entropy stream exercises
-    ZRL runs, AC magnitude/sign extension, de-zigzag, and the full
-    IDCT, not just the DC predictor."""
+def _jpeg_ac_attach_run():
+    """Synth kernel factory for :func:`attach_jpeg_ac_blobs` (r11: see
+    :func:`_jpeg_attach_run`)."""
     header = _jpeg_header(JPEG_W, JPEG_H, ac_rich=True)
     dc_codes = _jpeg_huff_codes(_JDC_BITS, _JDC_VALS)
     ac_codes = _jpeg_huff_codes(_JAC_BITS_AC, _JAC_VALS_AC)
@@ -1956,23 +2019,39 @@ def attach_jpeg_ac_blobs(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )
 
+    return run
+
+
+def attach_jpeg_ac_blobs(docs: DataFrame) -> DataFrame:
+    """Synthesize AC-exercising baseline JPEGs (VERDICT r9 ask #5):
+    like :func:`attach_jpeg_blobs` but MCU m also carries one signed AC
+    coefficient at zigzag 39 (raster (4,4)) — magnitude
+    ``min(d[4+m] % 16, d[m], 255 - d[m])`` (clip-safe, size ≤ 4) and
+    sign from ``d[4+m]``'s high bit, where d = md5(text) bytes.  The
+    (4,4) IDCT basis is exactly ±1/8, so with Q[39]=8 every pixel
+    decodes to the exact integer ``d[m] ± ac`` — nonzero AC
+    coefficients with a pure-SQL oracle.  The entropy stream exercises
+    ZRL runs, AC magnitude/sign extension, de-zigzag, and the full
+    IDCT, not just the DC predictor."""
     return spread(docs.select("doc_id", "text")).mapInPandas(
-        run, "doc_id long, blob binary"
+        _jpeg_ac_attach_run(), "doc_id long, blob binary"
     )
 
 
-def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
-    """REAL baseline JPEG decode in the scan stage: per asset, marker
-    walk + DHT Huffman entropy decode + dequant + de-zigzag + IDCT
-    (numpy basis matmul — same arithmetic as :func:`_jpeg_idct_block`)
-    + YCbCr→RGB, then per-channel sums, the top-left Y, and the four
-    MCU corner values (the DC path signature).  Only eight fixed-width
-    values per asset cross any exchange; blobs never shuffle.
+def _jpeg_stats_schema(stats: str) -> str:
+    return (
+        "doc_id long, width long, height long, sum_y long, "
+        "top_left_y long, ac_energy long, corner_path string"
+        if stats == "ac"
+        else "doc_id long, width long, height long, sum_r long, "
+        "sum_g long, sum_b long, top_left_y long, dc_path string"
+    )
 
-    ``stats="ac"`` (r10) emits the AC-corpus signature instead: channel
-    sum, top-left Y, per-MCU mean-deviation energy Σ|px − mean| (= 64·|ac|
-    for the (4,4)-coefficient corpus), and the per-MCU corner values —
-    which pin the decoded AC magnitude AND sign per MCU."""
+
+def _jpeg_stats_run(stats: str = "dc"):
+    """Build the self-contained decode kernel for
+    :func:`jpeg_pixel_stats` (r11: factored out so the fused path can
+    compose synth + decode in ONE Python stage — guide §4.1)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -2343,14 +2422,42 @@ def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
                 }
             )
 
-    schema = (
-        "doc_id long, width long, height long, sum_y long, "
-        "top_left_y long, ac_energy long, corner_path string"
-        if stats == "ac"
-        else "doc_id long, width long, height long, sum_r long, "
-        "sum_g long, sum_b long, top_left_y long, dc_path string"
+    return run
+
+
+def jpeg_pixel_stats(mm_jpeg: DataFrame, stats: str = "dc") -> DataFrame:
+    """REAL baseline JPEG decode in the scan stage: per asset, marker
+    walk + DHT Huffman entropy decode + dequant + de-zigzag + IDCT
+    (numpy basis matmul — same arithmetic as :func:`_jpeg_idct_block`)
+    + YCbCr→RGB, then per-channel sums, the top-left Y, and the four
+    MCU corner values (the DC path signature).  Only eight fixed-width
+    values per asset cross any exchange; blobs never shuffle.
+
+    ``stats="ac"`` (r10) emits the AC-corpus signature instead: channel
+    sum, top-left Y, per-MCU mean-deviation energy Σ|px − mean| (= 64·|ac|
+    for the (4,4)-coefficient corpus), and the per-MCU corner values —
+    which pin the decoded AC magnitude AND sign per MCU."""
+    return mm_jpeg.select("doc_id", "blob").mapInPandas(
+        _jpeg_stats_run(stats), _jpeg_stats_schema(stats)
     )
-    return mm_jpeg.select("doc_id", "blob").mapInPandas(run, schema)
+
+
+def jpeg_decode_stats(
+    docs: DataFrame, stats: str = "dc", ac_corpus: bool = False
+) -> DataFrame:
+    """Fused synth + decode in ONE Arrow/`mapInPandas` stage (r11,
+    guide §4.1): the blob bytes are produced and consumed inside the
+    same Python worker, so they never cross the JVM↔Python boundary at
+    all — the old two-stage pipeline serialized every blob out of the
+    synth worker and back into the decode worker.  Kernels are the
+    exact generators the unfused :func:`attach_jpeg_blobs` /
+    :func:`jpeg_pixel_stats` run, composed; math is bit-identical.
+    Measured at sf0.1/local[32]: 0.140 s → ~0.085 s warm noop."""
+    attach = _jpeg_ac_attach_run() if ac_corpus else _jpeg_attach_run()
+    decode = _jpeg_stats_run(stats)
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        lambda batches: decode(attach(batches)), _jpeg_stats_schema(stats)
+    )
 
 
 def decode_image(blob: bytes, fake: bool = False) -> list[float]:

@@ -395,7 +395,10 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: codec in the scan stage; six ints + two short strings
     per asset cross any exchange; blobs never shuffle."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.png_pixel_stats(mm.attach_png_blobs(t["documents"]))
+    # r11: fused synth+decode — one Python stage, blobs never cross
+    # the JVM boundary (guide §4.1); kernels identical to the unfused
+    # attach_png_blobs → png_pixel_stats pipeline
+    return mm.png_decode_stats(t["documents"])
 
 
 @register(
@@ -500,7 +503,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: codec in the scan stage; six ints + two small values
     per asset cross any exchange; blobs never shuffle."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.jpeg_pixel_stats(mm.attach_jpeg_blobs(t["documents"]))
+    # r11: fused synth+decode — one Python stage, blobs never cross
+    # the JVM boundary (guide §4.1)
+    return mm.jpeg_decode_stats(t["documents"])
 
 
 @register(
@@ -563,9 +568,8 @@ def mm_jpeg_decode_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     six fixed-width values per asset cross the exchange, blobs never
     shuffle."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.jpeg_pixel_stats(
-        mm.attach_jpeg_ac_blobs(t["documents"]), stats="ac"
-    )
+    # r11: fused synth+decode — one Python stage (guide §4.1)
+    return mm.jpeg_decode_stats(t["documents"], stats="ac", ac_corpus=True)
 
 
 @register(
@@ -618,7 +622,9 @@ def mm_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs never shuffle; the fetch stage later reads exactly the planned
     byte range (the seek-based sampling every video pipeline runs)."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return mm.avi_frame_plan(mm.attach_avi_blobs(t["documents"]), stride=3)
+    # r11: fused synth+index-walk — one Python stage, container bytes
+    # never cross the JVM boundary (guide §4.1)
+    return mm.avi_frame_plan_fused(t["documents"], stride=3)
 
 
 @register(
