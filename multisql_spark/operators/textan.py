@@ -29,7 +29,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Whitespace token counts + a BPE-ish subword estimate (≈ chars/4,
-    the usual byte-pair heuristic)."""
+    the usual byte-pair heuristic).
+
+    r11 (guide §2.2): the per-row split/array_distinct work is CPU-bound,
+    so fan the narrow projection out with scale-adaptive ``spread`` —
+    a single-row-group local file otherwise pins the whole map to one
+    core (0.075 s → 0.035 s warm at sf0.1); at cluster scale the scan
+    already parallelizes and spread is a no-op."""
+    from multisql_spark.operators import spread
+
+    df = spread(df.select(id_col, "text"), key=id_col)
     toks = F.split(F.col("text"), " ")
     return df.select(
         F.col(id_col),

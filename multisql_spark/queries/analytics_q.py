@@ -824,11 +824,14 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog → SCD-type-1 snapshot: last-writer-wins per key,
     with deletes ('error' rows) tombstoning the key.
 
-    The Delta/iceberg change-data-feed apply shape built from plain
-    window algebra: one shuffle on the key, row_number over the total
-    (seq_ts, seq_id) change order, keep rn=1 unless it's a delete.
-    WindowGroupLimit turns rn=1 into a per-partition heap — only each
-    key's candidate head moves through the final stages."""
+    r11 (guide §2.3): last-writer-wins is an argmax, so one
+    ``max_by`` aggregate replaces the exchange + per-key sort + two
+    window passes.  ``(seq_ts, seq_id)`` is unique per key (event ids
+    are unique), so the struct-ordered max_by picks exactly the old
+    ``rn = 1`` row; the hash aggregate needs no sort at all, and the
+    map-side PARTIAL aggregate shrinks the shuffle to one candidate
+    row per key per input split — at 100 TB the full changelog no
+    longer crosses the wire, only per-split winners do."""
     t = load_tables(spark, sf_dir, ["events"])
     ts = F.unix_timestamp("ts").cast("long")
     log = t["events"].select(
@@ -840,18 +843,17 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         "value",
     )
-    w = W.partitionBy("k").orderBy(F.desc("seq_ts"), F.desc("seq_id"))
-    snap = (
-        log.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_changes", F.count(F.lit(1)).over(W.partitionBy("k"))
-        )
-        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
-    )
+    snap = log.groupBy("k").agg(
+        F.max_by(
+            F.struct("op", "value", "seq_ts"),
+            F.struct("seq_ts", "seq_id"),
+        ).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    ).filter(F.col("last.op") == "U")
     return snap.select(
         F.col("k").alias("user_id"),
-        F.col("value").alias("last_value"),
-        F.col("seq_ts").alias("last_ts_sec"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.seq_ts").alias("last_ts_sec"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
 
