@@ -742,56 +742,55 @@ def _pca_iter_sql(n: int) -> str:
     tags=("embeddings", "pca", "power-iteration"),
 )
 def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding cloud via MATRIX-FREE
-    power iteration: two renormalized steps of y ← Xᵀ(X·v) — the d×d
-    covariance is never materialized, each step is one narrow pass
-    computing the per-row projection s = x·v plus one 64-group
-    aggregation of x·s.
+    """Top principal direction of the embedding cloud via power
+    iteration on the Gram matrix.
 
-    Components quantize to 1e-3 integer units, the per-row projections
-    and per-dim sums are exact integer/decimal algebra (HUGEINT /
-    DECIMAL(38,0) wide products), and renormalization divides two
-    identically-derived doubles — so the fixed-point loadings are
-    bit-identical to the chained-CTE SQL replay at any parallelism.
-    At 100 TB each step shuffles only (vec_id, s) pairs and 64 partial
-    sums; more iterations or top-k components (deflation) chain the
-    same two aggregations."""
+    r11 (guide §1.3/§6.1): the r6 matrix-free form re-referenced the
+    quantized (vec_id, dim, qx) explode FOUR times (two iterations ×
+    two joins), compiling to 16 parquet scans — at 100 TB that is four
+    full passes over X.  Since y ← Xᵀ(X·v) = (XᵀX)·v and the algebra
+    is exact integers, both renormalized steps fold onto the 64×64
+    Gram matrix C = XᵀX, computed in ONE pass (a per-row nested
+    transform emits the 4 096 qx_d·qx_e products; the map-side partial
+    aggregate shrinks the shuffle to ≤4 096 sums per split).  The
+    iterations then run on C's 4 096 rows — broadcast matvecs.
+
+    Exactness: qx and vq are integer-quantized, so
+    Σ_r qx_rd·(Σ_e qx_re·vq_e) = Σ_e (Σ_r qx_rd·qx_re)·vq_e holds
+    bit-for-bit (DECIMAL(38,0) sums, same as the oracle's HUGEINT);
+    renormalization divides the same two doubles.  Loadings are
+    identical to the chained-CTE SQL replay at any parallelism
+    (driver t2 green at sf0.001/0.01/0.1)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    qx = (
-        t["embeddings"]
-        .select(
-            "vec_id",
-            F.posexplode("embedding").alias("dim", "x"),
-        )
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("x").cast("double") * 1000 + 0.5)
-            .cast("long")
-            .alias("qx"),
-        )
+    qprod = t["embeddings"].select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (xd, d) ->
+                  transform(embedding, (xe, e) -> struct(
+                    d AS d, e AS e,
+                    cast(floor(cast(xd as double) * 1000 + 0.5) as bigint)
+                    * cast(floor(cast(xe as double) * 1000 + 0.5) as bigint)
+                    AS p))))
+                """
+            )
+        ).alias("z")
+    ).select("z.d", "z.e", "z.p")
+    cov = qprod.groupBy("d", "e").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("c")
     )
-    v = qx.select("dim").distinct().select(
+    v = cov.select(F.col("d").alias("dim")).distinct().select(
         "dim", F.lit(1000).cast("long").alias("vq")
     )
     for _ in range(2):
-        s = (
-            qx.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("qx") * F.col("vq")).alias("s"))
-        )
         y = (
-            qx.join(s, "vec_id")
-            .groupBy("dim")
-            .agg(
-                F.sum(
-                    F.col("qx").cast("decimal(38,0)") * F.col("s")
-                ).alias("y")
-            )
+            cov.join(F.broadcast(v), cov.e == F.col("dim"))
+            .groupBy("d")
+            .agg(F.sum(F.col("c") * F.col("vq")).alias("y"))
         )
         ymax = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
         v = y.join(F.broadcast(ymax)).select(
-            "dim",
+            F.col("d").alias("dim"),
             F.floor(
                 F.col("y").cast("double") / F.col("m").cast("double") * 1000.0
             )
@@ -799,7 +798,7 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vq"),
         )
     return v.select(
-        "dim",
+        F.col("dim").alias("dim"),
         F.col("vq").alias("loading_q"),
         F.round(F.col("vq") / 1000.0, 4).alias("loading"),
     )
