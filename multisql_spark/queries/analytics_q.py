@@ -3208,8 +3208,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_sec") + 1).alias("e"),
         )
     )
-    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
-        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    # r11 (guide §1.2/§2.4): the former union-of-two-projections
+    # instantiated the whole sessionize lineage (events scan + two
+    # window passes) once per delta sign; one inline() unpivot emits
+    # both sweep-line deltas from a single pass.
+    deltas = sess.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        )
     )
     walk = deltas.groupBy("t").agg(F.sum("d").alias("dd"))
     # two-phase exact cumsum: hour buckets → offsets → local windows
@@ -3229,14 +3238,14 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "bkt")
         .select("t", (F.col("off") + F.col("lc")).alias("c"))
     )
-    peak = conc.agg(F.max("c").alias("pc"))
-    return (
-        conc.crossJoin(F.broadcast(peak))
-        .filter(F.col("c") == F.col("pc"))
-        .agg(
-            F.max("c").cast("long").alias("peak_concurrency"),
-            F.min("t").cast("long").alias("peak_at_sec"),
-        )
+    # r11 (guide §1.2): argmax in ONE aggregate — max over the
+    # lexicographic (c, -t) struct IS (max c, min t among rows at that
+    # max), replacing the crossJoin of conc with its own max (which
+    # instantiated the whole sweep-line lineage a second time).
+    best = F.max(F.struct(F.col("c"), (-F.col("t")).alias("nt")))
+    return conc.agg(best.alias("b")).select(
+        F.col("b.c").cast("long").alias("peak_concurrency"),
+        (-F.col("b.nt")).cast("long").alias("peak_at_sec"),
     )
 
 
@@ -5130,56 +5139,50 @@ def events_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     dec = "decimal(38,0)"
-    stats = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nh"), F.sum("n").alias("sn")
-    )
+    # r11 (guide §1.2/§2.4): single-lineage rewrite. The former shape
+    # re-instantiated `hourly` (a full events scan + groupBy) eight
+    # times across stats/walk/cp/sides/a/b/final — per-type totals now
+    # come from a whole-partition window, the changepoint from a
+    # first_value window over the same exchange, and the pre/post Welch
+    # moments from ONE conditional aggregate (no a⋈b self-join, no
+    # final cp re-join).  Values are identical: nh/sn are the same
+    # per-type count/sum, the cusum and rank-1 tie-breaks are the same
+    # expressions, and the a⋈b inner join's "post side exists" gate is
+    # replicated by the nh_b >= 1 filter (nh_a >= 1 always holds — the
+    # changepoint hour itself is a 'pre' row).
+    wtype = W.partitionBy("event_type")
     wsum = (
-        W.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(W.unboundedPreceding, 0)
+        wtype.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
     )
-    walk = hourly.join(F.broadcast(stats), "event_type").withColumn(
-        "cusum_scaled",
-        F.sum(F.col("n").cast(dec) * F.col("nh") - F.col("sn")).over(
-            wsum
-        ),
-    )
-    rk = F.row_number().over(
-        W.partitionBy("event_type").orderBy(
-            F.desc(F.abs(F.col("cusum_scaled"))), F.asc("h")
-        )
-    )
-    cp = (
-        walk.withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
-        .select("event_type", F.col("h").alias("change_h"))
-    )
-    sides = (
-        hourly.join(F.broadcast(cp), "event_type")
+    walk = (
+        hourly.withColumn("nh", F.count(F.lit(1)).over(wtype))
+        .withColumn("sn", F.sum("n").over(wtype))
         .withColumn(
-            "side",
-            F.when(F.col("h") <= F.col("change_h"), "pre").otherwise(
-                "post"
+            "cusum_scaled",
+            F.sum(F.col("n").cast(dec) * F.col("nh") - F.col("sn")).over(
+                wsum
             ),
         )
-        .groupBy("event_type", "side")
-        .agg(
-            F.count(F.lit(1)).alias("nh"),
-            F.sum("n").alias("sn"),
-            F.sum(F.col("n").cast(dec) * F.col("n")).alias("snn"),
-        )
     )
-    a = sides.filter(F.col("side") == "pre").select(
-        "event_type",
-        F.col("nh").alias("nh_a"),
-        F.col("sn").alias("sn_a"),
-        F.col("snn").alias("snn_a"),
-    )
-    b = sides.filter(F.col("side") == "post").select(
-        "event_type",
-        F.col("nh").alias("nh_b"),
-        F.col("sn").alias("sn_b"),
-        F.col("snn").alias("snn_b"),
+    cpw = wtype.orderBy(F.desc(F.abs(F.col("cusum_scaled"))), F.asc("h"))
+    walk = walk.withColumn("change_h", F.first("h").over(cpw))
+    pre = F.col("h") <= F.col("change_h")
+    sides = walk.groupBy("event_type").agg(
+        F.max("change_h").alias("change_h"),
+        F.sum(F.when(pre, 1).otherwise(0)).alias("nh_a"),
+        F.sum(F.when(pre, F.col("n")).otherwise(0)).alias("sn_a"),
+        F.sum(
+            F.when(pre, F.col("n").cast(dec) * F.col("n")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("snn_a"),
+        F.sum(F.when(~pre, 1).otherwise(0)).alias("nh_b"),
+        F.sum(F.when(~pre, F.col("n")).otherwise(0)).alias("sn_b"),
+        F.sum(
+            F.when(~pre, F.col("n").cast(dec) * F.col("n")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("snn_b"),
     )
     mean_a = F.col("sn_a") / F.col("nh_a")
     mean_b = F.col("sn_b") / F.col("nh_b")
@@ -5192,8 +5195,7 @@ def events_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sn_b").cast("double") * F.col("sn_b") / F.col("nh_b")
     ) / (F.col("nh_b") - 1)
     return (
-        a.join(b, "event_type")
-        .join(F.broadcast(cp), "event_type")
+        sides.filter(F.col("nh_b") >= 1)
         .select(
             "event_type",
             F.col("change_h").cast("long").alias("change_hour"),

@@ -1273,8 +1273,15 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     ).filter(
         F.col("est_sim") >= 0.5
     )
-    und = pairs.select(F.col("doc_a").alias("u")).unionAll(
-        pairs.select(F.col("doc_b").alias("u"))
+    # r11 (guide §1.2/§2.4): endpoint multiset from ONE pairs reference
+    # via explode (the unionAll instantiated the whole LSH lineage per
+    # delta side), and the election + member count fused into one
+    # window pass over `members` — the former shape re-joined members
+    # against its own rank-1 head, re-instantiating the CC lineage.
+    # count(*) over the cluster partition is exactly the old
+    # groupBy(cluster).count of the second members reference.
+    und = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("u")
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     comp = dedup.connected_components(pairs)
@@ -1285,27 +1292,20 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     w = W.partitionBy("cluster").orderBy(
         F.desc("d"), F.asc("node")
     )
-    rep = (
+    return (
         members.join(deg, members.node == deg.u, "left")
         .select(
             "cluster", "node", F.coalesce("d", F.lit(0)).alias("d")
         )
         .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.count(F.lit(1)).over(W.partitionBy("cluster"))
+        )
         .filter(F.col("rn") == 1)
         .select(
-            "cluster",
-            F.col("node").alias("representative"),
-            F.col("d").alias("rep_degree"),
-        )
-    )
-    return (
-        members.join(rep, "cluster")
-        .groupBy("cluster", "representative", "rep_degree")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
             F.col("cluster").cast("long").alias("cluster"),
-            F.col("representative").cast("long").alias("representative"),
-            F.col("rep_degree").cast("long").alias("rep_degree"),
+            F.col("node").cast("long").alias("representative"),
+            F.col("d").cast("long").alias("rep_degree"),
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )

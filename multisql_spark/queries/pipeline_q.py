@@ -3225,38 +3225,72 @@ def monitor_layout_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.shiftleft(bit("tbin", 3), 7)
     )
 
-    def files(df: DataFrame, key: F.Column) -> DataFrame:
-        return df.groupBy(key.alias("file_id")).agg(
-            F.min("vbin").alias("v_lo"),
-            F.max("vbin").alias("v_hi"),
-            F.min("tbin").alias("t_lo"),
-            F.max("tbin").alias("t_hi"),
+    # r11 (guide §1.2/§2.4): the former four-probe unionAll instantiated
+    # the binned events lineage once per probe (8 scans, 8
+    # single-partition exchanges).  Both layouts' file envelopes now
+    # come from ONE pass — each event row unpivots into its (layout,
+    # file_id) memberships, a single groupBy computes every envelope,
+    # one 2-group aggregate computes both probes per layout, and the
+    # four output rows unpivot from those.  min/max per (layout, file)
+    # and the scanned/total counts are the same integers as the
+    # per-table aggregation.
+    member = binned.withColumn("z", z).select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("z"), 4).cast("int").alias("file_id"),
+                    F.col("vbin"),
+                    F.col("tbin"),
+                ),
+                F.struct(
+                    F.lit("value_sorted").alias("layout"),
+                    F.col("vbin").cast("int").alias("file_id"),
+                    F.col("vbin"),
+                    F.col("tbin"),
+                ),
+            )
         )
-
-    zfiles = files(binned.withColumn("z", z), F.shiftright(F.col("z"), 4))
-    vfiles = files(binned, F.col("vbin"))
-
-    def probe(fdf: DataFrame, layout: str, pred: str, lo: str, hi: str) -> DataFrame:
-        return fdf.agg(
-            F.sum(
-                F.when((F.col(lo) <= 7) & (F.lit(7) <= F.col(hi)), 1)
-                .otherwise(0)
-            ).alias("files_scanned"),
-            F.count(F.lit(1)).alias("files_total"),
-        ).select(
-            F.lit(layout).alias("layout"),
-            F.lit(pred).alias("predicate"),
+    )
+    envelopes = member.groupBy("layout", "file_id").agg(
+        F.min("vbin").alias("v_lo"),
+        F.max("vbin").alias("v_hi"),
+        F.min("tbin").alias("t_lo"),
+        F.max("tbin").alias("t_hi"),
+    )
+    hit = lambda lo, hi: F.sum(  # noqa: E731
+        F.when((F.col(lo) <= 7) & (F.lit(7) <= F.col(hi)), 1).otherwise(0)
+    )
+    per_layout = envelopes.groupBy("layout").agg(
+        hit("v_lo", "v_hi").alias("v_scanned"),
+        hit("t_lo", "t_hi").alias("t_scanned"),
+        F.count(F.lit(1)).alias("files_total"),
+    )
+    return (
+        per_layout.select(
+            "layout",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit("value_slice").alias("predicate"),
+                        F.col("v_scanned").alias("files_scanned"),
+                    ),
+                    F.struct(
+                        F.lit("time_slice").alias("predicate"),
+                        F.col("t_scanned").alias("files_scanned"),
+                    ),
+                )
+            ),
+            "files_total",
+        )
+        .select(
+            "layout",
+            "predicate",
             F.col("files_scanned").cast("bigint").alias("files_scanned"),
             F.col("files_total").cast("bigint").alias("files_total"),
             F.round(
                 F.col("files_scanned") / F.col("files_total"), 4
             ).alias("scan_fraction"),
         )
-
-    return (
-        probe(zfiles, "zorder", "value_slice", "v_lo", "v_hi")
-        .unionAll(probe(zfiles, "zorder", "time_slice", "t_lo", "t_hi"))
-        .unionAll(probe(vfiles, "value_sorted", "value_slice", "v_lo", "v_hi"))
-        .unionAll(probe(vfiles, "value_sorted", "time_slice", "t_lo", "t_hi"))
         .orderBy("layout", "predicate")
     )

@@ -30,6 +30,13 @@ EXTRA_QUERIES = [
     "events_bootstrap_se",
     "monitor_ab_cuped",
     "dedup_graph_triangles",
+    "events_peak_concurrency",
+    "events_interrupted_series",
+    "dedup_cluster_representatives",
+    "monitor_layout_pruning",
+    "dedup_minhash_calibration",
+    "dedup_lsh_precision_recall",
+    "sim_pca_power_iteration",
 ]
 
 
