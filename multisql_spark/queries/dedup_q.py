@@ -847,43 +847,46 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.lsh_candidate_pairs_capped(
         sigs, k=K, bands=BANDS, cap=CAP
     )
-    tok = docs.select(
-        "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
+    # r11 (guide §1.2/§2.3): exact |∩| via array_intersect on per-doc
+    # distinct-token arrays (two id-keyed joins) instead of exploding
+    # the full token table twice and re-aggregating per pair — the
+    # explode shape shuffled |cand|·avg_tokens rows into the
+    # (doc_b, tok) join at any scale.  |set| is the map-side
+    # size(array_distinct(...)) — the separate tokenize+groupBy sizes
+    # pass is gone.  The integers are identical: array_distinct
+    # preserves the same distinct-token sets the oracle's
+    # list_distinct/unnest pipeline counts, and a doc with NULL/absent
+    # text can never appear in cand (no tokens → no signature → no
+    # band), so inner-join semantics match the old sizes join.
+    toks = dedup.tokens_col("text")
+    tarr = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("nt")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("nt").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb")
-    )
+    ni = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     scored = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            tarr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("nt").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tarr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("nt").alias("nb"),
+            ),
+            "doc_b",
+        )
         .select(
             "est_sim",
             F.floor(F.col("est_sim") * 1000000 + 0.5)
             .cast("long")
             .alias("est_q"),
             F.floor(
-                F.coalesce(F.col("ni"), F.lit(0))
-                * 1000000.0
-                / (
-                    F.col("na")
-                    + F.col("nb")
-                    - F.coalesce(F.col("ni"), F.lit(0))
-                )
-                + 0.5
+                ni * 1000000.0 / (F.col("na") + F.col("nb") - ni) + 0.5
             )
             .cast("long")
             .alias("jac_q"),
@@ -1016,30 +1019,31 @@ def dedup_lsh_precision_recall(
     cand = dedup.lsh_candidate_pairs_capped(
         sigs, k=K, bands=BANDS, cap=CAP
     )
-    tok = docs.select(
-        "doc_id", F.explode(dedup.tokens_col("text")).alias("tok")
+    # r11 (guide §1.2/§2.3): same array_intersect restructure as
+    # dedup_minhash_calibration — see the comment there; pred/truth are
+    # the same integer comparisons on identical values.
+    toks = dedup.tokens_col("text")
+    tarr = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("nt")
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("nt").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("nt").alias("nb")
-    )
-    ni = F.coalesce(F.col("ni"), F.lit(0))
+    ni = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     scored = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            tarr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("nt").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tarr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("nt").alias("nb"),
+            ),
+            "doc_b",
+        )
         .select(
             (F.col("est_sim") >= 0.5).alias("pred"),
             (ni * 2 >= F.col("na") + F.col("nb") - ni).alias("truth"),
@@ -1153,19 +1157,37 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      the e1⋈e2⋈e3 enumeration, but shuffling ≤64-long adjacency
     #      arrays against a node-sized table instead of a 3-way
     #      edge-table self-join.
-    und = e.select(F.explode(F.array("a", "b")).alias("u"))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    gstats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
-        F.sum(F.when(F.col("d") > 64, 1).otherwise(0)).alias(
-            "n_hubs_excluded"
-        ),
+    # r11 second pass (guide §1.2/§2.4): the hub filter no longer
+    # anti-joins e against a separately aggregated degree table (which
+    # re-instantiated the LSH lineage once per anti-join side, 3×).
+    # Each edge row explodes into its two endpoint memberships WHILE
+    # CARRYING THE EDGE, endpoint degrees come from one count-over-u
+    # window, and the kept-edge set regroups by (a, b): max of the two
+    # endpoint degrees ≤ 64 ⇔ neither endpoint is a hub — the same ke
+    # set, from ONE e reference.  The node-level stats regroup the same
+    # windowed rows by u (already partitioned by u — no new exchange,
+    # and the explode's Exchange(u) subtree is AQE-reused).
+    from pyspark.sql import Window as W
+
+    und = e.select("a", "b", F.explode(F.array("a", "b")).alias("u"))
+    und_d = und.withColumn(
+        "d", F.count(F.lit(1)).over(W.partitionBy("u"))
     )
-    hubs = deg.filter(F.col("d") > 64).select("u")
+    gstats = (
+        und_d.groupBy("u")
+        .agg(F.min("d").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("d") > 64, 1).otherwise(0)).alias(
+                "n_hubs_excluded"
+            ),
+        )
+    )
     ke = (
-        e.join(hubs.withColumnRenamed("u", "a"), "a", "left_anti")
-        .join(hubs.withColumnRenamed("u", "b"), "b", "left_anti")
+        und_d.groupBy("a", "b")
+        .agg(F.max("d").alias("dmax"))
+        .filter(F.col("dmax") <= 64)
         .select("a", "b")
     )
     kund = ke.select(F.explode(F.array("a", "b")).alias("u"))
