@@ -1448,12 +1448,24 @@ def monitor_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("arm", arm)  # deterministic function of user_id
     )
-    pooled = per_user.agg(
+    arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xq").alias("sx"),
         F.sum("ysq").alias("sy"),
         F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("ysq") * F.col("ysq")).alias("syy"),
         F.sum(F.col("xq") * F.col("ysq")).alias("sxy"),
+    )
+    # r11 (guide §1.2): the pooled moments are the exact column sums of
+    # the 2-row per-arm moment table (the md5-parity arms partition the
+    # users; DECIMAL(38,0) addition is associative), so the pooled
+    # aggregate no longer re-instantiates the per-user lineage.
+    pooled = arms.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
     )
     theta = pooled.select(
         (
@@ -1467,14 +1479,6 @@ def monitor_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("th"),
         (F.col("sx").cast("double") / F.col("n")).alias("mean_x_pool"),
-    )
-    arms = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("ysq").alias("sy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
-        F.sum(F.col("ysq") * F.col("ysq")).alias("syy"),
-        F.sum(F.col("xq") * F.col("ysq")).alias("sxy"),
     )
     stats = arms.select(
         "arm",
@@ -1525,26 +1529,31 @@ def monitor_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_adj"),
         "th",
     )
-    a = adj.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n_a"),
-        F.col("mean_y").alias("my_a"),
-        F.col("var_y").alias("vy_a"),
-        F.col("mean_adj").alias("ma_a"),
-        F.col("var_adj").alias("va_a"),
-        "th",
+    # r11 second pass (guide §1.2): the arm-0 × arm-1 readout pivots
+    # the 2-row adjusted table with one conditional aggregate instead
+    # of filtering it twice and re-joining — no self-instantiation, no
+    # join at all (max over the single matching row is that row's
+    # value; th is identical on both rows).
+    side = lambda arm_v, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == arm_v, F.col(c))
     )
-    b = adj.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n_b"),
-        F.col("mean_y").alias("my_b"),
-        F.col("var_y").alias("vy_b"),
-        F.col("mean_adj").alias("ma_b"),
-        F.col("var_adj").alias("va_b"),
+    ab = adj.agg(
+        side(0, "n").alias("n_a"),
+        side(0, "mean_y").alias("my_a"),
+        side(0, "var_y").alias("vy_a"),
+        side(0, "mean_adj").alias("ma_a"),
+        side(0, "var_adj").alias("va_a"),
+        F.max("th").alias("th"),
+        side(1, "n").alias("n_b"),
+        side(1, "mean_y").alias("my_b"),
+        side(1, "var_y").alias("vy_b"),
+        side(1, "mean_adj").alias("ma_b"),
+        side(1, "var_adj").alias("va_b"),
     )
-    # r11: both sides are single rows by construction; pinning the join
-    # broadcast keeps the plan a BroadcastNestedLoopJoin instead of a
-    # CartesianProduct at every parallelism (audit cleanliness — the
-    # data volume is identical).
-    return a.crossJoin(F.broadcast(b)).select(
+    # the old a ⋈ b inner join returned no row if either arm were
+    # empty; keep that contract
+    ab = ab.filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
+    return ab.select(
         F.col("n_a").cast("long"),
         F.col("n_b").cast("long"),
         F.round(F.col("th"), 6).alias("theta"),
@@ -6341,14 +6350,18 @@ def monitor_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"]
-    ranges = ev.agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    bounds = ev.agg(
+    # r11 (guide §1.2): value range and time midpoint in ONE scalar
+    # aggregate (the two separate aggregates each cost a full events
+    # pass); same four min/max values, same derived mid.
+    glob = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
         F.min(F.unix_timestamp("ts")).alias("t0"),
         F.max(F.unix_timestamp("ts")).alias("t1"),
     ).select(
-        (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("mid")
+        "lo",
+        "hi",
+        (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).alias("mid"),
     )
     # try_divide: a constant value column (hi == lo) bins everything to
     # bucket 0 instead of an ANSI /0 error (greatest skips the NULL)
@@ -6364,17 +6377,21 @@ def monitor_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ),
     )
-    split = ev.join(F.broadcast(ranges)).join(F.broadcast(bounds)).select(
+    split = ev.join(F.broadcast(glob)).select(
         F.when(F.unix_timestamp("ts") < F.col("mid"), "ref")
         .otherwise("cur")
         .alias("period"),
         b.alias("b"),
     )
     cnt = split.groupBy("period", "b").agg(F.count(F.lit(1)).alias("n"))
-    tot = cnt.groupBy("period").agg((F.sum("n") * 1.0).alias("t"))
+    # per-period totals via a whole-partition window over the ≤20-row
+    # histogram instead of a groupBy + re-join (which re-instantiated
+    # the histogram lineage); same sums.
+    cnt = cnt.withColumn(
+        "t", F.sum("n").over(W.partitionBy("period")) * 1.0
+    )
     probs = (
-        cnt.join(tot, "period")
-        .groupBy("b")
+        cnt.groupBy("b")
         .agg(
             F.sum(
                 F.when(

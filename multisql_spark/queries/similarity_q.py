@@ -1064,14 +1064,23 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("nprobe", "q_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )
-    annk = (
+    # r11 (guide §1.2/§2.4): the scan-cost readout shares the top-k
+    # window pass — per-group candidate counts ride a whole-partition
+    # count window over the same (nprobe, q_id) exchange, and cost sums
+    # the rn==1 rows' counts, instead of re-instantiating the corpus ⋈
+    # probes join (and its per-candidate cosines) in a second groupBy
+    # lineage.  Groups exist iff they have ≥1 candidate in both shapes,
+    # so the summed integers are identical.
+    ranked_cand = (
         cand.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cnt", F.count(F.lit(1)).over(W.partitionBy("nprobe", "q_id"))
+        )
         .filter(F.col("rn") <= 5)
-        .select("nprobe", "q_id", "cand_id")
     )
+    annk = ranked_cand.select("nprobe", "q_id", "cand_id")
     cost = (
-        cand.groupBy("nprobe", "q_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        ranked_cand.filter(F.col("rn") == 1)
         .groupBy("nprobe")
         .agg(F.sum("cnt").alias("total_candidates"))
     )

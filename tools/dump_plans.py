@@ -37,6 +37,8 @@ EXTRA_QUERIES = [
     "dedup_minhash_calibration",
     "dedup_lsh_precision_recall",
     "sim_pca_power_iteration",
+    "monitor_value_drift_psi",
+    "sim_ann_nprobe_sweep",
 ]
 
 
