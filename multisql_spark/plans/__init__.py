@@ -200,6 +200,16 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "rank-within-sample window is over the ≤1024-row bottom-k "
         "sample"
     ),
+    "monitor_lang_chisq": (
+        "margin/total windows run over the contingency-cell aggregate "
+        "(|source|×|lang| rows — both categorical domains), never the "
+        "document table"
+    ),
+    "sample_temperature_mix": (
+        "token-total and weight-normalizer windows run over the "
+        "per-source aggregate (≤|sources| rows, a categorical domain), "
+        "never the document table"
+    ),
     "stream_quantile_sink": (
         "rank-within-sample window is over the ≤1024-row standing "
         "bottom-k state"

@@ -553,18 +553,22 @@ def monitor_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = t["documents"].groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("o")
     )
-    rt = cell.groupBy("source").agg(F.sum("o").alias("r"))
-    ct = cell.groupBy("lang").agg(F.sum("o").alias("c"))
-    tot = cell.agg(F.sum("o").alias("n"))
+    # r11 (guide §1.2): row/column margins and the grand total as
+    # window sums over the one bounded contingency table (|source| ×
+    # |lang| cells) instead of three re-aggregations broadcast back —
+    # the former shape instantiated the documents lineage four times.
+    # Integer window sums equal the joined margins exactly.
+    cell = (
+        cell.withColumn("r", F.sum("o").over(W.partitionBy("source")))
+        .withColumn("c", F.sum("o").over(W.partitionBy("lang")))
+        .withColumn("n", F.sum("o").over(W.partitionBy()))
+    )
     e = F.col("r") * F.col("c") / F.col("n")
     tq = F.floor(
         (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + 0.5
     ).cast("long")
     return (
-        cell.join(F.broadcast(rt), "source")
-        .join(F.broadcast(ct), "lang")
-        .crossJoin(F.broadcast(tot))
-        .select("source", tq.alias("tq"))
+        cell.select("source", tq.alias("tq"))
         .groupBy("source")
         .agg(F.round(F.sum("tq") / 1000000.0, 4).alias("chisq_contrib"))
     )

@@ -1890,14 +1890,22 @@ def monitor_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f"),
         )
     )
-    a = cdf.filter(F.col("event_type") == "click").select(
-        "bin", F.col("f").alias("fa")
-    )
-    v = cdf.filter(F.col("event_type") == "view").select(
-        "bin", F.col("f").alias("fv")
-    )
+    # r11 (guide §1.2): pivot the two CDFs per bin with one conditional
+    # aggregate instead of filtering the 64-row CDF twice and
+    # re-joining (which re-instantiated the events lineage per side).
+    # The grid guarantees exactly one row per (type, bin), so
+    # max(when(...)) is that row's f — the same pairs the inner join
+    # produced.
     return (
-        a.join(v, "bin")
+        cdf.groupBy("bin")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("f"))
+            ).alias("fa"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("f"))
+            ).alias("fv"),
+        )
         .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fv"))), 6).alias("ks_stat"))
         .select(
             F.lit("click").alias("type_a"),
@@ -2215,14 +2223,20 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("src_tokens"),
     )
-    tot = per_src.agg(
-        (F.sum("src_tokens") * 1.0).alias("total_tokens")
-    )
-    temped = per_src.join(F.broadcast(tot)).withColumn(
+    from pyspark.sql import Window as W
+
+    # r11 (guide §1.2): the token total and the temperature-weight
+    # normalizer as window sums over the bounded per-source table
+    # instead of two scalar aggregates broadcast back (each of which
+    # re-instantiated the per-source lineage).  Same long-integer total
+    # and the same ≤|sources|-term double sum.
+    wall = W.partitionBy()
+    temped = per_src.withColumn(
+        "total_tokens", F.sum("src_tokens").over(wall) * 1.0
+    ).withColumn(
         "w", F.pow(F.col("src_tokens") / F.col("total_tokens"), 0.7)
     )
-    wtot = temped.agg(F.sum("w").alias("sw"))
-    rates = temped.join(F.broadcast(wtot)).select(
+    rates = temped.withColumn("sw", F.sum("w").over(wall)).select(
         "source",
         "n_docs",
         "src_tokens",

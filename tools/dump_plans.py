@@ -39,6 +39,9 @@ EXTRA_QUERIES = [
     "sim_pca_power_iteration",
     "monitor_value_drift_psi",
     "sim_ann_nprobe_sweep",
+    "monitor_value_drift_ks",
+    "monitor_lang_chisq",
+    "sample_temperature_mix",
 ]
 
 
