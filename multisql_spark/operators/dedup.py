@@ -60,21 +60,25 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 12,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sig_1..sig_k) — sig_i = min over tokens of md5(token ⊕ i).
 
     One explode + one groupBy(doc) with k min-aggregates: a single
     shuffle whose payload is k×32-byte strings per doc regardless of
-    document size.
+    document size.  ``carry`` names extra per-doc columns functionally
+    dependent on ``id_col`` (e.g. a batch flag); they join the group
+    keys so callers get them back without a second pass over ``df``.
     """
-    toks = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col).select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    )
+    keep = [F.col(id_col), *(F.col(c) for c in carry)]
+    toks = spread(
+        df.select(*keep, F.col(text_col)), key=id_col
+    ).select(*keep, F.explode(tokens_col(text_col)).alias("tok"))
     aggs = [
         F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"sig_{i}")
         for i in range(1, k + 1)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return toks.groupBy(id_col, *carry).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -788,9 +792,22 @@ def incremental_minhash_dedup(
     """
     from pyspark.sql import Window
 
-    sigs = minhash_signatures(docs, id_col=id_col, k=k)
-    flags = docs.select(F.col(id_col), new_filter.alias("_is_new"))
-    sigs = sigs.join(flags, id_col)
+    # r11 (guide §1.2): the batch flag rides the signature aggregation
+    # as an extra (functionally dependent) group key instead of a
+    # post-hoc flags join — the join shape re-scanned ``docs`` once per
+    # signature-subtree instantiation (4×) and, because the flag
+    # arrived via a different lineage, defeated exchange reuse between
+    # the corpus/new consumers below (each side's filtered signature
+    # subtree is now self-contained and identical across its two uses,
+    # so AQE executes each side's tokenize+agg once).
+    sigs = minhash_signatures(
+        docs.select(
+            F.col(id_col), new_filter.alias("_is_new"), F.col("text")
+        ),
+        id_col=id_col,
+        k=k,
+        carry=("_is_new",),
+    )
 
     def band_rows(df, out_id):
         return df.select(

@@ -205,6 +205,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "(|source|×|lang| rows — both categorical domains), never the "
         "document table"
     ),
+    "pipeline_prepare_corpus_v2": (
+        "token-total / source-count windows run over the per-source "
+        "aggregate (≤|sources| rows, a categorical domain), never the "
+        "document table"
+    ),
     "sample_temperature_mix": (
         "token-total and weight-normalizer windows run over the "
         "per-source aggregate (≤|sources| rows, a categorical domain), "

@@ -788,12 +788,14 @@ def _corpus_v2_oracle() -> str:
 )
 def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep, round 2: learned quality gate (fixed-weight
-    logit > 0, narrow map) → exact dedup (min-id per content hash) →
-    domain-mixture downsampling toward a uniform token share (bounded
-    per-source aggregation broadcast back) → per-source accounting.
-    Total wide operations at any scale: the dedup groupBy(md5), its
-    keep-list semi-join, and two bounded aggregations — the document
-    payload itself shuffles only for dedup."""
+    logit > 0, narrow map) → exact dedup (min-id per content hash,
+    one window pass) → domain-mixture downsampling toward a uniform
+    token share (bounded per-source aggregation, totals via windows
+    over it) → per-source accounting.  Total wide operations at any
+    scale: the dedup hash exchange, the per-source aggregations, and
+    the bounded-table windows — the document payload shuffles once."""
+    from pyspark.sql import Window as W
+
     from multisql_spark.operators.textan import quality_logit_expr
 
     t = load_tables(spark, sf_dir, ["documents"])
@@ -807,19 +809,37 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks"),
         )
     )
-    keep = gated.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # r11 (guide §1.2/§2.1): dedup as min-over-window on the content
+    # hash instead of groupBy(md5) + left_semi join back — the join
+    # shape re-instantiated the gated-documents lineage on both sides
+    # of the shuffle (and the downstream consumers multiplied that to
+    # 10 parquet scans).  One hash-partitioned exchange carries the
+    # payload once; a doc survives iff its doc_id is its hash group's
+    # minimum, exactly the old keep-list membership (doc_ids are
+    # unique, so the group min can only be the doc itself).
+    kept = (
+        gated.withColumn(
+            "_mn",
+            F.min("doc_id").over(W.partitionBy(F.md5("text"))),
+        )
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .drop("_mn")
     )
-    kept = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
     per_src = kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("src_tokens"),
     )
-    tot = per_src.agg(
-        F.sum("src_tokens").cast("double").alias("total_tokens"),
-        F.count(F.lit(1)).cast("double").alias("n_sources"),
-    )
-    rates = per_src.crossJoin(F.broadcast(tot)).select(
+    # token total / source count as whole-partition window sums over
+    # the bounded per-source aggregate (≤|sources| rows) instead of a
+    # scalar aggregate crossJoined back, which re-instantiated the
+    # whole dedup lineage a second time (plans.GLOBAL_WINDOW_ALLOWLIST
+    # argues the bound).  Long-integer sums, bit-identical rates.
+    wall = W.partitionBy()
+    rates = per_src.withColumn(
+        "total_tokens", F.sum("src_tokens").over(wall).cast("double")
+    ).withColumn(
+        "n_sources", F.count(F.lit(1)).over(wall).cast("double")
+    ).select(
         "source",
         "n_docs",
         "src_tokens",
@@ -2765,24 +2785,27 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scaling, no RNG."""
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "part"])
 
-    def side(df: DataFrame, key: str) -> DataFrame:
-        return df.select(F.col(key).alias("k")).filter(
-            F.substring(F.md5(F.col(key).cast("string")), 1, 1) == "0"
-        )
-
     def pair(name: str, a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
-        est = (
-            side(a, ka)
-            .join(side(b, kb), "k")
-            .agg((16 * F.count(F.lit(1))).alias("est_rows"))
-        )
-        exact = (
-            a.select(F.col(ka).alias("k"))
-            .join(b.select(F.col(kb).alias("k")), "k")
-            .agg(F.count(F.lit(1)).alias("exact_rows"))
+        # r11 (guide §1.2): the sampled join IS a key-filter of the
+        # exact join (both sides keep a key iff md5(key) starts with
+        # '0', so a sampled pair is exactly a full-join pair whose key
+        # hashes to the prefix).  The test-scale ground-truth column
+        # forces the full join anyway, so the estimate rides the same
+        # pass as one conditional count instead of re-instantiating
+        # both scans for a second 1/16-sized join (8 parquet scans →
+        # 4, no separate est aggregation exchange).  At 100 TB without
+        # the ground-truth column the estimate reverts to the
+        # sampled-only join (a pushed-down prefix filter per side).
+        sampled = (
+            F.substring(F.md5(F.col("k").cast("string")), 1, 1) == "0"
         )
         return (
-            est.crossJoin(F.broadcast(exact))
+            a.select(F.col(ka).alias("k"))
+            .join(b.select(F.col(kb).alias("k")), "k")
+            .agg(
+                (16 * F.count(F.when(sampled, 1))).alias("est_rows"),
+                F.count(F.lit(1)).alias("exact_rows"),
+            )
             .select(
                 F.lit(name).alias("join_name"),
                 F.col("est_rows").cast("bigint").alias("est_rows"),

@@ -170,3 +170,27 @@ def test_incremental_probe_cap_semantics(spark, sf_dir):
         if r["best_sim"] is not None:
             assert u["best_sim"] is not None
             assert r["best_sim"] <= u["best_sim"] + 1e-9
+
+
+def test_minhash_signatures_carry_is_passthrough(spark, sf_dir):
+    """r11: the ``carry`` group keys (functionally dependent per-doc
+    flags riding the signature aggregation) change neither the row set
+    nor any signature — they only delete the post-hoc flags join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = dedup.minhash_signatures(docs, k=K)
+    carried = dedup.minhash_signatures(
+        docs.select(
+            "doc_id", (F.col("doc_id") % 10 == 0).alias("_is_new"), "text"
+        ),
+        k=K,
+        carry=("_is_new",),
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(
+        (r["doc_id"], *[r[f"sig_{i}"] for i in range(1, K + 1)])
+        for r in carried.collect()
+    )
+    assert a == b
+    assert all(
+        r["_is_new"] == (r["doc_id"] % 10 == 0) for r in carried.collect()
+    )

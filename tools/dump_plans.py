@@ -42,6 +42,9 @@ EXTRA_QUERIES = [
     "monitor_value_drift_ks",
     "monitor_lang_chisq",
     "sample_temperature_mix",
+    "pipeline_prepare_corpus_v2",
+    "sketch_join_cardinality",
+    "dedup_incremental_minhash",
 ]
 
 
