@@ -2524,20 +2524,27 @@ def extract_features(mm: DataFrame) -> DataFrame:
 def frame_sample(mm: DataFrame, every: int = 4) -> DataFrame:
     """'Frame sampling' over the blob (every N-th byte) — the video-frame
     subsampling shape: pure column algebra, no Python."""
-    hexed = F.hex(F.col("blob"))
+    # r11 (guide §1.3): hex the blob ONCE into a column — referencing
+    # the hex() expression inside the transform() lambda re-hexed the
+    # whole blob per sampled byte (O(len²)); and take n_frames from the
+    # materialized array instead of evaluating the transform twice.
     idx = F.sequence(
         F.lit(1), (F.octet_length("blob") / every).cast("int")
     )
     frames = F.transform(
         idx,
         lambda i: F.conv(
-            F.substring(hexed, (i - 1) * every * 2 + 1, 2), 16, 10
+            F.substring(F.col("hx"), (i - 1) * every * 2 + 1, 2), 16, 10
         ).cast("int"),
     )
-    return mm.select(
-        "doc_id",
-        frames.alias("sampled_bytes"),
-        F.size(frames).alias("n_frames"),
+    return (
+        mm.select("doc_id", "blob", F.hex(F.col("blob")).alias("hx"))
+        .select("doc_id", frames.alias("sampled_bytes"))
+        .select(
+            "doc_id",
+            "sampled_bytes",
+            F.size("sampled_bytes").alias("n_frames"),
+        )
     )
 
 

@@ -115,18 +115,23 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     distinct tokens — catches token reorderings), and min-shingle
     (lexicographic-min md5 over 3-token shingles — a 1-row winnowing
     sketch)."""
-    toks = F.split(F.col("text"), " ")
+    # r11 (guide §1.3): the token array is split ONCE into a column —
+    # referencing the split() expression inside the transform() lambda
+    # re-evaluated it per shingle (O(len²) characters per doc)
+    tk = F.col("tk")
     shingle_idx = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))
+        F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1))
     )
     shingle_hashes = F.transform(
         shingle_idx,
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, 3))),
     )
     return df.select(
+        F.col(id_col), "text", F.split(F.col("text"), " ").alias("tk")
+    ).select(
         F.col(id_col),
         F.md5("text").alias("fp_exact"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))).alias(
             "fp_set"
         ),
         F.array_min(shingle_hashes).alias("fp_min_shingle"),

@@ -205,6 +205,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "(|source|×|lang| rows — both categorical domains), never the "
         "document table"
     ),
+    "text_bigram_kneser_ney": (
+        "the N_types count window runs over the bigram-TYPE table — "
+        "vocabulary-bounded (≤|vocab|²), the same table the query "
+        "broadcasts back whole onto the bigram stream"
+    ),
     "pipeline_prepare_corpus_v2": (
         "token-total / source-count windows run over the per-source "
         "aggregate (≤|sources| rows, a categorical domain), never the "

@@ -505,19 +505,26 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     context tables are vocab-bounded aggregations that broadcast back
     onto the bigram stream; per-bigram log-probs quantize to 1e-6
     BIGINTs so the order-free integer sums hash-match DuckDB."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.col("text"), " ")
+    # r11 (guide §1.3): materialize the split ONCE as a column before
+    # the index lambda — referencing the split() *expression* inside
+    # transform() re-evaluated it per element (O(len²) characters per
+    # doc); referencing the attribute splits each doc once (~7× on the
+    # explode pass at sf0.1).
     bg = (
         t["documents"]
-        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    F.sequence(F.lit(1), F.size("tk") - 1),
                     lambda i: F.struct(
-                        F.element_at(toks, i).alias("prev"),
-                        F.element_at(toks, i + 1).alias("cur"),
+                        F.element_at(F.col("tk"), i).alias("prev"),
+                        F.element_at(F.col("tk"), i + 1).alias("cur"),
                     ),
                 )
             ).alias("b"),
@@ -526,8 +533,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.cur").alias("cur"))
     )
     pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    ctx_cnt = pair_cnt.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    lp = pair_cnt.join(ctx_cnt, "prev").select(
+    # context totals as a window over the one vocab-bounded bigram-type
+    # table instead of a groupBy + re-join that re-instantiated the
+    # bigram explode (guide §1.2); every row joins its own prev group,
+    # so the inner join kept all rows — identical values.
+    lp = pair_cnt.withColumn(
+        "c1", F.sum("c2").over(W.partitionBy("prev"))
+    ).select(
         "prev",
         "cur",
         F.round(F.log(F.col("c2") / F.col("c1")) * 1e6)
@@ -577,35 +589,33 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is keyed (doc_id, chunk_idx), ready to shard. Chunk text is emitted
     as md5 so the driver canonicalizer stays string-typed."""
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.col("text"), " ")
     window, stride = 32, 24
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((F.size(toks) - (window - stride)) / float(stride)).cast("int")
-        + F.lit(0),
-    )
     # number of stride-starts covering the token list, matching the
     # oracle's ceil((len-overlap)/stride)+1 window count minus the final
-    # empty ones (filtered by n > 0 on both sides)
+    # empty ones (filtered by n > 0 on both sides).  r11 (guide §1.3):
+    # the token array is split ONCE into a column — the lambda used to
+    # reference the split() expression, re-splitting per chunk slice.
+    tk = F.col("tk")
     chunks = F.transform(
         F.sequence(
             F.lit(0),
             F.greatest(
                 F.lit(0),
-                F.ceil((F.size(toks) - (window - stride)) / float(stride))
+                F.ceil((F.size(tk) - (window - stride)) / float(stride))
                 .cast("int"),
             ),
         ),
         lambda i: F.struct(
             i.alias("idx"),
             F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, window)
+                " ", F.slice(tk, i * stride + 1, window)
             ).alias("chunk"),
-            F.size(F.slice(toks, i * stride + 1, window)).alias("n"),
+            F.size(F.slice(tk, i * stride + 1, window)).alias("n"),
         ),
     )
     return (
         t["documents"]
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id", F.explode(chunks).alias("c"))
         .filter(F.col("c.n") > 0)
         .select(
@@ -832,17 +842,19 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per merge round — the distributed formulation used by tokenizer
     trainers over web-scale corpora."""
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split("text", " ")
+    # r11 (guide §1.3): split once into a column — the lambda used to
+    # reference the split() expression, re-evaluating it per element
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size("tk") - 1),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
+            F.element_at(F.col("tk"), i),
+            F.element_at(F.col("tk"), i + 1),
         ),
     )
     return (
         t["documents"]
+        .select("doc_id", F.split("text", " ").alias("tk"))
         .select("doc_id", F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(
@@ -1233,21 +1245,23 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no ordered scan, no window over data-scale rows, and the n-gram
     table is the same shuffle the dedup/chunk family already pays."""
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split("text", " ")
+    # r11 (guide §1.3): split once into a column — the lambda used to
+    # reference the split() expression, re-evaluating it per element
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            F.sequence(F.lit(0), F.size("tk") - 3),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+                F.element_at(F.col("tk"), i + 1),
+                F.element_at(F.col("tk"), i + 2),
+                F.element_at(F.col("tk"), i + 3),
             ),
         )
     )
     ng = (
         t["documents"]
-        .filter(F.size(toks) >= 4)
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 4)
         .select("doc_id", F.explode(grams).alias("g"))
     )
     firsts = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
@@ -1492,19 +1506,24 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) is vocabulary-bounded, built map-side-combined, and
     broadcast back onto the bigram stream; per-TYPE log-probs quantize
     to 1e-6 BIGINTs so per-doc scores are order-free integer sums."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.col("text"), " ")
+    # r11 (guide §1.3): split materialized once as a column — the old
+    # lambda referenced the split() expression, re-evaluating it per
+    # element (O(len²) chars/doc; ~7× on the explode pass at sf0.1).
     bg = (
         t["documents"]
-        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    F.sequence(F.lit(1), F.size("tk") - 1),
                     lambda i: F.struct(
-                        F.element_at(toks, i).alias("prev"),
-                        F.element_at(toks, i + 1).alias("cur"),
+                        F.element_at(F.col("tk"), i).alias("prev"),
+                        F.element_at(F.col("tk"), i + 1).alias("cur"),
                     ),
                 )
             ).alias("b"),
@@ -1513,15 +1532,24 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.cur").alias("cur"))
     )
     pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = pair_cnt.groupBy("prev").agg(
-        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n_follow")
-    )
-    cont = pair_cnt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_prec"))
-    ntypes = pair_cnt.agg((F.count(F.lit(1)) * 1.0).alias("nt"))
+    # r11 (guide §1.2): all three model tables as windows over the ONE
+    # vocab-bounded bigram-type table — the groupBy+join shape
+    # re-instantiated the bigram explode once per model table (ctx,
+    # cont, ntypes, lp base = 4 passes; divergent column pruning
+    # defeated AQE exchange reuse).  The global count window runs over
+    # the same vocabulary-bounded table the query already broadcasts
+    # back whole (plans.GLOBAL_WINDOW_ALLOWLIST argues the bound); the
+    # inner joins kept every row (each row matches its own group), so
+    # the window values are identical.
     lp = (
-        pair_cnt.join(ctx, "prev")
-        .join(cont, "cur")
-        .join(F.broadcast(ntypes))
+        pair_cnt.withColumn("c1", F.sum("c2").over(W.partitionBy("prev")))
+        .withColumn(
+            "n_follow", F.count(F.lit(1)).over(W.partitionBy("prev"))
+        )
+        .withColumn("n_prec", F.count(F.lit(1)).over(W.partitionBy("cur")))
+        .withColumn(
+            "nt", F.count(F.lit(1)).over(W.partitionBy()) * 1.0
+        )
         .select(
             "prev",
             "cur",

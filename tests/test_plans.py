@@ -419,11 +419,17 @@ def test_value_trend_is_partial_aggregable(spark):
 
 
 def test_chisq_and_entropy_broadcast_margins(spark):
-    """Contingency margins / per-source totals must broadcast back onto
-    the cell/count tables — the distributions never reshuffle."""
-    assert plans.uses_broadcast_join(
+    """Per-source totals must broadcast back onto the count table — the
+    distributions never reshuffle.  monitor_lang_chisq (r11) computes
+    its margins as window sums over the ONE bounded contingency table
+    instead: a single document lineage, no margin joins at all."""
+    import re
+
+    chisq_plan = plans.formatted_plan(
         REGISTRY["monitor_lang_chisq"].fn(spark, SF)
     )
+    assert len(re.findall(r"\(\d+\) Scan parquet", chisq_plan)) == 1
+    assert "Window" in chisq_plan
     assert plans.uses_broadcast_join(
         REGISTRY["monitor_source_entropy"].fn(spark, SF)
     )

@@ -45,6 +45,12 @@ EXTRA_QUERIES = [
     "pipeline_prepare_corpus_v2",
     "sketch_join_cardinality",
     "dedup_incremental_minhash",
+    "text_bigram_logprob",
+    "text_bigram_kneser_ney",
+    "text_novelty_rate",
+    "text_chunk_overlap",
+    "text_fingerprints",
+    "mm_frame_sample",
 ]
 
 

@@ -32,9 +32,12 @@ def main() -> None:
 
     registry = load_all()
     for name in names:
-        df = registry[name].fn(spark, sf_dir)
         times = []
         for _ in range(n):
+            # fresh DataFrame per run: re-executing the SAME df reuses
+            # its shuffle map outputs and times only the final stage —
+            # a fresh plan recomputes everything (page-cache warm)
+            df = registry[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df._jdf.queryExecution().toRdd().count()
             times.append(time.perf_counter() - t0)
