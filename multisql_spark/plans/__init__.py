@@ -205,6 +205,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
         "(|source|×|lang| rows — both categorical domains), never the "
         "document table"
     ),
+    "sample_importance_dsir": (
+        "total-count windows run over the 256-row hashed-bucket "
+        "feature table (constant size by construction), never the "
+        "token stream"
+    ),
     "text_bigram_kneser_ney": (
         "the N_types count window runs over the bigram-TYPE table — "
         "vocabulary-bounded (≤|vocab|²), the same table the query "

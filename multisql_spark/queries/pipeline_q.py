@@ -2055,18 +2055,23 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    rcnt = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tcnt = (
-        hashed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    totals = rcnt.agg(F.sum("cr").cast("double").alias("nr")).join(
-        tcnt.agg(F.sum("ct").cast("double").alias("nt"))
+    from pyspark.sql import Window as W
+
+    # r11 (guide §1.2): BOTH feature distributions in ONE 256-bucket
+    # aggregate (the target slice as a conditional count — a bucket
+    # with no en-tokens counts 0, exactly the old left-join coalesce),
+    # and the two totals as window sums over that constant-size table
+    # (plans.GLOBAL_WINDOW_ALLOWLIST).  The old shape instantiated the
+    # hashed-token explode five times (raw counts, target counts, one
+    # more of each for the totals, scoring); now twice (model, score).
+    wall = W.partitionBy()
+    cnt = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
     )
     ratio = (
-        rcnt.join(tcnt, "b", "left")
-        .join(F.broadcast(totals))
+        cnt.withColumn("nr", F.sum("cr").over(wall).cast("double"))
+        .withColumn("nt", F.sum("ct").over(wall).cast("double"))
         .select(
             "b",
             F.round(

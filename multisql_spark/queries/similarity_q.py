@@ -1559,12 +1559,19 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
 
-    # lexical arm: identical scoring to text_keyword_search
+    # lexical arm: identical scoring to text_keyword_search.
+    # r11 (guide §1.2): document frequency as a count window over the
+    # query-matched postings, partitioned by term — a term's tf rows
+    # ARE its posting list, so the per-partition count equals df_docs
+    # exactly.  The old shape re-instantiated the tokenize+tf
+    # aggregation to build a whole-vocabulary docfreq table and
+    # broadcast it back (an O(|vocab|) broadcast growing with the
+    # corpus); now the token explode runs once and only the ≤|q|-term
+    # partitions are counted.
     toks = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = t["documents"].agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
@@ -1574,7 +1581,10 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     lex_scored = (
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(docfreq.crossJoin(F.broadcast(n_docs))), "tok")
+        .withColumn(
+            "df_docs", F.count(F.lit(1)).over(W.partitionBy("tok"))
+        )
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * idf_q).alias("score_q"))
     )

@@ -671,7 +671,6 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = t["documents"].agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
@@ -679,9 +678,16 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_q = F.round(
         F.log(F.col("n_docs") / F.col("df_docs")) * 1e6
     ).cast("long")
+    # r11 (guide §1.2): df as a count window over the query-matched
+    # postings, partitioned by term (a term's tf rows ARE its posting
+    # list) — deletes the second tokenize pass that built a
+    # whole-vocabulary docfreq table and its O(|vocab|) broadcast
     matched = (
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(docfreq.crossJoin(F.broadcast(n_docs))), "tok")
+        .withColumn(
+            "df_docs", F.count(F.lit(1)).over(W.partitionBy("tok"))
+        )
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
@@ -760,18 +766,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
+    # r11 (guide §1.2): ONE pass over the posting table — document
+    # length rides tf as a doc-partitioned window sum (Σ tf over a
+    # doc's terms = its token count), df as a count window over the
+    # query-matched postings (a term's tf rows are its posting list),
+    # and the two corpus scalars from a narrow no-explode documents
+    # aggregate (size(split) = the exploded token count per doc, and
+    # every doc yields ≥1 token row, so the counts are identical).
+    # The old shape ran the token explode four times (tf for scoring,
+    # tf for df, dl for scoring, dl for the scalars).
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy("doc_id"))
+    )
+    stats = t["documents"].agg(
         (F.count(F.lit(1)) * 1.0).alias("n_docs"),
-        (F.sum("dl") * 1.0).alias("sum_dl"),
+        (F.sum(F.size(F.split("text", " "))) * 1.0).alias("sum_dl"),
     )
     q = spark.createDataFrame([("spark",), ("join",), ("fast",)], ["tok"])
-    df_docs = (
-        tf.join(F.broadcast(q), "tok")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
-    )
     idf = F.log(
         1 + (F.col("n_docs") - F.col("df_docs") + 0.5)
         / (F.col("df_docs") + 0.5)
@@ -784,8 +796,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     scored = (
         tf.join(F.broadcast(q), "tok")
-        .join(F.broadcast(df_docs), "tok")
-        .join(dl, "doc_id")
+        .withColumn(
+            "df_docs", F.count(F.lit(1)).over(W.partitionBy("tok"))
+        )
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(

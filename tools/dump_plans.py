@@ -51,6 +51,10 @@ EXTRA_QUERIES = [
     "text_chunk_overlap",
     "text_fingerprints",
     "mm_frame_sample",
+    "sample_importance_dsir",
+    "sim_rrf_hybrid",
+    "text_keyword_search",
+    "text_bm25_topk",
 ]
 
 
