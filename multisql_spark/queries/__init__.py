@@ -112,12 +112,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # oracle mirrored) after the variable-width string agg keys OOM'd the
 # partial-agg heap at derived sf1000 — outputs identical barring a
 # ~2^-60-per-pair collision, but the blocking digest changed.
-_RECERTIFY: frozenset[str] = frozenset({
-    "sim_embedding_neardup",
-    "stream_dedup_digest",
-    "dedup_duplicated_spans",
-})
-_RECERTIFY_ROUND = 10  # green rows from this round onward retire the flag
+# name -> earliest round whose green driver row retires the flag.
+# Per-name (r10 ADVICE #2): a LATE-round semantic change must point at
+# the NEXT round instead of re-trusting a same-round row that may
+# predate the change.  dedup_duplicated_spans stays at 10 because its
+# r10 green row is confirmed to postdate the digest commit (the name
+# was fronted only after the fix landed; the r10 judge's independent
+# sf0.01 re-check of the post-fix tree was green).
+_RECERTIFY: dict[str, int] = {
+    "sim_embedding_neardup": 10,
+    "stream_dedup_digest": 10,
+    "dedup_duplicated_spans": 10,
+}
 
 
 def _row_green(row: object) -> bool:
@@ -172,12 +178,12 @@ def _certification_vintage() -> dict[str, int]:
 def _officially_checked() -> frozenset[str]:
     """Names whose green certification still describes the CURRENT tree:
     certified at least once, and — for names in ``_RECERTIFY`` (semantics
-    changed this round) — certified at or after ``_RECERTIFY_ROUND``."""
+    changed) — certified at or after that name's recertify round."""
     vintage = _certification_vintage()
     return frozenset(
         n
         for n, rnd in vintage.items()
-        if n not in _RECERTIFY or rnd >= _RECERTIFY_ROUND
+        if rnd >= _RECERTIFY.get(n, 0)
     )
 
 

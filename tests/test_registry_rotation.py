@@ -44,18 +44,18 @@ def test_backfill_is_vintage_ordered():
 
 def test_recertify_names_front_until_fresh_row_lands(monkeypatch):
     # a _RECERTIFY name with only a pre-r7 green row fronts; simulate a
-    # fresh green row at _RECERTIFY_ROUND and it must retire to backfill
+    # fresh green row at its recertify round and it must retire to backfill
     name = next(iter(qmod._RECERTIFY))
     assert name in qmod.REGISTRY
     base = qmod._certification_vintage()
-    if base.get(name, 0) < qmod._RECERTIFY_ROUND:
+    if base.get(name, 0) < qmod._RECERTIFY[name]:
         assert name not in qmod._officially_checked()
         never = [
             n for n in qmod.REGISTRY if n not in qmod._officially_checked()
         ]
         assert name in never
     simulated = dict(base)
-    simulated[name] = qmod._RECERTIFY_ROUND
+    simulated[name] = qmod._RECERTIFY[name]
     monkeypatch.setattr(qmod, "_certification_vintage", lambda: simulated)
     assert name in qmod._officially_checked()
 
@@ -84,6 +84,6 @@ def test_on_disk_correctness_files_are_unioned(tmp_path):
     for names in (
         qmod._ROUND1_CHECKED, qmod._ROUND2_CHECKED, qmod._ROUND3_CHECKED
     ):
-        assert names - checked <= qmod._RECERTIFY
+        assert names - checked <= set(qmod._RECERTIFY)
     vintage = qmod._certification_vintage()
     assert all(v >= 1 for v in vintage.values())
