@@ -1072,14 +1072,18 @@ def cdc_chunk_stats(
         f"       slice(_toks, i - {w} + 1, {w}))), 1, 8), 16, 10) AS BIGINT)"
         f"       % {m} = 0)"
     )
+    # r11 (guide §1.3): the cut-point array is materialized ONCE per
+    # doc as a column — the former expression text was inlined at every
+    # element_at() site inside the transform lambda, re-running the
+    # full md5 cut scan per boundary element (O(positions²) hashing)
     bounds = f"concat(array(0), {cuts}, array(size(_toks)))"
     chunks = (
-        f"filter(transform(sequence(1, size({bounds}) - 1),"
-        f"  j -> named_struct("
-        f"       'start', element_at({bounds}, j) + 1,"
-        f"       'len', element_at({bounds}, j + 1)"
-        f"              - element_at({bounds}, j))),"
-        f"  c -> c.len > 0)"
+        "filter(transform(sequence(1, size(_bounds) - 1),"
+        "  j -> named_struct("
+        "       'start', element_at(_bounds, j) + 1,"
+        "       'len', element_at(_bounds, j + 1)"
+        "              - element_at(_bounds, j))),"
+        "  c -> c.len > 0)"
     )
     chunk_rows = (
         f"transform({chunks},"
@@ -1090,6 +1094,7 @@ def cdc_chunk_stats(
     return (
         docs.withColumn("_toks", F.split(F.col("text"), " "))
         .filter(F.size("_toks") >= w)
+        .withColumn("_bounds", F.expr(bounds))
         .select(F.col(id_col), F.explode(F.expr(chunk_rows)).alias("c"))
         .select(id_col, "c.h", "c.len")
         .groupBy("h")

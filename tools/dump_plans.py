@@ -55,6 +55,7 @@ EXTRA_QUERIES = [
     "sim_rrf_hybrid",
     "text_keyword_search",
     "text_bm25_topk",
+    "dedup_cdc_chunks",
 ]
 
 
