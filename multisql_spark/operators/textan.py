@@ -253,14 +253,25 @@ def contamination(
     Documents shorter than ``n`` tokens have no n-grams and drop out
     (mirrored by the oracle's ``unnest`` of an empty list).
     """
+    from multisql_spark.operators import spread
+
     ng = F.expr(
         f"transform(sequence(1, size(_toks) - {n - 1}),"
         f"          i -> concat_ws(' ', slice(_toks, i, {n})))"
     )
+    # r11 (guide §2.2/§1.3): fan the narrow projection out before the
+    # n-gram build (higher-order functions run interpreted, and a
+    # single-row-group local file pins the whole map to one core;
+    # no-op on real multi-split tables), and gate short documents on
+    # size(_toks) >= n BEFORE building n-grams — the old size(_ng) > 0
+    # filter re-evaluated the n-gram transform a second time (and a
+    # sub-n doc's descending index sequence never reached the oracle's
+    # empty-list semantics anyway; both engines drop those docs).
     base = (
-        df.withColumn("_toks", F.split(F.col("text"), " "))
+        spread(df, key=id_col)
+        .withColumn("_toks", F.split(F.col("text"), " "))
+        .filter(F.size("_toks") >= n)
         .withColumn("_ng", ng)
-        .filter(F.size("_ng") > 0)
     )
     bench = (
         base.filter(bench_filter)

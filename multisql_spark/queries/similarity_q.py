@@ -762,20 +762,45 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the chained-CTE SQL replay at any parallelism
     (driver t2 green at sf0.001/0.01/0.1)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    qprod = t["embeddings"].select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(embedding, (xd, d) ->
-                  transform(embedding, (xe, e) -> struct(
-                    d AS d, e AS e,
-                    cast(floor(cast(xd as double) * 1000 + 0.5) as bigint)
-                    * cast(floor(cast(xe as double) * 1000 + 0.5) as bigint)
-                    AS p))))
-                """
+
+    # r11 second pass (guide §4.2): the nested-transform explode
+    # materialized 64×64 = 4 096 (d, e, p) rows PER VECTOR before the
+    # partial aggregate (~150M rows at sf0.1 — 8 s of explode/agg for
+    # a 64×64 result).  The Gram matrix is instead computed per Arrow
+    # batch as one integer matmul QᵀQ (numpy int64 — exact, and far
+    # from overflow: |cell| ≤ n·(1000·max|x|)² ≪ 2⁶³), accumulated
+    # across batches, and emitted ONCE per task as 4 096 partial sums
+    # — the same scan-stage-kernel shape as the codec family; only
+    # the embedding column enters the worker.  The DECIMAL(38,0)
+    # final sum and everything downstream are unchanged, so the
+    # quantized algebra — floor(x·1000 + 0.5) in IEEE double, then
+    # integer products/sums — is bit-identical to the oracle replay.
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        total = None
+        for pdf in batches:
+            col = pdf["embedding"].dropna()
+            if len(col) == 0:
+                continue
+            x = np.array(col.tolist(), dtype=np.float64)
+            q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            g = q.T @ q
+            total = g if total is None else total + g
+        if total is not None:
+            n = total.shape[0]
+            yield pd.DataFrame(
+                {
+                    "d": np.repeat(np.arange(n), n).astype("int32"),
+                    "e": np.tile(np.arange(n), n).astype("int32"),
+                    "p": total.reshape(-1),
+                }
             )
-        ).alias("z")
-    ).select("z.d", "z.e", "z.p")
+
+    qprod = t["embeddings"].select("embedding").mapInPandas(
+        gram, "d int, e int, p long"
+    )
     cov = qprod.groupBy("d", "e").agg(
         F.sum(F.col("p").cast("decimal(38,0)")).alias("c")
     )

@@ -993,10 +993,11 @@ CMS_ORACLE = """
     tags=("text", "sketch", "count-min", "heavy-hitters"),
 )
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min-sketch heavy hitters: a 4-row × 512-bucket CMS built in
-    ONE aggregation over the token stream, then candidate tokens ranked
-    by their min-over-rows cell estimate, reported next to the exact
-    count so the sketch's one-sided overcount is visible.
+    """Count-Min-sketch heavy hitters: a 4-row × 512-bucket CMS summed
+    from the (token, count) vocabulary aggregate (one pass over the
+    token stream; r11), then candidate tokens ranked by their
+    min-over-rows cell estimate, reported next to the exact count so
+    the sketch's one-sided overcount is visible.
 
     The sketch is 2,048 cells regardless of corpus size — the token
     stream map-side combines into it, so what crosses the exchange is
@@ -1006,10 +1007,12 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact vocabulary (used here so the oracle can verify the estimate
     lattice cell-for-cell); the md5-derived row hashes make the sketch
     bit-identical across engines and re-runs."""
+    from multisql_spark.operators import spread
+
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = t["documents"].select(
-        F.explode(F.split("text", " ")).alias("tok")
-    )
+    toks = spread(
+        t["documents"].select("doc_id", "text"), key="doc_id"
+    ).select(F.explode(F.split("text", " ")).alias("tok"))
     rows_ = F.array([F.lit(r) for r in range(4)])
 
     def bucket_of(tok_col, r_col):
@@ -1033,20 +1036,26 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 512
         )
 
-    hashed = toks.select(
-        "tok", F.explode(rows_).alias("r")
-    ).withColumn("bucket", bucket_of(F.col("tok"), F.col("r")))
-    sketch = hashed.groupBy("r", "bucket").agg(
-        F.count(F.lit(1)).alias("cell")
-    )
+    # r11 (guide §1.2): the sketch builds from the VOCABULARY table,
+    # not the token stream — a CMS cell is the occurrence count of the
+    # tokens hashing into it, i.e. Σ exact_count over the bucket's
+    # members, so summing the (tok, count) aggregate gives the
+    # identical 2 048-cell lattice while the 4-row md5 hashing runs
+    # over |vocab| rows instead of every token occurrence.  The same
+    # hashed-vocab lineage serves as the probe set (it was rebuilt
+    # separately before), so the token stream is read ONCE (for the
+    # exact counts) instead of twice.
     exact = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    probes = exact.select("tok").select(
-        "tok", F.explode(rows_).alias("r")
+    hashed = exact.select(
+        "tok", "exact_count", F.explode(rows_).alias("r")
     ).withColumn("bucket", bucket_of(F.col("tok"), F.col("r")))
+    sketch = hashed.groupBy("r", "bucket").agg(
+        F.sum("exact_count").alias("cell")
+    )
     est = (
-        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        hashed.join(F.broadcast(sketch), ["r", "bucket"])
         .groupBy("tok")
         .agg(F.min("cell").alias("cms_est"))
     )

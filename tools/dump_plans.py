@@ -56,6 +56,7 @@ EXTRA_QUERIES = [
     "text_keyword_search",
     "text_bm25_topk",
     "dedup_cdc_chunks",
+    "text_heavy_hitters_cms",
 ]
 
 
