@@ -4508,8 +4508,16 @@ def sim_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines, and the log-ratio terms quantize at
     1e-9 before the sum.  Sample-sized: the harness cost is
     (sample × corpus), decoupled from corpus²."""
+    from multisql_spark.operators import spread
+
     t = load_tables(spark, sf_dir, ["embeddings"])
-    emb = t["embeddings"].select(
+    # r11 (guide §2.2): fan out before the sample × corpus distance
+    # pass — the zip_with dot products run interpreted and the
+    # single-row-group local file pinned them to one core (no-op on
+    # multi-split tables)
+    emb = spread(
+        t["embeddings"].select("vec_id", "embedding"), key="vec_id"
+    ).select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.array_max(
@@ -4559,13 +4567,23 @@ def sim_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cand_id"))
     )
     top2 = d2.withColumn("rk", rk).filter(F.col("rk") <= 2)
-    r1 = top2.filter(F.col("rk") == 1).select(
-        "q_id", F.col("dist2").alias("r1sq")
+    # r11 (guide §1.2): both neighbor radii from ONE conditional
+    # aggregate over the top-2 rows instead of filter-twice + join,
+    # which re-instantiated the sample × corpus distance pass per
+    # side; the null filters replicate the old inner join for queries
+    # with fewer than two candidates.
+    rr = (
+        top2.groupBy("q_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dist2"))).alias("r1sq"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist2"))).alias("r2sq"),
+        )
+        .filter(
+            F.col("r1sq").isNotNull()
+            & F.col("r2sq").isNotNull()
+            & (F.col("r1sq") > 0)
+        )
     )
-    r2 = top2.filter(F.col("rk") == 2).select(
-        "q_id", F.col("dist2").alias("r2sq")
-    )
-    rr = r1.join(r2, "q_id").filter(F.col("r1sq") > 0)
     lq = F.floor(
         0.5 * F.log(F.col("r2sq") / F.col("r1sq")) * 1000000000 + 0.5
     ).cast("long")

@@ -57,6 +57,7 @@ EXTRA_QUERIES = [
     "text_bm25_topk",
     "dedup_cdc_chunks",
     "text_heavy_hitters_cms",
+    "sim_intrinsic_dim",
 ]
 
 
