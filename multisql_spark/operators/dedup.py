@@ -599,12 +599,18 @@ def remove_boilerplate(
     (doc_id, n_chunks, n_removed, clean_md5) — the md5 stands in for the
     rewritten text column so the result stays narrow.
     """
+    from multisql_spark.operators import spread
+
     chunks_expr = F.expr(
         f"transform(sequence(0, CAST(size(_toks) / {width} AS INT) - 1),"
         f"          i -> concat_ws(' ', slice(_toks, i * {width} + 1, {width})))"
     )
+    # r11 (guide §2.2): fan the narrow projection out before the chunk
+    # map (interpreted HOF pinned to one core by the single-row-group
+    # local file; no-op on multi-split tables)
     ch = (
-        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        spread(docs.select(F.col(id_col), "text"), key=id_col)
+        .withColumn("_toks", F.split(F.col("text"), " "))
         .filter(F.size("_toks") >= width)
         .select(
             F.col(id_col),
@@ -617,32 +623,41 @@ def remove_boilerplate(
         .filter(F.col("nd") > 1)
         .select("chunk", F.lit(1).alias("_dup"))
     )
+    # r11 (guide §1.2): totals and the clean reassembly in ONE
+    # aggregate over the flagged chunks — the former totals/clean
+    # split re-instantiated the chunk map + dup join per side.
+    # collect_list skips the NULL the `when` yields for duplicated
+    # chunks, so the sorted kept-chunk array (and its md5) is
+    # identical; an all-boilerplate doc yields n_kept = 0 and
+    # md5(array_join([])) = md5('') — exactly the old left-join
+    # coalesces.
     flagged = ch.join(F.broadcast(dup), "chunk", "left")
-    kept = flagged.filter(F.col("_dup").isNull())
-    totals = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks")
+    kept_struct = F.when(
+        F.col("_dup").isNull(), F.struct("pos", "chunk")
     )
-    clean = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "chunk"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("_dup").isNull(), 1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["chunk"],
                     ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            )
-        ).alias("clean_md5"),
-    )
-    return totals.join(clean, id_col, "left").select(
-        F.col(id_col).cast("long"),
-        "n_chunks",
-        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            F.col(id_col).cast("long"),
+            "n_chunks",
+            (F.col("n_chunks") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_removed"),
+            F.col("clean_md5"),
+        )
     )
 
 

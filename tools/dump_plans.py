@@ -58,6 +58,7 @@ EXTRA_QUERIES = [
     "dedup_cdc_chunks",
     "text_heavy_hitters_cms",
     "sim_intrinsic_dim",
+    "dedup_remove_boilerplate",
 ]
 
 
