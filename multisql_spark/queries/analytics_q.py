@@ -6154,20 +6154,29 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"),
         F.floor(F.unix_timestamp("ts") / 60).cast("long").alias("m"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    cur = per_min.select("user_id", F.col("m").alias("cur_m"))
-    past = per_min.select(
-        F.col("user_id").alias("u2"),
-        F.col("m").alias("past_m"),
-        "n",
-    )
+    # r11 (guide §1.2/§3): each (user, minute, n) row contributes to
+    # the three trailing windows ending at m, m+1, m+2 — explode those
+    # window ends and re-aggregate, instead of a range self-join that
+    # instantiated the events rollup twice.  A window end only counts
+    # if it is itself an active minute (the old join's cur side), which
+    # the delta-0 contribution marks.  Same ≤3 fan-out, one rollup
+    # pass, no join.
     trailing = (
-        cur.join(
-            past,
-            (F.col("user_id") == F.col("u2"))
-            & ((F.col("cur_m") - F.col("past_m")).between(0, 2)),
+        per_min.select(
+            "user_id",
+            "m",
+            "n",
+            F.explode(F.expr("sequence(m, m + 2)")).alias("cur_m"),
         )
         .groupBy("user_id", "cur_m")
-        .agg(F.sum("n").alias("n_3min"))
+        .agg(
+            F.sum("n").alias("n_3min"),
+            F.max(
+                F.when(F.col("m") == F.col("cur_m"), 1)
+            ).alias("_active"),
+        )
+        .filter(F.col("_active") == 1)
+        .select("user_id", "cur_m", "n_3min")
     )
     return (
         trailing.groupBy("user_id")

@@ -59,6 +59,7 @@ EXTRA_QUERIES = [
     "text_heavy_hitters_cms",
     "sim_intrinsic_dim",
     "dedup_remove_boilerplate",
+    "events_rate_limit_audit",
 ]
 
 
