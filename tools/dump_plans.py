@@ -60,6 +60,20 @@ EXTRA_QUERIES = [
     "sim_intrinsic_dim",
     "dedup_remove_boilerplate",
     "events_rate_limit_audit",
+    # r11 similarity-family norm-precompute pass
+    "dedup_semantic",
+    "sim_ann_recall",
+    "sample_kcenter_coreset",
+    "sim_ann_pq",
+    "sim_ann_ivfadc",
+    "sim_ann_ivf_kmeans",
+    "sim_kmeans_cluster_stats",
+    "sim_embedding_neardup",
+    "sim_ann_lsh",
+    "sim_ann_filtered",
+    "sim_ann_lsh_multiprobe",
+    "sim_ivf_incremental_add",
+    "sim_lsh_buckets",
 ]
 
 
