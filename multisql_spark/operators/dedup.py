@@ -1140,6 +1140,14 @@ def cdc_chunk_stats(
     # element_at() site inside the transform lambda, re-running the
     # full md5 cut scan per boundary element (O(positions²) hashing)
     bounds = f"concat(array(0), {cuts}, array(size(_toks)))"
+    # r11 second pass: the explode-index rewrite that won for the
+    # n-gram/window builds was TRIED here and REVERTED on measurement
+    # (0.84 -> 2.25 s fresh-plan): the boundary walk touches only
+    # ~size/mask elements, so the interpreted-lambda saving is tiny
+    # while the exploded rows would carry (and copy) the full _toks +
+    # _bounds arrays per chunk through the Generate.  Rule: explode-
+    # index wins when per-element lambda work dominates; a short
+    # array-to-array walk should stay a HOF.
     chunks = (
         "filter(transform(sequence(1, size(_bounds) - 1),"
         "  j -> named_struct("
