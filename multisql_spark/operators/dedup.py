@@ -1062,13 +1062,23 @@ def duplicated_spans(
         .cast("bigint")
         .alias("h"),
     )
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # r11 second pass (guide §1.2, measured 7.8x on this stage at
+    # derived sf10: 242 -> 31 s): the former dup-hash groupBy + join
+    # back re-instantiated the whole window build (divergent column
+    # pruning defeated exchange reuse) and sort-merge-joined the full
+    # window stream against it.  A window with ≥2 distinct documents
+    # is exactly one with min(doc_id) != max(doc_id) over its digest
+    # partition — ONE exchange on h, no second build, no join; row set
+    # proven identical at sf0.1.  Per-digest groups are tiny (a hot
+    # boilerplate digest degrades to a spilled window buffer, the same
+    # hot-key skew the join shape had).
+    wh = W.partitionBy("h")
+    marked = (
+        wins.withColumn("_mn", F.min(id_col).over(wh))
+        .withColumn("_mx", F.max(id_col).over(wh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "total_tokens", "start")
     )
-    marked = wins.join(dup_h, "h").select(id_col, "total_tokens", "start")
     w = W.partitionBy(id_col).orderBy("start")
     islands = marked.withColumn(
         "brk",
