@@ -114,7 +114,11 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: exact (md5 of text), set (md5 of sorted
     distinct tokens — catches token reorderings), and min-shingle
     (lexicographic-min md5 over 3-token shingles — a 1-row winnowing
-    sketch)."""
+    sketch).
+
+    Precondition: ``id_col`` is unique per input row (the documents PK).
+    With duplicate ids the shingle aggregate would pool shingles across
+    the duplicates and the fingerprint join would multiply rows."""
     # r11 (guide §1.3): the token array is split ONCE into a column —
     # referencing the split() expression inside the transform() lambda
     # re-evaluated it per shingle (O(len²) characters per doc).
@@ -122,20 +126,28 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # min-shingle ran as an interpreted transform() + array_min per
     # doc; exploding the shingle index and taking MIN in a groupBy
     # computes the identical md5(concat_ws(slice)) values with the
-    # min map-side-combined — the shuffle carries one partial row per
-    # doc, and fp_exact/fp_set ride along as functionally dependent
-    # group keys (computed once per doc before the explode).
+    # min map-side-combined.
+    # r12 (guide §1.3/§7.2): fp_exact/fp_set must NOT ride the explode
+    # as group keys — CollapseProject pushes their projection BELOW the
+    # aggregate but PAST the Generate, so the interpreted array_sort
+    # comparator re-ran per shingle row (O(len·log len) lambda calls ×
+    # shingles: measured 3.5 s fresh-plan noop at sf0.1). They are now
+    # a separate per-doc projection joined back on the id — one narrow
+    # ~|docs|-row exchange; values identical (A/B row-equality checked).
     tk = F.col("tk")
-    return (
-        df.select(
-            F.col(id_col), "text", F.split(F.col("text"), " ").alias("tk")
-        )
-        .select(
+    base = df.select(
+        F.col(id_col), "text", F.split(F.col("text"), " ").alias("tk")
+    )
+    fps = base.select(
+        F.col(id_col),
+        F.md5("text").alias("fp_exact"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))
+        ).alias("fp_set"),
+    )
+    sh = (
+        base.select(
             F.col(id_col),
-            F.md5("text").alias("fp_exact"),
-            F.md5(
-                F.concat_ws(" ", F.array_sort(F.array_distinct(tk)))
-            ).alias("fp_set"),
             "tk",
             F.explode(
                 F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1)))
@@ -143,15 +155,15 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .select(
             F.col(id_col),
-            "fp_exact",
-            "fp_set",
             F.md5(
                 F.concat_ws(" ", F.slice(tk, F.col("_i"), 3))
             ).alias("_sh"),
         )
-        .groupBy(id_col, "fp_exact", "fp_set")
+        .groupBy(id_col)
         .agg(F.min("_sh").alias("fp_min_shingle"))
-        .select(id_col, "fp_exact", "fp_set", "fp_min_shingle")
+    )
+    return fps.join(sh, id_col).select(
+        id_col, "fp_exact", "fp_set", "fp_min_shingle"
     )
 
 
