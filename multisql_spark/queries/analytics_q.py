@@ -6064,22 +6064,50 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (lift, a, b) tie-break.  Integer counts keep lift exact up to
     the final double division, identical in both engines."""
     t = load_tables(spark, sf_dir, ["lineitem"])
-    lines = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    part_orders = lines.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # r12 (guide §2.4): ONE shuffle of the fact — per-order sorted
+    # distinct part sets — replaces the old distinct + order-keyed
+    # self-join (which re-shuffled the distinct'd fact twice more).
+    # Pairs come from a double index explode over the bounded per-order
+    # set (same (part_a < part_b, count) semantics — the fan-out stays
+    # (lines-per-order choose 2), never parts×parts); both marginals and
+    # the order count derive from the same grouped table instead of two
+    # more passes over the fact.  Values identical (A/B row-equality +
+    # oracle ×3 SFs); 1.30 → 0.91 s fresh-plan noop at sf0.1.
+    orders = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_all = lines.agg(
-        F.countDistinct("l_orderkey").alias("n")
-    )
-    a = lines.toDF("ok", "part_a")
-    b = lines.toDF("ok", "part_b")
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        orders.filter(F.size("parts") >= 2)
+        .select(
+            "parts",
+            F.explode(
+                F.sequence(F.lit(1), F.size("parts") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "parts",
+            "i",
+            F.explode(
+                F.sequence(F.col("i") + 1, F.size("parts"))
+            ).alias("j"),
+        )
+        .select(
+            F.element_at("parts", F.col("i")).alias("part_a"),
+            F.element_at("parts", F.col("j")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )
+    part_orders = (
+        orders.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    n_all = orders.agg(F.count(F.lit(1)).alias("n"))
     pa = part_orders.toDF("part_a", "n_a")
     pb = part_orders.toDF("part_b", "n_b")
     # r11 (VERDICT r10 What's-wrong #1): the per-part marginals grow
