@@ -1605,17 +1605,24 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = t["documents"].agg(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
     q = spark.createDataFrame([("spark",), ("join",), ("fast",)], ["tok"])
+    # r12 (guide §2.3): filter BEFORE aggregating — the broadcast query
+    # join drops non-matching tokens map-side, so the tf aggregation is
+    # over matched postings only, not the corpus vocabulary (same
+    # rewrite as text_keyword_search; identical tf for matched terms).
+    tf = (
+        toks.join(F.broadcast(q), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     idf_q = F.round(
         F.log(F.col("n_docs") / F.col("df_docs")) * 1e6
     ).cast("long")
     lex_scored = (
-        tf.join(F.broadcast(q), "tok")
-        .withColumn(
+        tf.withColumn(
             "df_docs", F.count(F.lit(1)).over(W.partitionBy("tok"))
         )
         .crossJoin(F.broadcast(n_docs))
