@@ -1072,6 +1072,16 @@ def duplicated_spans(
     # proven identical at sf0.1.  Per-digest groups are tiny (a hot
     # boilerplate digest degrades to a spilled window buffer, the same
     # hot-key skew the join shape had).
+    # Skew disposition (r11 ADVICE): the spilled-window shape is
+    # validated through derived sf10 (231 s total, no window spill
+    # observed — sweeps/r11 holdout); a single digest only goes hot
+    # when one exact `width`-token window repeats across a large
+    # fraction of the corpus, i.e. boilerplate that remove_boilerplate
+    # strips upstream in the production pipeline.  If an ultra-hot
+    # digest does appear, the guard is the aggregate+join form (map-
+    # side-combined min/max per h joined back) that this replaced —
+    # 7.8x slower in the common case, skew-immune in the pathological
+    # one; switching is a two-line revert kept in git history.
     wh = W.partitionBy("h")
     marked = (
         wins.withColumn("_mn", F.min(id_col).over(wh))

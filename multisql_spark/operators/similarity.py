@@ -538,7 +538,9 @@ def kmeans_cluster_stats(
         else F.lit(None).cast("map<int,array<double>>")
     )
     # Per-centroid norms replayed in Python (bit-identical: same fold,
-    # same IEEE sqrt) → the per-row cosine needs ONE dot, not three.
+    # same IEEE sqrt) → the per-centroid dot is hoisted out of the row
+    # path; each row still computes two dots (v·centroid and its own
+    # v·v for the row norm), down from three.
     cent_norm_map = (
         F.map_from_arrays(
             F.array(*[F.lit(cid) for cid, _ in centroids]),

@@ -4854,13 +4854,19 @@ def pipeline_selection_frontier(
     # per-bucket prefix offsets over the tiny bucket table, local
     # windows inside each bucket.  Cutpoint placement affects
     # parallelism only — ranks and therefore the frontier are exact.
-    cuts = q.agg(
+    # r12 (guide §1.2): the exact row count rides the SAME build-time
+    # aggregate as the percentile cutpoints — one driver action / one
+    # pass over the qscore projection instead of two (the old shape ran
+    # a separate q.count()).  Both values are unchanged.
+    cuts_row = q.agg(
         F.expr(
             "approx_percentile(qscore, array("
             + ",".join(str((i + 1) / 16.0) for i in range(15))
             + "))"
-        ).alias("cut")
-    ).collect()[0]["cut"] or []  # empty input: no cutpoints, one bucket
+        ).alias("cut"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    cuts = cuts_row["cut"] or []  # empty input: no cutpoints, one bucket
     bucket = F.lit(0)
     for c in cuts:
         # bucket 0 holds the HIGHEST scores (frontier keeps best first)
@@ -4897,7 +4903,7 @@ def pipeline_selection_frontier(
             (F.col("oq") + F.col("lq")).alias("csq"),
         )
     )
-    n_total = q.count()
+    n_total = cuts_row["n_total"]
     qsz, rem = n_total // 10, n_total % 10
     # ntile boundary: cumulative docs after decile k = k*q + min(k, r)
     bounds = [(k, k * qsz + min(k, rem)) for k in range(1, 11)]
