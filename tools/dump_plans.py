@@ -77,6 +77,8 @@ EXTRA_QUERIES = [
     # r11 explode-index n-gram/chunk/window builds
     "dedup_chunks",
     "dedup_duplicated_spans",
+    # r12 rewrites
+    "pipeline_selection_frontier",
 ]
 
 
@@ -86,7 +88,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = bench.build_session()
