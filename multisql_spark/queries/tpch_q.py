@@ -334,7 +334,22 @@ def tpch_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: conditional revenue share per month — one fact shuffle,
     the part dimension broadcasts, and the CASE folds into the partial
-    aggregate (no second pass over lineitem)."""
+    aggregate (no second pass over lineitem).
+
+    r12, tried and REVERTED on measurement (guide §1.1): a spread of
+    the four needed columns ahead of the fused
+    probe+date_format+aggregate won 2.6× at sf0.1 (1.21 → 0.45 s; the
+    single-row-group scan pins the fused aggregate to one core) but
+    LOST 20–30 % at derived sf10, where the scan has a few real splits
+    and the full-corpus exchange costs more than the extra parallelism
+    recovers.  The safe `only_if_serial` variant never fires here
+    because Spark's 4 MB split packing gives the local file phantom
+    empty splits (getNumPartitions()=3, one non-empty).  Kept the
+    exchange-free shape: it is the right plan at every real scale, and
+    the aggregation parallelizes naturally once the table has >1 row
+    group.  (cube_status_priority differs: its orders file IS a single
+    split locally, so its only_if_serial spread fires there and
+    no-ops at sf10 — see core.py.)"""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     l, p = t["lineitem"], t["part"]
     rev = F.round(

@@ -79,6 +79,8 @@ EXTRA_QUERIES = [
     "dedup_duplicated_spans",
     # r12 rewrites
     "pipeline_selection_frontier",
+    "tpch_promo_share",
+    "cube_status_priority",
 ]
 
 
